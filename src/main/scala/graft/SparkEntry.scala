@@ -13,7 +13,9 @@ object SparkEntry {
 
   /** All operator modules contributing queries. */
   def modules: Seq[QueryModule] = Seq(
-    ops.Parity
+    ops.Parity,
+    ops.Joins,
+    ops.Analytics
   )
 
   def all: Seq[GraftQuery] = modules.flatMap(_.queries)

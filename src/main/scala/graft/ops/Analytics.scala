@@ -1,0 +1,369 @@
+package graft.ops
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytic surface beyond plain group-by: multi-dimensional aggregation
+  * (rollup / cube / grouping sets), HAVING, exact distinct counts, window
+  * functions (rank family, lag, running aggregates), set operations, and
+  * the scalar function library (string / date / math / conditional / JSON).
+  *
+  * Scale notes (100 TB): rollup/cube expand grouping sets BEFORE the
+  * shuffle, so partial aggregation still applies per set; window functions
+  * shuffle once on the partition key then sort within partitions — the
+  * partition key (user_id / o_custkey) must be high-cardinality, which it
+  * is here; scalar functions are all whole-stage-codegen built-ins, zero
+  * shuffle. Every window ORDER BY carries a unique tiebreak column so
+  * results are deterministic under any partitioning.
+  */
+object Analytics extends QueryModule {
+  import Parity.dsum
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── multi-dimensional aggregation ─────
+    GraftQuery(
+      "agg_rollup",
+      (s, d) =>
+        Tables.orders(s, d)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+                   col("o_orderpriority").asc_nulls_first),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """)),
+
+    GraftQuery(
+      "agg_cube",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+                   col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+      """)),
+
+    GraftQuery(
+      "agg_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """)),
+
+    GraftQuery(
+      "agg_having",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spent"))
+          .filter(col("n_orders") >= 10)
+          .orderBy(col("o_custkey")),
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+        ORDER BY o_custkey
+      """)),
+
+    GraftQuery(
+      "agg_count_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """)),
+
+    // ───── window functions ─────
+    GraftQuery(
+      "win_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn
+      """)),
+
+    GraftQuery(
+      "win_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .select(
+            col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy(col("o_orderstatus"), col("rnk"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               RANK()       OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4)     OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ORDER BY o_orderstatus, rnk, o_orderkey
+      """)),
+
+    GraftQuery(
+      "win_lag_delta",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(
+            col("event_id"), col("user_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, value,
+               LAG(value, 1) OVER w AS prev_value,
+               value - LAG(value, 1) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ORDER BY user_id, event_id
+      """)),
+
+    GraftQuery(
+      "win_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(
+            col("event_id"), col("user_id"),
+            sum(col("value").cast(DecimalType(18, 2))).over(w)
+              .cast("double").as("running_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+      """)),
+
+    // ───── set operations ─────
+    GraftQuery(
+      "set_union_distinct",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .union(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+          .distinct()
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_custkey
+      """)),
+
+    GraftQuery(
+      "set_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey
+      """)),
+
+    GraftQuery(
+      "set_except",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.select(col("c_custkey"))
+          .except(o.select(col("o_custkey").as("c_custkey")))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+        ORDER BY c_custkey
+      """)),
+
+    GraftQuery(
+      "distinct_values",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linestatus"))
+          .distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus
+      """)),
+
+    // ───── scalar function library ─────
+    GraftQuery(
+      "scalar_string_funcs",
+      (s, d) =>
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          reverse(col("p_brand")).as("brand_rev"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+          .orderBy(col("p_partkey")),
+      Some("""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_brand) AS brand_lower,
+               CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+               SUBSTRING(p_name, 1, 5) AS name_pfx,
+               CONCAT_WS('|', p_brand, p_type) AS brand_type,
+               REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_snake,
+               REVERSE(p_brand) AS brand_rev,
+               LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+        FROM part ORDER BY p_partkey
+      """)),
+
+    GraftQuery(
+      "scalar_date_funcs",
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_eoy"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+               CAST(DAY(o_orderdate) AS BIGINT) AS o_day,
+               DATE_TRUNC('month', o_orderdate) AS month_start,
+               STRFTIME(o_orderdate, '%Y-%m') AS ym,
+               CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy
+        FROM orders ORDER BY o_orderkey
+      """)),
+
+    GraftQuery(
+      "scalar_math_funcs",
+      (s, d) =>
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          abs(col("c_acctbal")).as("bal_abs"),
+          floor(col("c_acctbal")).cast("double").as("bal_floor"),
+          ceil(col("c_acctbal")).cast("double").as("bal_ceil"),
+          sqrt(abs(col("c_acctbal"))).as("bal_sqrt"),
+          signum(col("c_acctbal")).as("bal_sign"),
+          (col("c_custkey") % 7).cast("long").as("key_mod7"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+          least(col("c_acctbal"), lit(0.0)).as("bal_neg"))
+          .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey,
+               ABS(c_acctbal) AS bal_abs,
+               CAST(FLOOR(c_acctbal) AS DOUBLE) AS bal_floor,
+               CAST(CEIL(c_acctbal) AS DOUBLE) AS bal_ceil,
+               SQRT(ABS(c_acctbal)) AS bal_sqrt,
+               SIGN(c_acctbal) AS bal_sign,
+               CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
+               GREATEST(c_acctbal, 0.0) AS bal_pos,
+               LEAST(c_acctbal, 0.0) AS bal_neg
+        FROM customer ORDER BY c_custkey
+      """)),
+
+    GraftQuery(
+      "scalar_conditional",
+      (s, d) =>
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 5000, "standard")
+            .otherwise("premium").as("tier"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER"))
+            .as("segment_masked"))
+          .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END AS tier,
+               COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked
+        FROM customer ORDER BY c_custkey
+      """)),
+
+    // JSON extraction from the events.props payload column
+    GraftQuery(
+      "json_extract_field",
+      (s, d) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+        FROM events ORDER BY event_id
+      """))
+  )
+}

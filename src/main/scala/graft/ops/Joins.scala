@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.3 notes the reference has NO joins — this is
+  * the §7.3-step-4 capability bar): equi joins across the star schema,
+  * semi/anti (EXISTS / NOT EXISTS), outer, and a theta-residual join.
+  *
+  * Scale notes (100 TB): the fact tables (lineitem, orders) shuffle on
+  * their join keys — both sides are key-partitioned so AQE can coalesce
+  * and skew-split; dimension tables (nation, region, customer at TPC-H
+  * ratios) are explicitly `broadcast()` so the big side never shuffles
+  * for them. On a real cluster the lineitem⋈orders join benefits from
+  * bucketing both tables by orderkey at write time — the read path here
+  * keys on the same columns so that optimization drops in without code
+  * changes.
+  */
+object Joins extends QueryModule {
+  import Parity.dsum
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // star join: revenue per region/nation. Dims broadcast, facts shuffle
+    // once on orderkey then once on custkey (the minimum possible).
+    GraftQuery(
+      "join_star_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d)
+        val c  = Tables.customer(s, d)
+        val n  = Tables.nation(s, d)
+        val r  = Tables.region(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+      """)),
+
+    // left semi = EXISTS; no payload from the right side crosses the wire
+    GraftQuery(
+      "join_semi_exists",
+      (s, d) => {
+        val o  = Tables.orders(s, d)
+        val hi = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey"))
+        o.join(hi, o("o_orderkey") === hi("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      """)),
+
+    // left anti = NOT EXISTS
+    GraftQuery(
+      "join_anti_not_exists",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      """)),
+
+    // left outer + agg: customers including those with zero orders
+    GraftQuery(
+      "join_outer_order_counts",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_spent"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey
+      """)),
+
+    // equi join + theta residual (non-equi predicate evaluated post-probe)
+    GraftQuery(
+      "join_theta_residual",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).as("l")
+        val o  = Tables.orders(s, d).as("o")
+        li.join(o,
+            col("l.l_orderkey") === col("o.o_orderkey") &&
+              col("l.l_shipdate") > col("o.o_orderdate"))
+          .groupBy(col("o.o_orderstatus").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n_shipped_after_order"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n_shipped_after_order
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+      """))
+  )
+}
