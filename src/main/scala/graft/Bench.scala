@@ -2,25 +2,49 @@ package graft
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR
   * (default sf0.1) and prints ONE JSON line for the driver's BENCH_r{N}.
-  * Timing = full plan execution via `.count()` after a warm-up of the
-  * session (first query pays JIT/codegen warmup; we run a tiny priming
-  * job first so per-query numbers reflect the plans, not JVM startup).
+  *
+  * Timing action is a noop-sink write (`format("noop")`), which fully
+  * materializes every operator: under round 1's `.count()`, Catalyst's
+  * EliminateSorts deleted the global sort being measured and column
+  * pruning removed all scalar projections, so ~6 of 31 timings measured
+  * nothing. The noop sink consumes every row of every column downstream
+  * of the complete plan, with zero sink-side cost.
+  *
+  * Warm-up is a real parquet scan + shuffle over the bench data (not
+  * `spark.range`), so the first measured query doesn't pay filesystem
+  * metadata, parquet footer reads, or shuffle-machinery initialization.
+  *
+  * Failures are reported in an `errors` field (name → exception class),
+  * never silently recorded as a timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    // prime: JIT + filesystem metadata, not part of any timing
-    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // prime: parquet scan + shuffle + noop sink, not part of any timing
+    materialize(
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag").count())
+
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        errors ::= (name -> e.getClass.getSimpleName)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,7 +18,13 @@ object SparkEntry {
     ops.Analytics
   )
 
-  def all: Seq[GraftQuery] = modules.flatMap(_.queries)
+  def all: Seq[GraftQuery] = {
+    val qs = modules.flatMap(_.queries)
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate query name(s) across modules: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

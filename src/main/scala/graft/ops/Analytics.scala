@@ -58,15 +58,16 @@ object Analytics extends QueryModule {
 
     GraftQuery(
       "agg_grouping_sets",
-      (s, d) => {
-        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
-        s.sql("""
-          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-          FROM orders_gs
-          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-        """)
-      },
+      // Spark 4 first-class groupingSets API — no temp-view catalog side
+      // effect (round-1 verdict: the view raced under concurrent execution).
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+                   col("o_orderpriority").asc_nulls_first),
       Some("""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         FROM orders
@@ -325,7 +326,7 @@ object Analytics extends QueryModule {
                CAST(FLOOR(c_acctbal) AS DOUBLE) AS bal_floor,
                CAST(CEIL(c_acctbal) AS DOUBLE) AS bal_ceil,
                SQRT(ABS(c_acctbal)) AS bal_sqrt,
-               SIGN(c_acctbal) AS bal_sign,
+               CAST(SIGN(c_acctbal) AS DOUBLE) AS bal_sign,
                CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
                GREATEST(c_acctbal, 0.0) AS bal_pos,
                LEAST(c_acctbal, 0.0) AS bal_neg

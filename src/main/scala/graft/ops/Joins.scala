@@ -108,6 +108,50 @@ object Joins extends QueryModule {
         ORDER BY c_custkey
       """)),
 
+    // TPC-H Q5-shaped 6-way join: local-supplier revenue per nation in one
+    // region/year. Exercises supplier + AQE join reordering. nation/region/
+    // supplier are broadcast (dims); lineitem⋈orders shuffles on orderkey,
+    // then custkey; the c_nationkey = s_nationkey residual rides the
+    // supplier broadcast, so the facts shuffle exactly twice.
+    GraftQuery(
+      "join_q5_regional",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+        val c  = Tables.customer(s, d)
+        val su = Tables.supplier(s, d)
+        val n  = Tables.nation(s, d)
+        val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su),
+            li("l_suppkey") === su("s_suppkey") &&
+              c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """)),
+
     // equi join + theta residual (non-equi predicate evaluated post-probe)
     GraftQuery(
       "join_theta_residual",

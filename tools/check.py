@@ -69,6 +69,19 @@ def main():
         elif len(got) != len(exp):
             errs.append(f"rows: spark={len(got)} duck={len(exp)}")
         else:
+            # The driver's hash gate stringifies values, so dtype KIND
+            # mismatches fail it (round-1 scalar_math_funcs: DOUBLE 1.0 vs
+            # TINYINT 1) while width differences don't (int32 rank vs int64
+            # passed). Fail here on kind mismatch only.
+            def kind(dt):
+                k = dt.kind  # i/u → int, f → float, else exact dtype
+                return {"i": "int", "u": "int", "M": "datetime"}.get(k, str(dt))
+            for c in sorted(got.columns):
+                if kind(got[c].dtype) != kind(exp[c].dtype):
+                    errs.append(
+                        f"dtype {c}: spark={got[c].dtype} duck={exp[c].dtype}")
+        if not errs and len(got) == len(exp) and \
+                sorted(got.columns) == sorted(exp.columns):
             g, e = canon(got), canon(exp)
             for c in g.columns:
                 bad = [i for i in range(len(g))
