@@ -15,7 +15,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     ops.Parity,
     ops.Joins,
-    ops.Analytics
+    ops.Analytics,
+    ops.Dedup
   )
 
   def all: Seq[GraftQuery] = {

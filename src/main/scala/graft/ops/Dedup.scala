@@ -1,0 +1,339 @@
+package graft.ops
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family over the `documents` / `embeddings`
+  * tables — the LLM-training-data cleaning surface (SURVEY.md §2.8):
+  * exact dedup, exact n-gram Jaccard, MinHash+LSH, SimHash, and an
+  * embedding-cosine nearest-neighbor join.
+  *
+  * Oracle-twinnability: every hash here is md5 (bit-identical in Spark
+  * and DuckDB), so even the MinHash/SimHash signatures — normally
+  * "rows-only check" territory — have full value-level DuckDB twins.
+  * Lexicographic MIN over md5 hex strings is a valid uniform min-hash.
+  *
+  * Scale notes (100 TB):
+  *  - No O(n²) all-pairs anywhere. Candidate generation is always a
+  *    shuffle-join on a bucket key: shared shingle (inverted index),
+  *    MinHash band signature, or SimHash band substring. Buckets bound
+  *    the comparison set; the exact verify step only touches candidates.
+  *  - Exact dedup groups on the 128-bit digest, not the document body,
+  *    so the shuffle carries 32-byte keys instead of full texts.
+  *  - The shingle inverted index is the one surface with a skew hazard
+  *    (hot shingles → giant posting lists). AQE skew-join splitting is
+  *    on (GraftSession); at real scale add a document-frequency cutoff
+  *    to the candidate-gen join and keep the exact-verify join as is —
+  *    MinHash banding (dedup_minhash) is the preferred path there
+  *    because band buckets are uniform by construction.
+  *  - Embedding NN is blocked on `label` (a coarse partitioner /
+  *    IVF-style cell): cosine pairs are computed per block, never
+  *    globally. See Similarity for the LSH generalization.
+  */
+object Dedup extends QueryModule {
+
+  /** Distinct word-bigram shingles per document. Guard `size >= 2`:
+    * Spark's sequence(0, -1) would descend, not return empty.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
+      )).as("shingle"))
+      .distinct()
+
+  /** doc_id → distinct-shingle count (Jaccard denominators). */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+  /** Exact word-shingle Jaccard for a candidate-pair frame (doc_a, doc_b):
+    * joins each side's shingle set, counts the intersection, and derives
+    * |A∪B| = |A|+|B|-|A∩B|. Only candidate pairs are scored.
+    */
+  private def exactJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val s1 = sh.select(col("doc_id").as("da"), col("shingle"))
+    val s2 = sh.select(col("doc_id").as("db"), col("shingle").as("shingle2"))
+    val sz = shingleSizes(sh)
+    cand
+      .join(s1, cand("doc_a") === s1("da"))
+      .join(s2, cand("doc_b") === s2("db") && col("shingle") === col("shingle2"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+  }
+
+  /** Shared DuckDB CTE: distinct word-bigram shingles (dialect twin of
+    * `shingles` above; DuckDB lists are 1-based, Spark arrays 0-based —
+    * both emit the same strings).
+    */
+  private val shinglesSql = """
+    shingles AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, UNNEST(list_transform(
+          generate_series(1, len(string_split(text, ' ')) - 1),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        )) AS shingle
+        FROM documents)
+      GROUP BY doc_id, shingle),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)"""
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── exact dedup: group on content digest, keep lowest doc_id ─────
+    GraftQuery(
+      "dedup_exact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("text_hash"), col("n_copies"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT MIN(doc_id) AS doc_id, MD5(text) AS text_hash, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY MD5(text)
+        ORDER BY doc_id
+      """)),
+
+    // ───── exact n-gram Jaccard near-dup pairs (inverted-index join) ─────
+    GraftQuery(
+      "dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val a  = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        val b  = sh.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"))
+        val cand = a.join(b, col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        exactJaccard(cand, sh)
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $shinglesSql,
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM shingles a JOIN shingles b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        common AS (
+          SELECT doc_a, doc_b, count(*) AS c
+          FROM cand
+          JOIN shingles s1 ON s1.doc_id = cand.doc_a
+          JOIN shingles s2 ON s2.doc_id = cand.doc_b AND s1.shingle = s2.shingle
+          GROUP BY doc_a, doc_b)
+        SELECT doc_a, doc_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ───── MinHash + banded LSH candidates, exact-Jaccard verified ─────
+    // 16 permutations = MIN(md5("<i>|" || shingle)) for i in 0..15; 4 bands
+    // of 4 rows. P(miss | J=0.8) = (1-0.8^4)^4 ≈ 12% per the standard LSH
+    // S-curve — at this SF the band join recovers all planted pairs (the
+    // ScalaTest suite asserts candidates ⊇ exact pairs). Candidates are
+    // then exact-verified, so false positives never reach the output.
+    GraftQuery(
+      "dedup_minhash",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val mh = sh
+          .select(col("doc_id"), col("shingle"),
+            explode(expr("sequence(0, 15)")).as("i"))
+          .groupBy(col("doc_id"), col("i"))
+          .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("shingle"))))
+            .as("mn"))
+          .groupBy(col("doc_id"), expr("i div 4").as("band"))
+          .agg(expr(
+            "array_join(transform(array_sort(collect_list(struct(i, mn))), x -> x.mn), '')"
+          ).as("band_sig"))
+        val a = mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+        val b = mh.select(col("doc_id").as("doc_b"),
+          col("band").as("band2"), col("band_sig").as("band_sig2"))
+        val cand = a.join(b,
+            col("band") === col("band2") && col("band_sig") === col("band_sig2") &&
+              col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        exactJaccard(cand, sh)
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH $shinglesSql,
+        mh AS (
+          SELECT doc_id, i // 4 AS band, string_agg(mn, '' ORDER BY i) AS band_sig
+          FROM (
+            SELECT s.doc_id, p.i,
+                   MIN(md5(p.i::VARCHAR || '|' || s.shingle)) AS mn
+            FROM shingles s
+            CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) p
+            GROUP BY s.doc_id, p.i)
+          GROUP BY doc_id, band),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM mh a JOIN mh b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+        common AS (
+          SELECT doc_a, doc_b, count(*) AS c
+          FROM cand
+          JOIN shingles s1 ON s1.doc_id = cand.doc_a
+          JOIN shingles s2 ON s2.doc_id = cand.doc_b AND s1.shingle = s2.shingle
+          GROUP BY doc_a, doc_b)
+        SELECT doc_a, doc_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ───── SimHash near-dup pairs (banded hamming join) ─────
+    // 32-bit signature: bit j = sign of the term-count-weighted sum of
+    // (±1 per document term, + iff nibble j of md5(term) >= '8'). Pairs
+    // sharing any of 4 8-bit bands are candidates (pigeonhole: hamming
+    // <= 3 guarantees a shared band); exact hamming filter <= 1.
+    GraftQuery(
+      "dedup_simhash",
+      (s, d) => {
+        val sig = simhashSignatures(s, d)
+        val bands = sig.select(col("doc_id"), col("sig"),
+            explode(expr("sequence(1, 4)")).as("b"))
+          .select(col("doc_id"), col("b"),
+            expr("substring(sig, (b-1)*8 + 1, 8)").as("band_sig"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("band_sig"))
+        val bb = bands.select(col("doc_id").as("doc_b"),
+          col("b").as("b2"), col("band_sig").as("band_sig2"))
+        val cand = a.join(bb,
+            col("b") === col("b2") && col("band_sig") === col("band_sig2") &&
+              col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        cand
+          .join(sig.select(col("doc_id"), col("sig").as("sig_a")),
+            col("doc_a") === col("doc_id")).drop("doc_id")
+          .join(sig.select(col("doc_id"), col("sig").as("sig_b")),
+            col("doc_b") === col("doc_id")).drop("doc_id")
+          .select(col("doc_a"), col("doc_b"), expr(
+            """aggregate(transform(sequence(1, 32),
+               j -> CASE WHEN substring(sig_a, j, 1) <> substring(sig_b, j, 1)
+                         THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"""
+          ).cast("long").as("hamming"))
+          .filter(col("hamming") <= 1)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, tok, count(*) AS cnt FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> '' GROUP BY doc_id, tok),
+        bits AS (
+          SELECT doc_id, j,
+                 CASE WHEN SUM(cnt * CASE WHEN substr(md5(tok), j, 1) >= '8'
+                                          THEN 1 ELSE -1 END) >= 0
+                      THEN '1' ELSE '0' END AS bit
+          FROM toks CROSS JOIN (SELECT UNNEST(generate_series(1, 32)) AS j) g
+          GROUP BY doc_id, j),
+        sig AS (
+          SELECT doc_id, string_agg(bit, '' ORDER BY j) AS sig
+          FROM bits GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, b, substr(sig, (b-1)*8 + 1, 8) AS band_sig
+          FROM sig CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS b) g),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(list_reduce(list_transform(generate_series(1, 32),
+                 j -> CASE WHEN substr(sa.sig, j, 1) <> substr(sb.sig, j, 1)
+                           THEN 1 ELSE 0 END), (x, y) -> x + y) AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+        WHERE list_reduce(list_transform(generate_series(1, 32),
+                 j -> CASE WHEN substr(sa.sig, j, 1) <> substr(sb.sig, j, 1)
+                           THEN 1 ELSE 0 END), (x, y) -> x + y) <= 1
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ───── embedding-cosine nearest neighbor, label-blocked ─────
+    // For every vector, its top-1 cosine neighbor within the same label
+    // block. Dot products fold left-to-right in DOUBLE on both engines,
+    // so the cosines are bit-identical and the argmax agrees.
+    GraftQuery(
+      "dedup_embedding_nn",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(
+          col("vec_id"), col("label"), col("embedding"),
+          expr("""sqrt(aggregate(transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  CAST(0 AS DOUBLE), (acc, v) -> acc + v))""").as("nrm"))
+        val a = e.select(col("vec_id").as("va"), col("label"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vb"), col("label").as("label2"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("va"))
+          .orderBy(col("cosine").desc, col("vb").asc)
+        a.join(b, col("label") === col("label2") && col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            (expr("""aggregate(zip_with(ea, eb,
+                     (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                     CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+              / (col("na") * col("nb"))).as("cosine"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("va").as("vec_id"), col("vb").as("nn_id"), col("cosine"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(list_reduce(list_transform(embedding,
+                   x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS nrm
+          FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        SELECT va AS vec_id, vb AS nn_id, cosine FROM (
+          SELECT va, vb, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY va
+                                    ORDER BY cosine DESC, vb ASC) AS rn
+          FROM pairs) t
+        WHERE rn = 1
+        ORDER BY vec_id
+      """))
+  )
+
+  /** 32-bit SimHash signature per document as a '0'/'1' string: the
+    * shared primitive for dedup_simhash and text fingerprinting.
+    */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("tok"), col("cnt"),
+        explode(expr("sequence(1, 32)")).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(when(
+        sum(col("cnt") *
+          when(expr("substring(md5(tok), j, 1)") >= "8", 1).otherwise(-1)) >= 0,
+        "1").otherwise("0").as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(j, bit))), x -> x.bit), '')"
+      ).as("sig"))
+}
