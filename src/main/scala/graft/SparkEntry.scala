@@ -16,7 +16,8 @@ object SparkEntry {
     ops.Parity,
     ops.Joins,
     ops.Analytics,
-    ops.Dedup
+    ops.Dedup,
+    ops.TextAnalysis
   )
 
   def all: Seq[GraftQuery] = {

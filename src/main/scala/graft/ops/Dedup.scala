@@ -36,7 +36,7 @@ object Dedup extends QueryModule {
   /** Distinct word-bigram shingles per document. Guard `size >= 2`:
     * Spark's sequence(0, -1) would descend, not return empty.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[ops] def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)

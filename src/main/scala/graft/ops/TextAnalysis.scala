@@ -1,0 +1,255 @@
+package graft.ops
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family over `documents` (SURVEY.md §2.8): token
+  * statistics, n-gram-heuristic language ID, quality scoring, tf-idf term
+  * weighting, and document fingerprinting.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - ratios are single IEEE divisions of exactly-representable integers
+  *    (bit-identical on any engine), and weighted sums are written with
+  *    the same left-to-right association on both sides;
+  *  - tf-idf uses the inverse-document-frequency *ratio* N/df rather than
+  *    ln(N/df): libm log implementations differ by ULPs across engines,
+  *    a ratio is correctly-rounded IEEE everywhere (ranking unchanged for
+  *    fixed tf since x ↦ ln is monotone);
+  *  - fingerprints are md5-based (identical hex in Spark and DuckDB).
+  *
+  * Scale notes (100 TB): every query is scan → per-row codegen'd
+  * projection (token stats, lang-id, quality) or scan → explode →
+  * hash-agg on (doc_id, token) — all map-side combinable, shuffling
+  * only (id, token, count) triples, never document bodies. The tf-idf
+  * document-frequency join broadcasts the df side when the vocabulary
+  * is small; at web-scale vocabularies it shuffles on `tok`, which is
+  * the standard partition-by-term layout.
+  */
+object TextAnalysis extends QueryModule {
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "une", "dans"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── whitespace + regex + BPE-ish token counting ─────
+    GraftQuery(
+      "text_token_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+            (expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)")
+              .cast("double") / size(col("toks"))).as("avg_token_len"),
+            size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+              .as("n_word_runs"),
+            expr("(length(text) + 3) div 4").cast("long").as("est_bpe_tokens"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct,
+               list_reduce(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> length(t)), (a, x) -> a + x)::DOUBLE
+                 / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_runs,
+               CAST((length(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ───── stopword-profile language ID ─────
+    // Score = stopword hits per language profile; argmax with a fixed
+    // priority order (en > de > es > fr > zh) for ties. The synthetic
+    // corpus is English-lexicon, so predictions skew 'en' — the operator
+    // contract is the scoring semantics, which the oracle twins exactly.
+    GraftQuery(
+      "text_lang_id",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+        val withScores = stop.foldLeft(scored) { case (df, (lang, words)) =>
+          df.withColumn(s"s_$lang",
+            expr(s"size(filter(toks, t -> t IN ${inList(words)}))").cast("long"))
+        }
+        withScores
+          .withColumn("pred_lang",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+                 col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+                    col("s_de") >= col("s_zh"), "de")
+              .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+              .when(col("s_fr") >= col("s_zh"), "fr")
+              .otherwise("zh"))
+          .select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"),
+            col("s_fr"), col("s_zh"), col("pred_lang"), col("lang"),
+            (col("pred_lang") === col("lang")).as("is_match"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("en"))})) AS BIGINT) AS s_en,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("de"))})) AS BIGINT) AS s_de,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("es"))})) AS BIGINT) AS s_es,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("fr"))})) AS BIGINT) AS s_fr,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("zh"))})) AS BIGINT) AS s_zh
+          FROM documents)
+        SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS pred_lang,
+               lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END = lang AS is_match
+        FROM scored ORDER BY doc_id
+      """)),
+
+    // ───── quality scoring: length / lexical-diversity / stopword ratios ─────
+    GraftQuery(
+      "text_quality",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("sw_hits",
+            expr(s"size(filter(toks, t -> t IN ${inList(stop("en"))}))").cast("long"))
+          .withColumn("alpha_chars",
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            (col("sw_hits").cast("double") / col("n_tokens")).as("stopword_ratio"),
+            (col("alpha_chars").cast("double") / length(col("text"))).as("alpha_ratio"),
+            (size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+              .as("distinct_ratio"),
+            // weighted score: same left-to-right association on both sides
+            ((col("sw_hits").cast("double") / col("n_tokens")) * 0.3 +
+              (col("alpha_chars").cast("double") / length(col("text"))) * 0.4 +
+              least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3)
+              .as("quality_score"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("en"))})) AS BIGINT) AS sw_hits,
+                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+                 CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct,
+                 length(text) AS n_chars
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               sw_hits::DOUBLE / n_tokens AS stopword_ratio,
+               alpha_chars::DOUBLE / n_chars AS alpha_ratio,
+               n_distinct::DOUBLE / n_tokens AS distinct_ratio,
+               (sw_hits::DOUBLE / n_tokens) * 0.3
+                 + (alpha_chars::DOUBLE / n_chars) * 0.4
+                 + LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.3 AS quality_score
+        FROM q ORDER BY doc_id
+      """)),
+
+    // ───── tf-idf: top-3 weighted terms per document ─────
+    GraftQuery(
+      "text_tfidf",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        // corpus size stays executor-side: 1-row agg broadcast, no collect()
+        val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok").asc)
+        toks.join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(nDf))
+          .withColumn("tfidf", col("tf").cast("double") * col("n") / col("df"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+            col("tfidf"), col("rnk"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> '' GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, tok, tf, df, tfidf, rnk FROM (
+          SELECT doc_id, tok, tf, df,
+                 tf::DOUBLE * n.n / df AS tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tf::DOUBLE * n.n / df DESC, tok ASC) AS rnk
+          FROM toks JOIN dfreq USING (tok) CROSS JOIN n) t
+        WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+      """)),
+
+    // ───── document fingerprinting: content digest + min-shingle + SimHash ─────
+    GraftQuery(
+      "text_fingerprint",
+      (s, d) => {
+        val mins = Dedup.shingles(s, d)
+          .groupBy(col("doc_id"))
+          .agg(min(md5(col("shingle"))).as("min_shingle_hash"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("content_md5"))
+          .join(mins, "doc_id")
+          .join(Dedup.simhashSignatures(s, d).withColumnRenamed("sig", "simhash"),
+            "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH shingles AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, UNNEST(list_transform(
+              generate_series(1, len(string_split(text, ' ')) - 1),
+              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+            )) AS shingle
+            FROM documents)
+          GROUP BY doc_id, shingle),
+        mins AS (
+          SELECT doc_id, MIN(md5(shingle)) AS min_shingle_hash
+          FROM shingles GROUP BY doc_id),
+        toks AS (
+          SELECT doc_id, tok, count(*) AS cnt FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> '' GROUP BY doc_id, tok),
+        bits AS (
+          SELECT doc_id, j,
+                 CASE WHEN SUM(cnt * CASE WHEN substr(md5(tok), j, 1) >= '8'
+                                          THEN 1 ELSE -1 END) >= 0
+                      THEN '1' ELSE '0' END AS bit
+          FROM toks CROSS JOIN (SELECT UNNEST(generate_series(1, 32)) AS j) g
+          GROUP BY doc_id, j),
+        sh AS (
+          SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+          FROM bits GROUP BY doc_id)
+        SELECT d.doc_id, md5(d.text) AS content_md5, m.min_shingle_hash, sh.simhash
+        FROM documents d
+        JOIN mins m ON d.doc_id = m.doc_id
+        JOIN sh ON d.doc_id = sh.doc_id
+        ORDER BY d.doc_id
+      """))
+  )
+}
