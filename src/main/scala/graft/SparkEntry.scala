@@ -17,7 +17,8 @@ object SparkEntry {
     ops.Joins,
     ops.Analytics,
     ops.Dedup,
-    ops.TextAnalysis
+    ops.TextAnalysis,
+    ops.Similarity
   )
 
   def all: Seq[GraftQuery] = {

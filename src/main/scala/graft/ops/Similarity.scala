@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operator family over `embeddings` (SURVEY.md §2.8):
+  * exact brute-force cosine top-k (the correctness baseline), a blocked
+  * kNN join (the IVF-style scale pattern: search only within a cell),
+  * and a sign-random-projection LSH ANN (the unstructured scale path).
+  *
+  * The LSH hyperplanes are derived from md5 parity — `sign(h_j[i]) =
+  * (first hex nibble of md5("j|i") >= '8')` — so the entire ANN pipeline
+  * (signatures → band buckets → candidates → scores) is deterministic
+  * and value-level twinnable in DuckDB, unlike RNG-seeded hyperplanes.
+  *
+  * Determinism: all dot products fold left-to-right in DOUBLE on both
+  * engines, so cosines are bit-identical and rankings agree exactly.
+  *
+  * Scale notes (100 TB):
+  *  - Brute force is O(n) per query — kept only as the baseline and for
+  *    single-query top-k, where it is a narrow scan + TakeOrderedAndProject
+  *    (per-partition heaps; no shuffle of the full table).
+  *  - The blocked kNN shuffles each side once on the block key; block
+  *    size bounds the pair blowup (this is IVF with `label` as the cell
+  *    assignment; a learned-centroid assignment drops in by replacing
+  *    the key).
+  *  - LSH bands shuffle on (band, 4-bit bucket); at 100 TB raise the
+  *    signature width / band count so buckets stay bounded — the S-curve
+  *    tradeoff is the standard one, and the hyperplane family is just a
+  *    wider sequence() literal. Signature computation is embarrassingly
+  *    parallel per row; at real scale the constant md5 sign matrix would
+  *    be precomputed into a broadcast literal instead of re-hashed per
+  *    row (semantics identical).
+  */
+object Similarity extends QueryModule {
+
+  /** embeddings + precomputed L2 norm (shared by every query here). */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"), col("embedding"),
+      expr("""sqrt(aggregate(transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              CAST(0 AS DOUBLE), (acc, v) -> acc + v))""").as("nrm"))
+
+  /** Bit-stable cosine between two embedding columns with precomputed
+    * norms: left-to-right double fold over zip_with products.
+    */
+  private def cosine(ea: String, eb: String, na: String, nb: String): Column =
+    (expr(s"""aggregate(zip_with($ea, $eb,
+             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+             CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+      / (col(na) * col(nb))).as("cosine")
+
+  /** 16-bit sign-random-projection signature (md5-parity hyperplanes). */
+  private val lshSigExpr = """
+    array_join(transform(sequence(0, 15), j ->
+      CASE WHEN aggregate(transform(sequence(0, 63),
+        i -> (CASE WHEN substring(md5(concat(cast(j AS string), '|', cast(i AS string))), 1, 1) >= '8'
+                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
+             * CAST(embedding[i] AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+      THEN '1' ELSE '0' END), '')"""
+
+  /** Shared DuckDB CTE: embeddings with norms (dialect twin of `normed`). */
+  private val normedSql = """
+    e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS nrm
+      FROM embeddings)"""
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── exact brute-force cosine top-k for one query vector ─────
+    GraftQuery(
+      "sim_topk_cosine",
+      (s, d) => {
+        val e = normed(s, d)
+        val q = e.filter(col("vec_id") === 0).select(
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            cosine("q_emb", "embedding", "q_nrm", "nrm"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH $normedSql,
+        q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                 i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                 (x, y) -> x + y) / (q.q_nrm * e.nrm) AS cosine
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+      """)),
+
+    // ───── blocked kNN join: top-3 neighbors per vector within label ─────
+    GraftQuery(
+      "sim_knn_per_label",
+      (s, d) => {
+        val e = normed(s, d)
+        val a = e.select(col("vec_id").as("va"), col("label"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vb"), col("label").as("label2"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("va"))
+          .orderBy(col("cosine").desc, col("vb").asc)
+        a.join(b, col("label") === col("label2") && col("va") =!= col("vb"))
+          .select(col("va"), col("vb"), cosine("ea", "eb", "na", "nb"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("va").as("vec_id"), col("vb").as("nn_id"),
+            col("cosine"), col("rnk"))
+          .orderBy(col("vec_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH $normedSql,
+        pairs AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        SELECT va AS vec_id, vb AS nn_id, cosine, rnk FROM (
+          SELECT va, vb, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY va
+                                    ORDER BY cosine DESC, vb ASC) AS rnk
+          FROM pairs) t
+        WHERE rnk <= 3
+        ORDER BY vec_id, rnk
+      """)),
+
+    // ───── LSH ANN: banded sign-projection buckets → exact re-rank ─────
+    // 16-bit signature in 4 bands of 4 bits; vectors sharing any band are
+    // candidates (~23% of all pairs at sf0.01); candidates are re-ranked
+    // by exact cosine and each query keeps its top-1.
+    GraftQuery(
+      "sim_ann_lsh",
+      (s, d) => {
+        val e = normed(s, d).withColumn("sig", expr(lshSigExpr))
+        val bands = e.select(col("vec_id"), col("sig"),
+            explode(expr("sequence(1, 4)")).as("b"))
+          .select(col("vec_id"), col("b"),
+            expr("substring(sig, (b-1)*4 + 1, 4)").as("band_sig"))
+        val ba = bands.select(col("vec_id").as("va"), col("b"), col("band_sig"))
+        val bb = bands.select(col("vec_id").as("vb"),
+          col("b").as("b2"), col("band_sig").as("band_sig2"))
+        val cand = ba.join(bb,
+            col("b") === col("b2") && col("band_sig") === col("band_sig2") &&
+              col("va") =!= col("vb"))
+          .select(col("va"), col("vb")).distinct()
+        val ea = e.select(col("vec_id").as("qa"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        val eb = e.select(col("vec_id").as("qb"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+        val w = Window.partitionBy(col("va"))
+          .orderBy(col("cosine").desc, col("vb").asc)
+        cand
+          .join(ea, col("va") === col("qa"))
+          .join(eb, col("vb") === col("qb"))
+          .select(col("va"), col("vb"), cosine("ea", "eb", "na", "nb"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("va").as("vec_id"), col("vb").as("ann_id"), col("cosine"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH $normedSql,
+        sig AS (
+          SELECT vec_id, embedding, nrm,
+                 array_to_string(list_transform(generate_series(0, 15), j ->
+                   CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                     i -> (CASE WHEN substr(md5(j::VARCHAR || '|' || (i-1)::VARCHAR), 1, 1) >= '8'
+                                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+                          * embedding[i]::DOUBLE), (x, y) -> x + y) >= 0
+                   THEN '1' ELSE '0' END), '') AS s
+          FROM e),
+        bands AS (
+          SELECT vec_id, b, substr(s, (b-1)*4 + 1, 4) AS bs
+          FROM sig CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS b) g),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bs = b.bs AND a.vec_id <> b.vec_id),
+        scored AS (
+          SELECT va, vb,
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cosine
+          FROM cand
+          JOIN sig ea ON ea.vec_id = va
+          JOIN sig eb ON eb.vec_id = vb)
+        SELECT va AS vec_id, vb AS ann_id, cosine FROM (
+          SELECT va, vb, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY va
+                                    ORDER BY cosine DESC, vb ASC) AS rn
+          FROM scored) t
+        WHERE rn = 1
+        ORDER BY vec_id
+      """))
+  )
+}
