@@ -18,7 +18,8 @@ object SparkEntry {
     ops.Analytics,
     ops.Dedup,
     ops.TextAnalysis,
-    ops.Similarity
+    ops.Similarity,
+    ops.Multimodal
   )
 
   def all: Seq[GraftQuery] = {
