@@ -19,7 +19,8 @@ object SparkEntry {
     ops.Dedup,
     ops.TextAnalysis,
     ops.Similarity,
-    ops.Multimodal
+    ops.Multimodal,
+    pipeline.Sources
   )
 
   def all: Seq[GraftQuery] = {

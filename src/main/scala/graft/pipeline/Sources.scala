@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink operators registered in the correctness gate: schema'd
+  * CSV ingestion (SURVEY.md §2.1 S1) and the date-partitioned parquet
+  * sink (S3), each proven by a write→read round trip whose result is
+  * oracle-compared against the original table.
+  *
+  * The round trips write under java.io.tmpdir (keyed by the sf dir) —
+  * harness-scoped scratch, overwritten per run, deterministic content.
+  * Timestamps travel as epoch-microsecond BIGINTs: the raw events table
+  * is nanosecond-precision, and µs-truncated integers compare exactly
+  * across Spark (`unix_micros`, after Tables.events' ns→µs truncation)
+  * and DuckDB (`epoch_ns // 1000`).
+  */
+object Sources extends QueryModule {
+
+  private def scratch(d: String, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$tag${Integer.toHexString(d.hashCode)}"
+
+  /** Typed schema for the CSV read-back (S1: declared schema, FAILFAST —
+    * the strict path; EventsPipeline.readCsv covers PERMISSIVE).
+    */
+  private val csvSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── S1: CSV sink → schema'd FAILFAST scan → typed rows ─────
+    GraftQuery(
+      "src_csv_roundtrip",
+      (s, d) => {
+        val tmp = scratch(d, "csv_")
+        Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read
+          .option("header", "true")
+          .option("mode", "FAILFAST")
+          .schema(csvSchema)
+          .csv(tmp)
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type, value
+        FROM events ORDER BY event_id
+      """)),
+
+    // ───── S3: date-partitioned parquet append sink + pruned read-back ─────
+    // Writes the orders table partitioned by month, reads back ONE
+    // partition; the scan must prune to that directory (visible as
+    // PartitionFilters in the plan), which is the layout the reference's
+    // sink lacked (unindexed row store, init.sql:1-17).
+    GraftQuery(
+      "sink_partitioned_roundtrip",
+      (s, d) => {
+        val tmp = scratch(d, "sink_")
+        Tables.orders(s, d)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .repartition(col("o_month"))
+          .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_month") === "1997-03")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_month"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               strftime(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+        ORDER BY o_orderkey
+      """))
+  )
+}
