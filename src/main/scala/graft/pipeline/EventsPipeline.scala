@@ -57,6 +57,8 @@ object EventsPipeline {
 
   /** P1: cast projection (the reference casts 5 of 14 columns and passes
     * the rest through as strings; here every payload column is typed).
+    * `try_cast` reproduces the reference's Spark 3.5 null-on-junk cast:
+    * Spark 4's ANSI-mode `cast` would throw on malformed cells instead.
     * In lenient mode rows with a populated `_corrupt_record` are dropped
     * (counted by the caller via the report).
     */
@@ -66,11 +68,11 @@ object EventsPipeline {
         df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
       else df
     clean.select(
-      col("event_id").cast(LongType).as("event_id"),
-      timestamp_micros(col("ts_us").cast(LongType)).as("ts"),
-      col("user_id").cast(LongType).as("user_id"),
+      expr("try_cast(event_id AS BIGINT)").as("event_id"),
+      timestamp_micros(expr("try_cast(ts_us AS BIGINT)")).as("ts"),
+      expr("try_cast(user_id AS BIGINT)").as("user_id"),
       col("event_type"),
-      col("value").cast(DoubleType).as("value"))
+      expr("try_cast(value AS DOUBLE)").as("value"))
   }
 
   /** P2: keep only rows newer than the sink's high watermark. The scalar

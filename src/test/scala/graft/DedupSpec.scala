@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Planted-near-duplicate tests for the dedup family. The ops read
+  * `<dir>/documents.parquet`, so fixtures are written as a scratch
+  * table dir — same access path as production, tiny data.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = scratchDir("dedup")
+    val base = "spark makes big data small again with catalyst and tungsten " +
+      "query plans that scale across many executors without manual tuning"
+    val docs = Seq(
+      // 0 and 1: exact duplicates
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),
+      // 2: near-duplicate of 0 (one word changed)
+      (2L, base.replace("manual", "hand"), "en", "src2", base.length.toLong),
+      // 3: unrelated
+      (3L, "completely different content about weather events in ohio and " +
+        "airport delay statistics gathered over several winters", "en", "src3", 120L),
+      // 4: near-duplicate of 3 (one word appended)
+      (4L, "completely different content about weather events in ohio and " +
+        "airport delay statistics gathered over several winters again", "en", "src4", 126L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("dedup_exact collapses exact duplicates to the lowest doc_id") {
+    val rows = run("dedup_exact").collect()
+    assert(rows.length === 4) // 5 docs, one exact-dup pair
+    val dupRow = rows.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupRow.getAs[Long]("doc_id") === 0L)
+  }
+
+  test("dedup_exact is idempotent") {
+    val once = run("dedup_exact")
+    // re-deduping the survivors must be the identity
+    val again = once.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+    assert(again.filter(col("n") > 1).count() === 0)
+  }
+
+  test("dedup_ngram_jaccard finds planted near-dups, skips unrelated") {
+    val pairs = run("dedup_ngram_jaccard")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair")
+    assert(pairs.contains((0L, 2L)), "near dup pair")
+    assert(pairs.contains((3L, 4L)), "appended-word pair")
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(0L, 3L)), "unrelated")
+  }
+
+  test("dedup_minhash LSH output equals exact-Jaccard output on planted dups") {
+    val exact = run("dedup_ngram_jaccard")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = run("dedup_minhash")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact, "banded candidates must recover every J>=0.8 pair here")
+  }
+
+  test("dedup_simhash: identical docs have hamming 0") {
+    val rows = run("dedup_simhash")
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(rows.exists { case (a, b, h) => a == 0L && b == 1L && h == 0L })
+  }
+
+  test("simhash signatures are 32-bit strings, equal for equal texts") {
+    val sigs = ops.Dedup.simhashSignatures(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(sigs.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(3L))
+  }
+}

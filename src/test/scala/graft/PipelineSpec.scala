@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipeline.{EventsPipeline, Ingest}
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline semantics: ingest → schema'd CSV read → watermark
+  * filter → guarded partitioned append → archival. The key property is
+  * the reference's one (SURVEY §5): a re-run appends nothing.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def writeCsv(dir: String, name: String, rows: Seq[String]): Unit = {
+    val header = "event_id,ts_us,user_id,event_type,value"
+    Files.write(Paths.get(dir, name), (header +: rows).mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("ingest stages files with verified sha256 manifest") {
+    val src = scratchDir("pipe_src")
+    val landing = scratchDir("pipe_landing")
+    writeCsv(src, "a.csv", Seq("1,1000000,10,click,1.5"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = Ingest.ingest(conf, src, landing)
+    assert(staged.map(_.name) === Seq("a.csv"))
+    // checksum matches an independent local computation
+    val bytes = Files.readAllBytes(Paths.get(landing, "a.csv"))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest(bytes).map("%02x".format(_)).mkString
+    assert(staged.head.sha256 === expect)
+    // source file moved, manifest written
+    assert(!Files.exists(Paths.get(src, "a.csv")))
+    assert(Files.exists(Paths.get(landing, "_manifest.csv")))
+  }
+
+  test("run → append → re-run appends zero (watermark idempotence)") {
+    val landing = scratchDir("pipe_l1")
+    val sink    = scratchDir("pipe_s1") + "/sink"
+    val archive = scratchDir("pipe_a1")
+
+    writeCsv(landing, "batch1.csv", Seq(
+      "1,86400000000,10,click,1.0",   // 1970-01-02
+      "2,172800000000,11,view,2.0"))  // 1970-01-03
+    val r1 = EventsPipeline.run(spark, landing, sink, archive, "2026-08-12")
+    assert(r1.rowsRead === 2 && r1.rowsAppended === 2 && r1.filesArchived === 1)
+    assert(Files.exists(Paths.get(archive, "2026-08-12", "batch1.csv")))
+
+    // batch 2: one stale row (ts <= watermark) + one fresh row
+    writeCsv(landing, "batch2.csv", Seq(
+      "3,100000000000,12,click,3.0",  // stale: before max ts
+      "4,259200000000,13,view,4.0"))  // fresh: 1970-01-04
+    val r2 = EventsPipeline.run(spark, landing, sink, archive, "2026-08-13")
+    assert(r2.rowsRead === 2 && r2.rowsAppended === 1)
+
+    // re-run with a byte-identical copy of batch2: nothing appends
+    writeCsv(landing, "batch2_again.csv", Seq(
+      "3,100000000000,12,click,3.0",
+      "4,259200000000,13,view,4.0"))
+    val r3 = EventsPipeline.run(spark, landing, sink, archive, "2026-08-14")
+    assert(r3.rowsAppended === 0, "watermark must reject replayed rows")
+
+    // sink layout: partitioned by event_date, 3 dates
+    val out = spark.read.parquet(sink)
+    assert(out.count() === 3)
+    assert(out.select("event_date").distinct().count() === 3)
+  }
+
+  test("PERMISSIVE drops corrupt rows; FAILFAST throws") {
+    val landing = scratchDir("pipe_l2")
+    val sink    = scratchDir("pipe_s2") + "/sink"
+    val archive = scratchDir("pipe_a2")
+    writeCsv(landing, "bad.csv", Seq(
+      "1,86400000000,10,click,1.0",
+      "not,a,valid,row,with,extra,columns"))
+
+    intercept[SparkException] {
+      EventsPipeline.run(spark, landing, sink, archive, "2026-08-12",
+        failFast = true)
+    }
+
+    // landing untouched by the failed run (archival never reached)
+    assert(Files.exists(Paths.get(landing, "bad.csv")))
+
+    val r = EventsPipeline.run(spark, landing, sink, archive, "2026-08-12",
+      failFast = false)
+    assert(r.rowsAppended === 1, "corrupt row dropped, valid row kept")
+  }
+
+  test("typed() casts strings and nulls unparseable values (P1 semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "1000", "7", "click", "1.25"),
+      ("x", "bad", "y", "view", "zz"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val t = EventsPipeline.typed(df).collect()
+    assert(t(0).getAs[Long]("event_id") === 1L)
+    assert(t(0).getAs[Double]("value") === 1.25)
+    assert(t(1).isNullAt(t(1).fieldIndex("event_id")))
+    assert(t(1).isNullAt(t(1).fieldIndex("ts")))
+    assert(t(1).isNullAt(t(1).fieldIndex("value")))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.pipeline.EventsPipeline
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based semantics checks (SURVEY §5): watermark monotonicity /
+  * idempotence, dedup idempotence, and cast null-behavior. Generators
+  * come from ScalaCheck with fixed seeds (the scalatest-scalacheck
+  * bridge isn't in the offline cache, so sampling is driven directly);
+  * each case runs one Spark job over a generated frame, not one per row.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forSamples[A](gen: Gen[A], n: Int = 8)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val tsGen = Gen.chooseNum(0L, 4_000_000_000_000L) // µs, ~1970–2096
+
+  test("watermark filter keeps exactly the rows above the watermark") {
+    forSamples(Gen.zip(Gen.nonEmptyListOf(tsGen), tsGen)) { case (tss, wm) =>
+      val df = tss.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "ts_us")
+        .select($"id", timestamp_micros($"ts_us").as("ts"))
+      val wmDf = Seq(wm).toDF("w").select(timestamp_micros($"w").as("wm"))
+      val kept = df.crossJoin(broadcast(wmDf))
+        .filter($"wm".isNull || $"ts" > $"wm").drop("wm")
+      val expect = tss.count(_ > wm)
+      assert(kept.count() === expect)
+      // idempotence: filtering again changes nothing
+      val again = kept.crossJoin(broadcast(wmDf))
+        .filter($"wm".isNull || $"ts" > $"wm").drop("wm")
+      assert(again.count() === expect)
+    }
+  }
+
+  test("exact dedup is idempotent and keeps one row per distinct text") {
+    val textGen = Gen.nonEmptyListOf(
+      Gen.oneOf("aa bb cc", "dd ee", "ff gg hh", "ii"))
+    forSamples(textGen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = docs.groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n"))
+      assert(once.count() === texts.distinct.size)
+      val twice = once.groupBy($"h")
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n2"))
+      assert(twice.filter($"n2" > 1).count() === 0)
+    }
+  }
+
+  test("P1 casts: parseable strings convert, junk nulls, never throws") {
+    val cell = Gen.oneOf(
+      Gen.chooseNum(-1000000L, 1000000L).map(_.toString),
+      Gen.alphaStr.suchThat(_.nonEmpty),
+      Gen.const(""))
+    forSamples(Gen.nonEmptyListOf(Gen.zip(cell, cell))) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((a, b), i) => (i.toString, a, i.toString, "t", b) }
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      val out = EventsPipeline.typed(df).collect().sortBy(r => r.getAs[Long](0))
+      assert(out.length === rows.length)
+      val byId = out.map(r => r.getAs[Long]("event_id") -> r).toMap
+      rows.zipWithIndex.foreach { case ((tsRaw, valRaw), i) =>
+        val r = byId(i.toLong)
+        val tsOk  = scala.util.Try(tsRaw.trim.toLong).isSuccess
+        val valOk = scala.util.Try(valRaw.trim.toDouble).isSuccess
+        assert(r.isNullAt(r.fieldIndex("ts")) === !tsOk,
+          s"ts cast mismatch for '$tsRaw'")
+        assert(r.isNullAt(r.fieldIndex("value")) === !valOk,
+          s"value cast mismatch for '$valRaw'")
+      }
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Language-ID / token-stat / tf-idf semantics on crafted documents with
+  * known answers.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = scratchDir("text")
+    val docs = Seq(
+      (0L, "the cat sat on the mat and looked a bit bored", "en", "s", 45L),
+      (1L, "der hund und die katze sind freunde und das ist gut", "de", "s", 51L),
+      (2L, "el perro y la gata son amigos y los dos duermen que bien", "es", "s", 56L),
+      (3L, "le chien et les chats dorment dans une maison", "fr", "s", 45L),
+      (4L, "data data data pipeline pipeline spark", "en", "s", 38L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("text_lang_id predicts the dominant stopword profile") {
+    val pred = SparkEntry.queries("text_lang_id")(spark, dir)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(pred(0L) === "en")
+    assert(pred(1L) === "de")
+    assert(pred(2L) === "es")
+    assert(pred(3L) === "fr")
+  }
+
+  test("text_token_stats counts whitespace tokens and distinct tokens") {
+    val row = SparkEntry.queries("text_token_stats")(spark, dir)
+      .filter(col("doc_id") === 4L).collect().head
+    assert(row.getAs[Long]("n_tokens") === 6L)
+    assert(row.getAs[Long]("n_distinct") === 3L)
+    assert(row.getAs[Long]("n_chars") === 38L)
+    assert(row.getAs[Long]("est_bpe_tokens") === (38L + 3) / 4)
+  }
+
+  test("text_tfidf ranks repeated rare terms first") {
+    val top = SparkEntry.queries("text_tfidf")(spark, dir)
+      .filter(col("doc_id") === 4L && col("rnk") === 1).collect().head
+    assert(top.getAs[String]("tok") === "data")
+    assert(top.getAs[Long]("tf") === 3L)
+  }
+
+  test("text_quality ratios are exact rationals in [0, 1]") {
+    val rows = SparkEntry.queries("text_quality")(spark, dir).collect()
+    rows.foreach { r =>
+      val sw = r.getAs[Double]("stopword_ratio")
+      val al = r.getAs[Double]("alpha_ratio")
+      assert(sw >= 0.0 && sw <= 1.0)
+      assert(al >= 0.0 && al <= 1.0)
+    }
+    // doc 0: "the" ×2 + "a" ×1 + "and" ×1 of 11 tokens
+    val d0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(d0.getAs[Double]("stopword_ratio") === 4.0 / 11.0)
+  }
+
+  test("text_fingerprint: equal texts get equal fingerprints") {
+    val d = scratchDir("textfp")
+    Seq(
+      (0L, "same text here", "en", "s", 14L),
+      (1L, "same text here", "en", "s", 14L),
+      (2L, "other text here", "en", "s", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val fp = SparkEntry.queries("text_fingerprint")(spark, d)
+      .select("doc_id", "content_md5", "simhash")
+      .as[(Long, String, String)].collect()
+      .map { case (id, m, s) => id -> ((m, s)) }.toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L)._1 !== fp(2L)._1)
+  }
+}
