@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.pipeline.EventsPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming re-expression of the reference's incremental
+  * pipeline (SURVEY.md §7.3 step 6): the hand-rolled high-watermark
+  * (read sink MAX → filter → append, weather_task.py:70-99) collapses
+  * into `readStream` + checkpointed source tracking — exactly-once file
+  * processing is the checkpoint's job, so re-running after a crash
+  * re-ingests nothing, which is the property the batch pipeline gets
+  * from its watermark join.
+  *
+  * Scale notes (100 TB): the streaming scan is the same parquet/CSV
+  * source with the same pushdown; state stores (windowed agg, streaming
+  * dedup) are keyed by group and bounded by the event-time watermark —
+  * `withWatermark` is what lets Spark drop state for closed windows, so
+  * memory is O(open windows × keys), not O(stream length). The dedup
+  * state holds only event_ids inside the watermark horizon.
+  */
+object StreamingPipeline {
+
+  /** S1, streaming: schema'd CSV directory stream (same raw schema and
+    * P1 cast projection as the batch path — one definition, two modes).
+    */
+  def readCsvStream(spark: SparkSession, dir: String): DataFrame =
+    EventsPipeline.typed(
+      spark.readStream
+        .option("header", "true")
+        .schema(EventsPipeline.rawSchema)
+        .csv(s"$dir/*.csv"))
+
+  /** Event-time windowed counts with a watermark bounding agg state. */
+  def windowedCounts(typed: DataFrame, watermark: String = "1 hour"): DataFrame =
+    typed
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exact dedup: event_id uniqueness inside the watermark
+    * horizon (the streaming sibling of dedup_exact).
+    */
+  def deduped(typed: DataFrame, watermark: String = "1 hour"): DataFrame =
+    typed
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** The incremental ingest: CSV landing dir → typed → parquet sink,
+    * exactly-once via checkpoint. Trigger.AvailableNow drains what
+    * exists and stops — the batch-cadence deployment of a streaming
+    * definition (the reference's weekly DAG becomes a scheduled
+    * AvailableNow run with no watermark bookkeeping at all).
+    */
+  def runIngest(
+      spark: SparkSession,
+      landingDir: String,
+      sinkDir: String,
+      checkpointDir: String): StreamingQuery =
+    readCsvStream(spark, landingDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date")
+      .format("parquet")
+      .start(sinkDir)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics: checkpointed exactly-once ingest (replacing the
+  * batch watermark), watermarked windowed aggregation, streaming dedup.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCsv(dir: String, name: String, rows: Seq[String]): Unit = {
+    val header = "event_id,ts_us,user_id,event_type,value"
+    Files.write(Paths.get(dir, name),
+      (header +: rows).mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("checkpointed ingest is exactly-once across restarts") {
+    val landing = scratchDir("st_landing")
+    val sink = scratchDir("st_sink") + "/out"
+    val ckpt = scratchDir("st_ckpt") + "/cp"
+
+    writeCsv(landing, "b1.csv", Seq("1,86400000000,10,click,1.0"))
+    StreamingPipeline.runIngest(spark, landing, sink, ckpt).awaitTermination()
+    assert(spark.read.parquet(sink).count() === 1)
+
+    // restart with the SAME file present plus one new file: only the new
+    // file is processed (checkpoint source tracking = the watermark's job)
+    writeCsv(landing, "b2.csv", Seq("2,172800000000,11,view,2.0"))
+    StreamingPipeline.runIngest(spark, landing, sink, ckpt).awaitTermination()
+    val out = spark.read.parquet(sink)
+    assert(out.count() === 2)
+    assert(out.select("event_id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("windowed counts aggregate by event-time hour") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val typed = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val q = StreamingPipeline.windowedCounts(typed)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      val h = 3_600_000_000L // 1h in µs
+      mem.addData(
+        (1L, 0L, 1L, "click", 1.0),
+        (2L, h / 2, 1L, "click", 2.0), // same hour
+        (3L, h + 1, 2L, "view", 3.0))  // next hour
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select($"event_type", $"n").as[(String, Long)].collect().toMap
+      assert(rows("click") === 2L)
+      assert(rows("view") === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup collapses replayed event_ids") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val typed = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val q = StreamingPipeline.deduped(typed)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 1000L, 1L, "click", 1.0),
+        (1L, 1000L, 1L, "click", 1.0), // exact replay
+        (2L, 2000L, 1L, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() === 2)
+    } finally q.stop()
+  }
+}
