@@ -32,6 +32,10 @@ object Bench {
 
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries: release the previous query's checkpoint blocks
+      // (freed via ContextCleaner on GC) so its heap churn isn't billed
+      // to the next query
+      System.gc()
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
       catch { case e: Throwable =>

@@ -15,10 +15,17 @@ object GraftSession {
   def builder(master: String = s"local[$cpus]"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .withExtensions(new functions.GraftExtensions)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Default 1MB floor lets AQE coalesce small-bytes/high-CPU shuffles
+      // (shingle/signature expansions: ~10MB in, 73M joined rows out) down
+      // to ~3 tasks, serializing the expansion. A low floor keeps
+      // parallelism-first coalescing at defaultParallelism for them while
+      // still merging genuinely empty partitions.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

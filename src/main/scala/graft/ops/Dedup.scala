@@ -44,6 +44,16 @@ object Dedup extends QueryModule {
         "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
       )).as("shingle"))
       .distinct()
+      // Pin partition count before materializing: downstream perm/band
+      // explodes are CPU-expansions whose parallelism is inherited from
+      // this RDD, and AQE's size-based coalescing would undershoot.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // Materialize once: every consumer joins this frame against itself
+      // (2–3 uses per query), and without truncation each side re-runs
+      // the split/explode/distinct pipeline. Executor-local blocks, GC'd
+      // with the plan; on a real cluster prefer persist() + explicit
+      // lifecycle or a staged table.
+      .localCheckpoint()
 
   /** doc_id → distinct-shingle count (Jaccard denominators). */
   private def shingleSizes(sh: DataFrame): DataFrame =
@@ -62,9 +72,9 @@ object Dedup extends QueryModule {
       .join(s2, cand("doc_b") === s2("db") && col("shingle") === col("shingle2"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
-      .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id"))
+      .join(broadcast(sz.select(col("doc_id"), col("n").as("na"))), col("doc_a") === col("doc_id"))
       .drop("doc_id")
-      .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id"))
+      .join(broadcast(sz.select(col("doc_id"), col("n").as("nb"))), col("doc_b") === col("doc_id"))
       .drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
@@ -104,29 +114,45 @@ object Dedup extends QueryModule {
       """)),
 
     // ───── exact n-gram Jaccard near-dup pairs (inverted-index join) ─────
+    // Single-pass: posting-list self-join feeds the (doc_a, doc_b)
+    // intersection count DIRECTLY into a partial-aggregated groupBy —
+    // never materializing a candidate set to re-join (which would expand
+    // Σ df² twice; at sf0.1 that tripled into ~3B rows and 166 s). Cost
+    // is Ω(Σ df²) by nature — this is the EXACT baseline; the
+    // subquadratic scale path is dedup_minhash below.
     GraftQuery(
       "dedup_ngram_jaccard",
       (s, d) => {
         val sh = shingles(s, d)
+        // Co-locate every doc_a's shingles (one 250k-row exchange), then
+        // probe a broadcast posting list: each (doc_a, doc_b) intersection
+        // count COMPLETES inside its task, so the partial agg collapses
+        // the Σ df² join output (~73M rows at sf0.1) before the shuffle,
+        // which then carries only the ~10M distinct pairs. Broadcasting
+        // the posting list is valid while the shingle dictionary is small;
+        // at web scale shard the build side (bucketed join) instead.
         val a  = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .repartition(col("doc_a"))
         val b  = sh.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"))
-        val cand = a.join(b, col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        exactJaccard(cand, sh)
+        val sz = shingleSizes(sh)
+        a.join(broadcast(b), col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("c"))
+          .join(broadcast(sz.select(col("doc_id"), col("n").as("na"))), col("doc_a") === col("doc_id"))
+          .drop("doc_id")
+          .join(broadcast(sz.select(col("doc_id"), col("n").as("nb"))), col("doc_b") === col("doc_id"))
+          .drop("doc_id")
+          .select(col("doc_a"), col("doc_b"),
+            (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
         WITH $shinglesSql,
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM shingles a JOIN shingles b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
         common AS (
-          SELECT doc_a, doc_b, count(*) AS c
-          FROM cand
-          JOIN shingles s1 ON s1.doc_id = cand.doc_a
-          JOIN shingles s2 ON s2.doc_id = cand.doc_b AND s1.shingle = s2.shingle
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM shingles a JOIN shingles b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY doc_a, doc_b)
         SELECT doc_a, doc_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
         FROM common
@@ -198,34 +224,38 @@ object Dedup extends QueryModule {
 
     // ───── SimHash near-dup pairs (banded hamming join) ─────
     // 32-bit signature: bit j = sign of the term-count-weighted sum of
-    // (±1 per document term, + iff nibble j of md5(term) >= '8'). Pairs
-    // sharing any of 4 8-bit bands are candidates (pigeonhole: hamming
-    // <= 3 guarantees a shared band); exact hamming filter <= 1.
+    // (±1 per document term, + iff nibble j of md5(term) >= '8'). Two
+    // 16-bit bands: pigeonhole guarantees every hamming<=1 pair shares a
+    // band, and wide bands keep buckets small when signature bits are
+    // correlated (8-bit bands collapsed into giant buckets at sf0.1 —
+    // ~12M candidate pairs and 159 s; 16-bit bands give ~330 k).
     GraftQuery(
       "dedup_simhash",
       (s, d) => {
+        // Each band row carries the OTHER band's bits, so the banded
+        // self-join yields hamming directly (matched band contributes 0)
+        // and the signature pipeline never has to be joined back — it
+        // executes once per join side instead of 4×.
         val sig = simhashSignatures(s, d)
-        val bands = sig.select(col("doc_id"), col("sig"),
-            explode(expr("sequence(1, 4)")).as("b"))
+        val bands = sig.select(col("doc_id"),
+            explode(expr("sequence(1, 2)")).as("b"), col("sig"))
           .select(col("doc_id"), col("b"),
-            expr("substring(sig, (b-1)*8 + 1, 8)").as("band_sig"))
-        val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("band_sig"))
+            expr("substring(sig, (b-1)*16 + 1, 16)").as("band_sig"),
+            expr("substring(sig, (2-b)*16 + 1, 16)").as("other_sig"))
+        val a = bands.select(col("doc_id").as("doc_a"), col("b"),
+          col("band_sig"), col("other_sig").as("other_a"))
         val bb = bands.select(col("doc_id").as("doc_b"),
-          col("b").as("b2"), col("band_sig").as("band_sig2"))
-        val cand = a.join(bb,
+          col("b").as("b2"), col("band_sig").as("band_sig2"),
+          col("other_sig").as("other_b"))
+        a.join(broadcast(bb),
             col("b") === col("b2") && col("band_sig") === col("band_sig2") &&
               col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        cand
-          .join(sig.select(col("doc_id"), col("sig").as("sig_a")),
-            col("doc_a") === col("doc_id")).drop("doc_id")
-          .join(sig.select(col("doc_id"), col("sig").as("sig_b")),
-            col("doc_b") === col("doc_id")).drop("doc_id")
           .select(col("doc_a"), col("doc_b"), expr(
-            """aggregate(transform(sequence(1, 32),
-               j -> CASE WHEN substring(sig_a, j, 1) <> substring(sig_b, j, 1)
+            """aggregate(transform(sequence(1, 16),
+               j -> CASE WHEN substring(other_a, j, 1) <> substring(other_b, j, 1)
                          THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x)"""
           ).cast("long").as("hamming"))
+          .distinct() // a pair matching both bands appears twice, hamming equal
           .filter(col("hamming") <= 1)
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -245,8 +275,8 @@ object Dedup extends QueryModule {
           SELECT doc_id, string_agg(bit, '' ORDER BY j) AS sig
           FROM bits GROUP BY doc_id),
         bands AS (
-          SELECT doc_id, b, substr(sig, (b-1)*8 + 1, 8) AS band_sig
-          FROM sig CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS b) g),
+          SELECT doc_id, b, substr(sig, (b-1)*16 + 1, 16) AS band_sig
+          FROM sig CROSS JOIN (SELECT UNNEST(generate_series(1, 2)) AS b) g),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -273,9 +303,8 @@ object Dedup extends QueryModule {
       (s, d) => {
         val e = Tables.embeddings(s, d).select(
           col("vec_id"), col("label"), col("embedding"),
-          expr("""sqrt(aggregate(transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                  CAST(0 AS DOUBLE), (acc, v) -> acc + v))""").as("nrm"))
+          // codegen'd native expression, bit-identical to the oracle fold
+          expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
         val a = e.select(col("vec_id").as("va"), col("label"),
           col("embedding").as("ea"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("vb"), col("label").as("label2"),
@@ -285,10 +314,7 @@ object Dedup extends QueryModule {
           .orderBy(col("cosine").desc, col("vb").asc)
         a.join(b, col("label") === col("label2") && col("va") =!= col("vb"))
           .select(col("va"), col("vb"),
-            (expr("""aggregate(zip_with(ea, eb,
-                     (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                     CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
-              / (col("na") * col("nb"))).as("cosine"))
+            (expr("vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("va").as("vec_id"), col("vb").as("nn_id"), col("cosine"))
@@ -325,15 +351,20 @@ object Dedup extends QueryModule {
       .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), col("tok"), col("cnt"),
+      // hash once per (doc, term) BEFORE the 32-way position explode
+      .select(col("doc_id"), md5(col("tok")).as("h"), col("cnt"),
         explode(expr("sequence(1, 32)")).as("j"))
       .groupBy(col("doc_id"), col("j"))
       .agg(when(
         sum(col("cnt") *
-          when(expr("substring(md5(tok), j, 1)") >= "8", 1).otherwise(-1)) >= 0,
+          when(expr("substring(h, j, 1)") >= "8", 1).otherwise(-1)) >= 0,
         "1").otherwise("0").as("bit"))
       .groupBy(col("doc_id"))
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(j, bit))), x -> x.bit), '')"
       ).as("sig"))
+      // pin parallelism for the downstream banded expansion + fold, then
+      // materialize once for both sides of the self-join — see shingles()
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint()
 }

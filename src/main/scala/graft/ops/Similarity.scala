@@ -40,18 +40,15 @@ object Similarity extends QueryModule {
   private def normed(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"), col("embedding"),
-      expr("""sqrt(aggregate(transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-              CAST(0 AS DOUBLE), (acc, v) -> acc + v))""").as("nrm"))
+      // vec_dot (graft.functions.FloatVecDot): codegen'd, bit-identical
+      // to the sequential double fold the oracle computes
+      expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
 
   /** Bit-stable cosine between two embedding columns with precomputed
     * norms: left-to-right double fold over zip_with products.
     */
   private def cosine(ea: String, eb: String, na: String, nb: String): Column =
-    (expr(s"""aggregate(zip_with($ea, $eb,
-             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-             CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
-      / (col(na) * col(nb))).as("cosine")
+    (expr(s"vec_dot($ea, $eb)") / (col(na) * col(nb))).as("cosine")
 
   /** 16-bit sign-random-projection signature (md5-parity hyperplanes). */
   private val lshSigExpr = """
@@ -143,7 +140,17 @@ object Similarity extends QueryModule {
     GraftQuery(
       "sim_ann_lsh",
       (s, d) => {
-        val e = normed(s, d).withColumn("sig", expr(lshSigExpr))
+        // Signatures are 1024 md5 evaluations per row and feed the band
+        // explode plus both re-rank join sides: distribute the signature
+        // work across all cores (the raw scan may be 1–2 file splits),
+        // then materialize once. The band probe side keeps those
+        // partitions, the build side broadcasts, so the multi-million-
+        // pair expansion and cosine re-rank parallelize fully instead of
+        // inheriting AQE's size-based (tiny) partition count.
+        val par = s.sparkContext.defaultParallelism
+        val e = normed(s, d).repartition(par, col("vec_id"))
+          .withColumn("sig", expr(lshSigExpr))
+          .localCheckpoint()
         val bands = e.select(col("vec_id"), col("sig"),
             explode(expr("sequence(1, 4)")).as("b"))
           .select(col("vec_id"), col("b"),
@@ -151,7 +158,7 @@ object Similarity extends QueryModule {
         val ba = bands.select(col("vec_id").as("va"), col("b"), col("band_sig"))
         val bb = bands.select(col("vec_id").as("vb"),
           col("b").as("b2"), col("band_sig").as("band_sig2"))
-        val cand = ba.join(bb,
+        val cand = ba.join(broadcast(bb),
             col("b") === col("b2") && col("band_sig") === col("band_sig2") &&
               col("va") =!= col("vb"))
           .select(col("va"), col("vb")).distinct()
@@ -162,8 +169,8 @@ object Similarity extends QueryModule {
         val w = Window.partitionBy(col("va"))
           .orderBy(col("cosine").desc, col("vb").asc)
         cand
-          .join(ea, col("va") === col("qa"))
-          .join(eb, col("vb") === col("qb"))
+          .join(broadcast(ea), col("va") === col("qa"))
+          .join(broadcast(eb), col("vb") === col("qb"))
           .select(col("va"), col("vb"), cosine("ea", "eb", "na", "nb"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
