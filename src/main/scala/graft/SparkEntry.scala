@@ -20,6 +20,7 @@ object SparkEntry {
     ops.TextAnalysis,
     ops.Similarity,
     ops.Multimodal,
+    ops.Advanced,
     pipeline.Sources
   )
 

@@ -1,0 +1,218 @@
+package graft.ops
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Advanced relational operators Spark has no single built-in for,
+  * composed from primitives the Catalyst optimizer handles well: as-of
+  * join, binned range join, sessionization, salted (skew-resistant)
+  * aggregation, and exact median via windows.
+  *
+  * Scale notes (100 TB):
+  *  - The as-of join is the union+window formulation: one shuffle on the
+  *    key, one per-partition time sort — no range-condition nested loop,
+  *    and state is a single running value per key (the same shape a
+  *    streaming as-of would keep). The probe side never re-shuffles.
+  *  - The range join bins the continuous axis so candidates come from an
+  *    equi-join on (key, bin) — three bins per row bound the expansion;
+  *    the exact predicate re-filters. This is the standard interval-join
+  *    decomposition that avoids a cartesian range scan.
+  *  - Salted aggregation demonstrates the two-stage skew pattern: salt
+  *    the hot key-space into 16 shards for the partial, merge the shards
+  *    in a second (tiny) agg. Decimal partials keep it bit-exact.
+  *  - The median uses one window pass (rn + cnt per key) instead of a
+  *    global percentile sort; per-key state is bounded.
+  */
+object Advanced extends QueryModule {
+  import Parity.dsum
+
+  /** events with µs-integer timestamps: integer time arithmetic is
+    * bit-exact across engines (ns→µs truncation matches Tables.events).
+    */
+  private def eventsUs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── as-of join: latest view at-or-before each click, per user ─────
+    GraftQuery(
+      "join_asof_click_view",
+      (s, d) => {
+        val e = eventsUs(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            lit(1).as("is_click"), lit(null).cast("long").as("view_id"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            lit(0).as("is_click"), col("event_id").as("view_id"))
+        // views sort before clicks at equal ts (is_click asc) ⇒ a
+        // same-instant view is visible to the click, matching v <= c
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("is_click").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(views)
+          .withColumn("asof_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+          .withColumn("asof_view_ts",
+            last(when(col("is_click") === 0, col("ts_us")), ignoreNulls = true).over(w))
+          .filter(col("is_click") === 1)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("asof_view_id"),
+            (col("ts_us") - col("asof_view_ts")).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type
+          FROM events),
+        clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+        views  AS (SELECT * FROM e WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, c.ts_us,
+               v.event_id AS asof_view_id,
+               c.ts_us - v.ts_us AS gap_us
+        FROM clicks c
+        ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
+        ORDER BY c.event_id
+      """)),
+
+    // ───── range join via binning: same-user events with close values ─────
+    GraftQuery(
+      "join_range_value_pairs",
+      (s, d) => {
+        val e = eventsUs(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val width = 0.05
+        val a = e.select(col("event_id").as("ea"), col("user_id"),
+            col("value").as("va"))
+          .withColumn("bin",
+            explode(expr(s"array(floor(va / $width) - 1, floor(va / $width), floor(va / $width) + 1)")))
+        val b = e.select(col("event_id").as("eb"), col("user_id").as("u2"),
+            col("value").as("vb"))
+          .withColumn("bin2", expr(s"floor(vb / $width)"))
+        a.join(b,
+            col("user_id") === col("u2") && col("bin") === col("bin2") &&
+              col("ea") < col("eb") &&
+              abs(col("va") - col("vb")) <= width)
+          .select(col("ea"), col("eb"), col("user_id"),
+            col("va"), col("vb"), abs(col("va") - col("vb")).as("diff"))
+          .distinct() // a pair can fall in two adjacent-bin probes
+          .orderBy(col("ea"), col("eb"))
+      },
+      Some("""
+        SELECT a.event_id AS ea, b.event_id AS eb, a.user_id,
+               a.value AS va, b.value AS vb, abs(a.value - b.value) AS diff
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(a.value - b.value) <= 0.05
+        ORDER BY ea, eb
+      """)),
+
+    // ───── sessionization: 30-minute inactivity gap splits sessions ─────
+    GraftQuery(
+      "win_sessionize",
+      (s, d) => {
+        val e = eventsUs(s, d)
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val gapUs = 30L * 60 * 1000000
+        e.withColumn("prev_ts", lag(col("ts_us"), 1).over(wOrd))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+          .withColumn("session_seq",
+            sum(col("new_session")).over(
+              wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("session_seq"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id FROM events),
+        g AS (
+          SELECT event_id, user_id, ts_us,
+                 CASE WHEN LAG(ts_us) OVER w IS NULL
+                        OR ts_us - LAG(ts_us) OVER w > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC))
+        SELECT event_id, user_id, ts_us,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_seq
+        FROM g ORDER BY event_id
+      """)),
+
+    // ───── salted two-stage aggregation (skew-resistant sum) ─────
+    GraftQuery(
+      "agg_salted_sum",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("part_sum"),
+            count(lit(1)).as("part_n"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("part_sum")).cast("double").as("sum_price"),
+            sum(col("part_n")).as("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """)),
+
+    // ───── exact median per group via one window pass ─────
+    GraftQuery(
+      "agg_median_manual",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy(col("o_orderstatus"))))
+          .filter(col("rn") === expr("(cnt + 1) div 2") ||
+                  col("rn") === expr("(cnt + 2) div 2"))
+          .groupBy(col("o_orderstatus"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            / count(lit(1))).as("median_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT o_orderstatus, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+          FROM orders)
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                 AS median_price
+        FROM r
+        WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+      """)),
+
+    // ───── approximate distinct (HLL++ sketch; no exact SQL twin) ─────
+    // Sketch outputs are engine-specific by construction, so the driver
+    // records the weaker rows-only check; SketchSpec bounds the relative
+    // error against the exact count instead.
+    GraftQuery(
+      "agg_approx_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag")),
+      None)
+  )
+}

@@ -294,6 +294,45 @@ object Dedup extends QueryModule {
         ORDER BY doc_a, doc_b
       """)),
 
+    // ───── edit-distance near-dup pairs, blocked on (source, length) ─────
+    // Levenshtein is O(len²) per pair, so candidate pairs must be cheap:
+    // block on source plus a 50-char length bucket (a real near-dup pair
+    // rarely crosses either). Both engines implement the identical
+    // integer edit distance, so the normalized similarity is exact.
+    GraftQuery(
+      "dedup_levenshtein",
+      (s, d) => {
+        val b = Tables.documents(s, d).select(
+          col("doc_id"), col("text"), col("source"),
+          expr("length(text) div 50").as("lb"))
+        val a2 = b.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+          col("source"), col("lb"))
+        val b2 = b.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+          col("source").as("source2"), col("lb").as("lb2"))
+        a2.join(b2,
+            col("source") === col("source2") && col("lb") === col("lb2") &&
+              col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+            (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
+              / greatest(length(col("ta")), length(col("tb")))).as("sim"))
+          .filter(col("sim") >= 0.6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text, source, length(text) // 50 AS lb FROM documents)
+        SELECT doc_a, doc_b, lev, sim FROM (
+          SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                 CAST(levenshtein(a.text, c.text) AS BIGINT) AS lev,
+                 1.0::DOUBLE - levenshtein(a.text, c.text)::DOUBLE
+                   / greatest(length(a.text), length(c.text)) AS sim
+          FROM b a JOIN b c
+            ON a.source = c.source AND a.lb = c.lb AND a.doc_id < c.doc_id) t
+        WHERE sim >= 0.6
+        ORDER BY doc_a, doc_b
+      """)),
+
     // ───── embedding-cosine nearest neighbor, label-blocked ─────
     // For every vector, its top-1 cosine neighbor within the same label
     // block. Dot products fold left-to-right in DOUBLE on both engines,

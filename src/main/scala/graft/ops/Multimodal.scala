@@ -156,6 +156,37 @@ object Multimodal extends QueryModule {
         FROM documents ORDER BY doc_id
       """)),
 
+    // ───── per-modality feature statistics over decoded features ─────
+    GraftQuery(
+      "mm_modality_stats",
+      (s, d) =>
+        decodeFeatures(assets(s, d)).toDF()
+          .groupBy(col("modality"))
+          .agg(
+            count(lit(1)).as("n_assets"),
+            sum(col("n_bytes")).as("total_bytes"),
+            (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
+            max(col("n_frames")).as("max_frames"))
+          .orderBy(col("modality")),
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                 ELSE 'video' END AS modality,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 CASE WHEN doc_id % 3 IN (0, 2)
+                      THEN 16 + octet_length(encode(text)) % 640
+                      ELSE 0 END AS width,
+                 CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 24
+                      WHEN doc_id % 3 = 0 THEN 1
+                      ELSE 0 END AS n_frames
+          FROM documents)
+        SELECT modality, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               SUM(width)::DOUBLE / COUNT(*) AS avg_width,
+               MAX(n_frames) AS max_frames
+        FROM f GROUP BY modality ORDER BY modality
+      """)),
+
     // ───── frame sampling: every 4th frame of each video payload ─────
     GraftQuery(
       "mm_frame_sample",
