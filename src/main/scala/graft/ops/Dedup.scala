@@ -182,6 +182,9 @@ object Dedup extends QueryModule {
           .agg(expr(
             "array_join(transform(array_sort(collect_list(struct(i, mn))), x -> x.mn), '')"
           ).as("band_sig"))
+          // 4M md5 evaluations feed both sides of the band self-join:
+          // materialize once (see shingles())
+          .localCheckpoint()
         val a = mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
         val b = mh.select(col("doc_id").as("doc_b"),
           col("band").as("band2"), col("band_sig").as("band_sig2"))
@@ -302,20 +305,34 @@ object Dedup extends QueryModule {
     GraftQuery(
       "dedup_levenshtein",
       (s, d) => {
+        val par = s.sparkContext.defaultParallelism
         val b = Tables.documents(s, d).select(
           col("doc_id"), col("text"), col("source"),
           expr("length(text) div 50").as("lb"))
         val a2 = b.select(col("doc_id").as("doc_a"), col("text").as("ta"),
           col("source"), col("lb"))
+          // explicit partition count: the O(len²)-per-pair expansion after
+          // this join must not inherit AQE's size-based (tiny) task count
+          .repartition(par, col("source"), col("lb"))
         val b2 = b.select(col("doc_id").as("doc_b"), col("text").as("tb"),
           col("source").as("source2"), col("lb").as("lb2"))
+          .repartition(par, col("source2"), col("lb2"))
+        // Threshold-bounded edit distance (O(k·len) with early exit,
+        // returns -1 above the bound): texts are ≤500 chars, so any
+        // sim>=0.6 pair has lev <= 0.4·500 <= 250 — the bound never
+        // excludes an accepted pair, it only short-circuits rejects.
         a2.join(b2,
             col("source") === col("source2") && col("lb") === col("lb2") &&
               col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
-            (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
-              / greatest(length(col("ta")), length(col("tb")))).as("sim"))
+            levenshtein(col("ta"), col("tb"), 250).cast("long").as("lev"),
+            greatest(length(col("ta")), length(col("tb"))).as("mx"))
+          // barrier: without it the pushed-down filters re-substitute the
+          // levenshtein expression and it evaluates up to 3×
+          .localCheckpoint()
+          .filter(col("lev") >= 0)
+          .select(col("doc_a"), col("doc_b"), col("lev"),
+            (lit(1.0) - col("lev").cast("double") / col("mx")).as("sim"))
           .filter(col("sim") >= 0.6)
           .orderBy(col("doc_a"), col("doc_b"))
       },
