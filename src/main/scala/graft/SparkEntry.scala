@@ -21,6 +21,7 @@ object SparkEntry {
     ops.Similarity,
     ops.Multimodal,
     ops.Advanced,
+    ops.Extras,
     pipeline.Sources
   )
 

@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Coverage extras: pivot, array/higher-order scalar functions, multiset
+  * (ALL) set operations, and frame-based window functions. All narrow or
+  * single-shuffle plans; nothing here introduces a new scale hazard —
+  * pivot's column explosion is bounded by the explicit value list (the
+  * unbounded-pivot variant would be a driver-side distinct, deliberately
+  * avoided).
+  */
+object Extras extends QueryModule {
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── pivot with an explicit value list (no driver-side distinct) ─────
+    GraftQuery(
+      "agg_pivot_status_priority",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(col("o_orderstatus"),
+            coalesce(col("1-URGENT"), lit(0L)).as("p1_urgent"),
+            coalesce(col("2-HIGH"), lit(0L)).as("p2_high"),
+            coalesce(col("3-MEDIUM"), lit(0L)).as("p3_medium"),
+            coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p4_not_specified"),
+            coalesce(col("5-LOW"), lit(0L)).as("p5_low"))
+          .orderBy(col("o_orderstatus")),
+      Some("""
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+               COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+               COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+               COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+               COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)),
+
+    // ───── array construction / membership / slice / sort ─────
+    GraftQuery(
+      "scalar_array_funcs",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_toks"),
+            array_contains(col("toks"), "spark").as("has_spark"),
+            col("toks").getItem(1).as("second_tok"),
+            array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), ",")
+              .as("first3_sorted"),
+            expr("size(filter(toks, t -> length(t) > 5))").cast("long")
+              .as("n_long_toks"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark,
+               string_split(text, ' ')[2] AS second_tok,
+               array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+                 AS first3_sorted,
+               CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS BIGINT)
+                 AS n_long_toks
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ───── multiset set operations (duplicate-preserving) ─────
+    GraftQuery(
+      "set_intersect_all",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .intersectAll(
+            o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_custkey
+      """)),
+
+    GraftQuery(
+      "set_except_all",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .exceptAll(
+            o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_custkey
+      """)),
+
+    // ───── frame-based moving aggregate (3-row decimal-exact average) ─────
+    GraftQuery(
+      "win_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-2, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+              .cast("double") / count(lit(1)).over(w)).as("mov_avg_3"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w AS mov_avg_3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey
+      """)),
+
+    // ───── first / last / nth over a full-partition frame ─────
+    GraftQuery(
+      "win_first_last",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            first(col("o_orderkey")).over(w).as("first_order"),
+            last(col("o_orderkey")).over(w).as("last_order"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey) OVER w AS last_order,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey
+      """))
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.col
+
+/** Physical-plan audits: the scale properties the engine claims are
+  * asserted here, so a regression (lost pushdown, accidental cartesian,
+  * un-broadcast dimension) fails CI instead of surfacing as a 100×
+  * slowdown on a real cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // Queries that intentionally use a broadcast nested-loop / cross join:
+  // a broadcast 1-row scalar (watermark, corpus size, query vector). The
+  // build side is provably tiny in each.
+  private val allowNestedLoop = Set(
+    "ref_watermark_filter", "text_tfidf", "sim_topk_cosine")
+
+  for (q <- SparkEntry.all) {
+    test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
+      val plan = q.fn(spark, sfTiny).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product")
+      if (!allowNestedLoop(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a nested-loop join")
+    }
+  }
+
+  test("top-k queries use per-partition heaps (TakeOrderedAndProject)") {
+    Seq("ref_topk_newest", "ref_topk_oldest").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfTiny)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$name: $plan")
+    }
+  }
+
+  test("ref_sort_full keeps its global sort (bench regression guard)") {
+    val plan = SparkEntry.queries("ref_sort_full")(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("Sort "), plan)
+  }
+
+  test("q1_pricing_summary prunes columns and pushes the shipdate filter") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfTiny)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // 11-column table, ≤7 read: pruning reached the parquet scan
+    assert(scan.schema.size <= 7, s"read schema too wide: ${scan.schema.fieldNames.mkString(",")}")
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      scan.metadata("PushedFilters"))
+  }
+
+  test("sink_partitioned_roundtrip read-back prunes to one partition") {
+    val df = SparkEntry.queries("sink_partitioned_roundtrip")(spark, sfTiny)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.metadata.contains("PartitionFilters") => f
+    }
+    assert(scans.exists(_.metadata("PartitionFilters").contains("o_month")),
+      scans.map(_.metadata.getOrElse("PartitionFilters", "")).mkString("; "))
+  }
+
+  test("join_q5_regional broadcasts its dimension tables") {
+    val plan = SparkEntry.queries("join_q5_regional")(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+  }
+
+  test("blocked kNN joins shuffle on the block key, not all-pairs") {
+    val plan = SparkEntry.queries("sim_knn_per_label")(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    // equi-join on label: a hash or sort-merge join, never nested-loop
+    assert(plan.contains("Join") && !plan.contains("NestedLoop"), plan)
+  }
+}
