@@ -5,6 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+/** Open-session state for one user (flatMapGroupsWithState). */
+final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+/** A closed session emitted downstream. */
+final case class SessionSummary(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
 /** Structured-Streaming re-expression of the reference's incremental
   * pipeline (SURVEY.md §7.3 step 6): the hand-rolled high-watermark
   * (read sink MAX → filter → append, weather_task.py:70-99) collapses
@@ -46,6 +52,50 @@ object StreamingPipeline {
     typed
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Custom stateful sessionization over a stream
+    * (`flatMapGroupsWithState`): per-user session aggregates — the
+    * arbitrary-state API the built-in windowed aggregates can't express
+    * (session membership depends on the previous event's time, not a
+    * fixed grid). State per key is one `SessionState` (bounded); a
+    * closed session is emitted as soon as a later event opens the next
+    * one. A production deployment would add a GroupStateTimeout to also
+    * flush sessions idle past the gap with no successor event.
+    */
+  def sessionized(
+      typed: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      gapMinutes: Long = 30): org.apache.spark.sql.Dataset[SessionSummary] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc   = Encoders.product[SessionState]
+    implicit val outEnc     = Encoders.product[SessionSummary]
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def update(userId: Long, rows: Iterator[Row],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      var closed = List.empty[SessionSummary]
+      var cur = state.getOption
+      rows.toSeq.sortBy(r => r.getAs[Long]("ts_us")).foreach { r =>
+        val ts = r.getAs[Long]("ts_us")
+        cur match {
+          case Some(s) if ts - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = ts, n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessionSummary(userId, s.startUs, s.lastUs, s.n)
+            cur = Some(SessionState(ts, ts, 1))
+          case None =>
+            cur = Some(SessionState(ts, ts, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.reverse.iterator
+    }
+
+    typed
+      .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 
   /** The incremental ingest: CSV landing dir → typed → parquet sink,
     * exactly-once via checkpoint. Trigger.AvailableNow drains what

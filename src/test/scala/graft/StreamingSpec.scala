@@ -59,6 +59,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes a session when the gap exceeds 30min") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val typed = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val q = StreamingPipeline.sessionized(typed)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val min = 60L * 1000000L
+      // user 1: three events in one session, then a 45-min gap opens a new
+      // session — the first session closes and is emitted
+      mem.addData(
+        (1L, 0L, 1L, "click", 1.0),
+        (2L, 5 * min, 1L, "view", 1.0),
+        (3L, 10 * min, 1L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((4L, 55 * min, 1L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select($"user_id", $"start_us", $"end_us", $"n_events")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(rows.toSet === Set((1L, 0L, 10 * min, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup collapses replayed event_ids") {
     val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
     val typed = mem.toDF()
