@@ -11,6 +11,8 @@ object TestSession {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder(master = "local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
