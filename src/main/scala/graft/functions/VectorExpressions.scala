@@ -84,5 +84,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+    ext.injectOptimizerRule(_ => LevenshteinLengthGuard)
   }
 }

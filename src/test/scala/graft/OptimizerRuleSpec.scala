@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The injected LevenshteinLengthGuard rule: fires on bounded
+  * edit-distance filters, adds only an implied conjunct (results
+  * unchanged), and stays idempotent. Frames come from parquet, not
+  * literals — ConvertToLocalRelation would otherwise evaluate the
+  * filter away before the assertion.
+  */
+class OptimizerRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = scratchDir("optrule")
+    Seq(
+      (0L, "abc", "abd"),       // lev 1, lengths equal
+      (1L, "abc", "abcdefgh"),  // lev 5, length diff 5 — guard prunes at k=2
+      (2L, "same", "same"))
+      .toDF("id", "a", "b")
+      .write.mode("overwrite").parquet(s"$d/pairs.parquet")
+    d
+  }
+
+  private def frame = spark.read.parquet(s"$dir/pairs.parquet")
+
+  test("rule injects the length-difference guard into the optimized plan") {
+    val df = frame.filter(levenshtein($"a", $"b") <= 2)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs((length(a"), optimized)
+    assert(optimized.contains("levenshtein"), optimized)
+  }
+
+  test("results are unchanged by the rewrite") {
+    val rows = frame.filter(levenshtein($"a", $"b") <= 2)
+      .select($"id").as[Long].collect().toSet
+    assert(rows === Set(0L, 2L))
+  }
+
+  test("rule is idempotent (no double guard)") {
+    val df = frame.filter(
+      abs(length($"a") - length($"b")) <= 2 && levenshtein($"a", $"b") <= 2)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("abs\\(\\(length\\(a".r.findAllIn(optimized).size === 1, optimized)
+  }
+}
