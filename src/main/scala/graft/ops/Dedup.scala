@@ -172,18 +172,29 @@ object Dedup extends QueryModule {
       "dedup_minhash",
       (s, d) => {
         val sh = shingles(s, d)
-        val mh = sh
-          .select(col("doc_id"), col("shingle"),
-            explode(expr("sequence(0, 15)")).as("i"))
-          .groupBy(col("doc_id"), col("i"))
-          .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("shingle"))))
-            .as("mn"))
-          .groupBy(col("doc_id"), expr("i div 4").as("band"))
-          .agg(expr(
-            "array_join(transform(array_sort(collect_list(struct(i, mn))), x -> x.mn), '')"
-          ).as("band_sig"))
-          // 4M md5 evaluations feed both sides of the band self-join:
-          // materialize once (see shingles())
+        // Signatures computed fully NARROW: per-doc shingle arrays +
+        // nested transform/array_min give all 16 min-hashes in one
+        // codegen'd projection — no perm explode, no two groupBys, no
+        // exchanges (the earlier shape spent more time in stage
+        // scheduling than hashing). MIN over md5 strings per perm is
+        // identical to the grouped formulation the oracle uses.
+        val par = s.sparkContext.defaultParallelism
+        val mh = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), array_distinct(expr(
+            "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
+          )).as("shingles"))
+          .repartition(par) // spread the md5 work over all cores
+          .select(col("doc_id"), expr("""
+            transform(sequence(0, 15), i ->
+              array_min(transform(shingles,
+                s -> md5(concat(cast(i AS string), '|', s)))))""").as("mhs"))
+          .select(col("doc_id"), col("mhs"),
+            explode(expr("sequence(0, 3)")).as("band"))
+          .select(col("doc_id"), col("band"),
+            expr("array_join(slice(mhs, band*4 + 1, 4), '')").as("band_sig"))
+          // both band-join sides read this — materialize once
           .localCheckpoint()
         val a = mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
         val b = mh.select(col("doc_id").as("doc_b"),
