@@ -77,19 +77,11 @@ object EventsPipeline {
 
   /** P2: keep only rows newer than the sink's high watermark. The scalar
     * stays executor-side (broadcast 1-row agg); an empty/missing sink
-    * passes everything through.
+    * passes everything through. Delegates to the SinkIO seam so the same
+    * semantics run against parquet or JDBC sinks.
     */
-  def watermarkFilter(spark: SparkSession, df: DataFrame, sinkDir: String): DataFrame = {
-    val sinkPath = new Path(sinkDir)
-    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(sinkPath)) df
-    else {
-      val wm = spark.read.parquet(sinkDir).agg(max(col("ts")).as("wm"))
-      df.crossJoin(broadcast(wm))
-        .filter(col("wm").isNull || col("ts") > col("wm"))
-        .drop("wm")
-    }
-  }
+  def watermarkFilter(spark: SparkSession, df: DataFrame, sinkDir: String): DataFrame =
+    SinkIO.watermarkFilter(spark, df, new ParquetSink(sinkDir), "ts")
 
   final case class Report(
       filesIn: Seq[String],

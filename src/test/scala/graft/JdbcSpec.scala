@@ -1,0 +1,67 @@
+package graft
+
+import graft.pipeline.{JdbcSink, ParquetSink, SinkIO}
+import org.apache.spark.sql.functions._
+
+/** JDBC sink fidelity (SURVEY S2/S3) against embedded Derby — the same
+  * SinkIO seam the parquet path uses, so the incremental-append contract
+  * is proven identical across both implementations.
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  private def mkSink(tag: String): JdbcSink = {
+    val db = s"${scratchDir(s"derby_$tag")}/db"
+    new JdbcSink(s"jdbc:derby:$db;create=true", "events_sink", driver)
+  }
+
+  private def batch(rows: (Long, Long, Double)*) =
+    rows.toDF("event_id", "ts_us", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"value")
+
+  test("S3: append creates the table and round-trips rows") {
+    val sink = mkSink("s3")
+    sink.append(batch((1L, 1000000L, 1.5), (2L, 2000000L, 2.5)))
+    val back = sink.readAll(spark)
+    assert(back.count() === 2)
+    assert(back.select(sum($"value")).head().getDouble(0) === 4.0)
+  }
+
+  test("S2: watermark MAX executes as a DB-side scalar subquery") {
+    val sink = mkSink("s2")
+    sink.append(batch((1L, 1000000L, 1.0), (2L, 5000000L, 2.0)))
+    val wm = sink.watermark(spark, "ts")
+    assert(wm.count() === 1)
+    assert(wm.head().getTimestamp(0).getTime === 5000L) // 5e6 µs = 5000 ms
+  }
+
+  test("incremental append via the shared seam is idempotent") {
+    val sink = mkSink("inc")
+    sink.append(batch((1L, 1000000L, 1.0), (2L, 5000000L, 2.0)))
+    // second batch: one stale row, one fresh row
+    val b2 = batch((3L, 3000000L, 3.0), (4L, 9000000L, 4.0))
+    val fresh = SinkIO.watermarkFilter(spark, b2, sink, "ts")
+    assert(fresh.select("event_id").as[Long].collect().toSet === Set(4L))
+    sink.append(fresh)
+    // replay of the same batch appends nothing
+    val replay = SinkIO.watermarkFilter(spark, b2, sink, "ts")
+    assert(replay.count() === 0)
+    assert(sink.readAll(spark).count() === 3)
+  }
+
+  test("parquet and JDBC sinks satisfy the same contract") {
+    val pq = new ParquetSink(scratchDir("seam_pq") + "/sink")
+    val jd = mkSink("seam")
+    val b1 = batch((1L, 1000000L, 1.0))
+    val b2 = batch((1L, 1000000L, 1.0), (2L, 2000000L, 2.0))
+    Seq[graft.pipeline.SinkIO](pq, jd).foreach { sink =>
+      sink.append(b1)
+      val fresh = SinkIO.watermarkFilter(spark, b2, sink, "ts")
+      assert(fresh.select("event_id").as[Long].collect().toSet === Set(2L))
+      sink.append(fresh)
+      assert(sink.readAll(spark).count() === 2)
+    }
+  }
+}
