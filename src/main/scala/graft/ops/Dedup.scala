@@ -414,24 +414,19 @@ object Dedup extends QueryModule {
     */
   def simhashSignatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      // hash once per (doc, term) BEFORE the 32-way position explode
-      .select(col("doc_id"), md5(col("tok")).as("h"), col("cnt"),
-        explode(expr("sequence(1, 32)")).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(when(
-        sum(col("cnt") *
-          when(expr("substring(h, j, 1)") >= "8", 1).otherwise(-1)) >= 0,
-        "1").otherwise("0").as("bit"))
-      .groupBy(col("doc_id"))
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(j, bit))), x -> x.bit), '')"
-      ).as("sig"))
-      // pin parallelism for the downstream banded expansion + fold, then
-      // materialize once for both sides of the self-join — see shingles()
+      // per-token md5s computed once, narrowly; summing ±1 per OCCURRENCE
+      // below equals the count-weighted sum per distinct term
+      .select(col("doc_id"), expr(
+        "transform(filter(split(text, ' '), t -> t <> ''), t -> md5(t))").as("hs"))
+      // pin parallelism for the signature fold + downstream banded join
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // barrier so the md5 array materializes once, not per bit position
+      .localCheckpoint()
+      .select(col("doc_id"), expr("""
+        array_join(transform(sequence(1, 32), j ->
+          CASE WHEN aggregate(hs, 0, (acc, h) ->
+                 acc + (CASE WHEN substring(h, j, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
+               THEN '1' ELSE '0' END), '')""").as("sig"))
+      // consumed by both sides of the banded self-join
       .localCheckpoint()
 }
