@@ -103,6 +103,70 @@ object Extras extends QueryModule {
         ORDER BY o_custkey
       """)),
 
+    // ───── distribution window functions (exact integer-ratio doubles) ─────
+    GraftQuery(
+      "win_dist_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+        ORDER BY o_orderkey
+      """)),
+
+    // ───── unpivot / melt (wide → long reshape) ─────
+    GraftQuery(
+      "reshape_unpivot",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            col("p_size").cast("double").as("size"),
+            col("p_retailprice").as("retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("size"), col("retailprice")), "metric", "value")
+          .orderBy(col("p_partkey"), col("metric")),
+      Some("""
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+        ORDER BY p_partkey, metric
+      """)),
+
+    // ───── corpus-level top n-grams (document frequency ranking) ─────
+    GraftQuery(
+      "text_ngram_top",
+      (s, d) =>
+        Dedup.shingles(s, d)
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("doc_freq"))
+          .orderBy(col("doc_freq").desc, col("shingle").asc)
+          .limit(20),
+      Some("""
+        WITH shingles AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, UNNEST(list_transform(
+              generate_series(1, len(string_split(text, ' ')) - 1),
+              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+            )) AS shingle
+            FROM documents)
+          GROUP BY doc_id, shingle)
+        SELECT shingle, COUNT(*) AS doc_freq
+        FROM shingles GROUP BY shingle
+        ORDER BY doc_freq DESC, shingle ASC
+        LIMIT 20
+      """)),
+
     // ───── frame-based moving aggregate (3-row decimal-exact average) ─────
     GraftQuery(
       "win_moving_avg",
