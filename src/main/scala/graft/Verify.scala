@@ -11,7 +11,10 @@ object Verify {
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1): coalesce folds upstream and would
+      // run the whole query plan on one task; repartition keeps the plan
+      // parallel and only the final write is single-file
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
