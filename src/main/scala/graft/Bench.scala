@@ -37,17 +37,21 @@ object Bench {
       // to the next query
       System.gc()
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        errors ::= (name -> e.getClass.getSimpleName)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          errors ::= (name -> e.getClass.getSimpleName)
+          false
+        }
+      // a failed query records -1, never its partial elapsed time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val good = results.filter(_._2 >= 0)
+    val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

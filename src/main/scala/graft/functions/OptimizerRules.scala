@@ -36,11 +36,14 @@ object LevenshteinLengthGuard extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
+      // Only the UNBOUNDED form: the threshold variant returns -1 above
+      // its bound, which passes `<= k` but would fail the length guard —
+      // rewriting it would change results.
       val rewritten = cond.transformUp {
-        case cmp @ LessThanOrEqual(Levenshtein(a, b, _), k: Literal)
+        case cmp @ LessThanOrEqual(Levenshtein(a, b, None), k: Literal)
             if k.foldable && !alreadyGuarded(cond, a, b) =>
           And(guard(a, b, k), cmp)
-        case cmp @ LessThan(Levenshtein(a, b, _), k: Literal)
+        case cmp @ LessThan(Levenshtein(a, b, None), k: Literal)
             if k.foldable && !alreadyGuarded(cond, a, b) =>
           And(guard(a, b, k), cmp)
       }

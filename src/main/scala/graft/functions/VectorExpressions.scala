@@ -83,7 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"vec_dot requires exactly 2 arguments, got ${children.size}")
+        FloatVecDot(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => LevenshteinLengthGuard)
   }
 }

@@ -329,14 +329,15 @@ object Dedup extends QueryModule {
           col("source").as("source2"), col("lb").as("lb2"))
           .repartition(par, col("source2"), col("lb2"))
         // Threshold-bounded edit distance (O(k·len) with early exit,
-        // returns -1 above the bound): texts are ≤500 chars, so any
-        // sim>=0.6 pair has lev <= 0.4·500 <= 250 — the bound never
-        // excludes an accepted pair, it only short-circuits rejects.
+        // returns -1 above the bound): sf0.1 documents reach 577 chars,
+        // so the bound must cover 0.4·maxlen — 400 is safe up to
+        // 1000-char texts; it never excludes a sim>=0.6 pair, it only
+        // short-circuits rejects.
         a2.join(b2,
             col("source") === col("source2") && col("lb") === col("lb2") &&
               col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("ta"), col("tb"), 250).cast("long").as("lev"),
+            levenshtein(col("ta"), col("tb"), 400).cast("long").as("lev"),
             greatest(length(col("ta")), length(col("tb"))).as("mx"))
           // barrier: without it the pushed-down filters re-substitute the
           // levenshtein expression and it evaluates up to 3×

@@ -80,7 +80,10 @@ object Multimodal extends QueryModule {
     */
   private def decodeStub(a: MediaAsset): MediaFeatures = {
     val nBytes = a.content.length.toLong
-    val first  = (a.content.headOption.getOrElse(0: Byte) & 0xff).toLong
+    // first CHARACTER's code point (not first byte): keeps the stub
+    // aligned with the SQL twin's ascii(substr(text,1,1)) for non-ASCII
+    val decoded = new String(a.content, "UTF-8")
+    val first   = if (decoded.isEmpty) 0L else decoded.codePointAt(0).toLong
     val isImg  = a.modality == "image"
     val isVid  = a.modality == "video"
     val isAud  = a.modality == "audio"

@@ -62,9 +62,10 @@ object TextAnalysis extends QueryModule {
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct,
-               list_reduce(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
-                 t -> length(t)), (a, x) -> a + x)::DOUBLE
-                 / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len,
+               CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) = 0 THEN NULL
+                    ELSE list_reduce(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                      t -> length(t)), (a, x) -> a + x)::DOUBLE
+                      / len(list_filter(string_split(text, ' '), t -> t <> '')) END AS avg_token_len,
                CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_runs,
                CAST((length(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens
         FROM documents ORDER BY doc_id

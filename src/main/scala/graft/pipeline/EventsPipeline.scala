@@ -100,6 +100,16 @@ object EventsPipeline {
       runDate: String,
       failFast: Boolean = true): Report = {
 
+    // Routine steady state: the previous run archived every landing file
+    // and nothing new arrived — an empty glob would make spark.read throw
+    // PATH_NOT_FOUND, so short-circuit to an empty report instead.
+    val landingPath = new Path(landingDir)
+    val landingFs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCsv = landingFs.exists(landingPath) &&
+      landingFs.listStatus(landingPath).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".csv"))
+    if (!hasCsv) return Report(Seq.empty, 0L, 0L, 0)
+
     val raw = readCsv(spark, landingDir, failFast)
     val fresh = watermarkFilter(spark, typed(raw), sinkDir)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -68,14 +68,32 @@ final class JdbcSink(url: String, table: String, driver: String)
       .option("url", url)
       .option("driver", driver)
 
+  /** Table existence via JDBC metadata — an explicit check, not an
+    * exception swallow (the reference's catch-everything watermark,
+    * weather_task.py:86-89, is exactly what this engine refuses to copy).
+    */
+  private def tableExists(): Boolean = {
+    java.lang.Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      Iterator.continually(rs).takeWhile(_.next())
+        .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+    } finally conn.close()
+  }
+
   override def watermark(spark: SparkSession, tsCol: String): DataFrame =
-    base(spark)
-      // S2: scalar subquery as the JDBC relation — MAX executes in the DB.
-      // The column is double-quoted: Spark's JDBC writer creates quoted
-      // (case-sensitive) identifiers on Derby/Postgres alike.
-      .option("dbtable", s"""(SELECT MAX("$tsCol") AS wm FROM $table) t""")
-      .load()
-      .select(col("wm"))
+    if (!tableExists())
+      // contract: fresh sink → single null row, everything passes through
+      spark.range(1).select(lit(null).cast("timestamp").as("wm"))
+    else
+      base(spark)
+        // S2: scalar subquery as the JDBC relation — MAX executes in the DB.
+        // The column is double-quoted: Spark's JDBC writer creates quoted
+        // (case-sensitive) identifiers on Derby/Postgres alike.
+        .option("dbtable", s"""(SELECT MAX("$tsCol") AS wm FROM $table) t""")
+        .load()
+        .select(col("wm"))
 
   override def append(df: DataFrame): Unit =
     df.write.format("jdbc")

@@ -79,7 +79,9 @@ object StreamingPipeline {
         val ts = r.getAs[Long]("ts_us")
         cur match {
           case Some(s) if ts - s.lastUs <= gapUs =>
-            cur = Some(s.copy(lastUs = ts, n = s.n + 1))
+            // max(): a late within-gap event from an earlier micro-batch
+            // must not move the session's end backwards
+            cur = Some(s.copy(lastUs = math.max(s.lastUs, ts), n = s.n + 1))
           case Some(s) =>
             closed ::= SessionSummary(userId, s.startUs, s.lastUs, s.n)
             cur = Some(SessionState(ts, ts, 1))
@@ -91,7 +93,9 @@ object StreamingPipeline {
       closed.reverse.iterator
     }
 
+    // accept the pipeline's typed schema (ts timestamp) directly
     typed
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)

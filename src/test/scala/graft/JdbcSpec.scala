@@ -21,6 +21,19 @@ class JdbcSpec extends SparkSpec {
     rows.toDF("event_id", "ts_us", "value")
       .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"value")
 
+  test("fresh sink (no table yet): watermark is a single null row") {
+    val sink = mkSink("fresh")
+    val wm = sink.watermark(spark, "ts")
+    assert(wm.count() === 1)
+    assert(wm.head().isNullAt(0))
+    // bootstrap flow: everything passes the filter, append creates table
+    val b = batch((1L, 1000000L, 1.0))
+    val fresh = SinkIO.watermarkFilter(spark, b, sink, "ts")
+    assert(fresh.count() === 1)
+    sink.append(fresh)
+    assert(sink.readAll(spark).count() === 1)
+  }
+
   test("S3: append creates the table and round-trips rows") {
     val sink = mkSink("s3")
     sink.append(batch((1L, 1000000L, 1.5), (2L, 2000000L, 2.5)))

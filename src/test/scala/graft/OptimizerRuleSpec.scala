@@ -16,7 +16,8 @@ class OptimizerRuleSpec extends SparkSpec {
     Seq(
       (0L, "abc", "abd"),       // lev 1, lengths equal
       (1L, "abc", "abcdefgh"),  // lev 5, length diff 5 — guard prunes at k=2
-      (2L, "same", "same"))
+      (2L, "same", "same"),
+      (3L, "x", "abcdefghijklmnopqrstuvwxyz012345")) // lev 31
       .toDF("id", "a", "b")
       .write.mode("overwrite").parquet(s"$d/pairs.parquet")
     d
@@ -35,6 +36,16 @@ class OptimizerRuleSpec extends SparkSpec {
     val rows = frame.filter(levenshtein($"a", $"b") <= 2)
       .select($"id").as[Long].collect().toSet
     assert(rows === Set(0L, 2L))
+  }
+
+  test("bounded (thresholded) levenshtein is NOT rewritten") {
+    // levenshtein(a, b, 5) returns -1 above the bound, which passes
+    // `<= 10`; injecting the length guard would wrongly drop row 3
+    val df = frame.filter(levenshtein($"a", $"b", 5) <= 10)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("abs((length(a"), optimized)
+    val rows = df.select($"id").as[Long].collect().toSet
+    assert(rows === Set(0L, 1L, 2L, 3L), "sentinel -1 rows must survive")
   }
 
   test("rule is idempotent (no double guard)") {

@@ -87,6 +87,13 @@ class PipelineSpec extends SparkSpec {
     assert(r.rowsAppended === 1, "corrupt row dropped, valid row kept")
   }
 
+  test("run on an empty landing dir returns a zero report (steady state)") {
+    val landing = scratchDir("pipe_empty")
+    val r = EventsPipeline.run(spark, landing,
+      scratchDir("pipe_empty_s") + "/sink", scratchDir("pipe_empty_a"), "2026-08-12")
+    assert(r.rowsRead === 0 && r.rowsAppended === 0 && r.filesArchived === 0)
+  }
+
   test("typed() casts strings and nulls unparseable values (P1 semantics)") {
     import spark.implicits._
     val df = Seq(

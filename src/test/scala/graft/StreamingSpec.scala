@@ -61,8 +61,11 @@ class StreamingSpec extends SparkSpec {
 
   test("stateful sessionization closes a session when the gap exceeds 30min") {
     val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    // same typed schema the pipeline produces (ts as timestamp)
     val typed = mem.toDF()
       .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value")
     val q = StreamingPipeline.sessionized(typed)
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
