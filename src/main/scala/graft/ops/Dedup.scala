@@ -80,6 +80,46 @@ object Dedup extends QueryModule {
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
   }
 
+  /** MinHash-LSH verified near-dup pairs (doc_a, doc_b, jaccard) — the
+    * engine of dedup_minhash, reused by dedup_clusters.
+    *
+    * Signatures are computed fully NARROW: per-doc shingle arrays +
+    * nested transform/array_min give all 16 min-hashes in one codegen'd
+    * projection — no perm explode, no groupBys, no exchanges (the
+    * earlier grouped shape spent more time in stage scheduling than
+    * hashing). MIN over md5 strings per perm is identical to the grouped
+    * formulation the oracle uses.
+    */
+  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val par = s.sparkContext.defaultParallelism
+    val mh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
+      )).as("shingles"))
+      .repartition(par) // spread the md5 work over all cores
+      .select(col("doc_id"), expr("""
+        transform(sequence(0, 15), i ->
+          array_min(transform(shingles,
+            s -> md5(concat(cast(i AS string), '|', s)))))""").as("mhs"))
+      .select(col("doc_id"), col("mhs"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr("array_join(slice(mhs, band*4 + 1, 4), '')").as("band_sig"))
+      // both band-join sides read this — materialize once
+      .localCheckpoint()
+    val a = mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+    val b = mh.select(col("doc_id").as("doc_b"),
+      col("band").as("band2"), col("band_sig").as("band_sig2"))
+    val cand = a.join(b,
+        col("band") === col("band2") && col("band_sig") === col("band_sig2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    exactJaccard(cand, sh).filter(col("jaccard") >= 0.8)
+  }
+
   /** Shared DuckDB CTE: distinct word-bigram shingles (dialect twin of
     * `shingles` above; DuckDB lists are 1-based, Spark arrays 0-based —
     * both emit the same strings).
@@ -94,6 +134,35 @@ object Dedup extends QueryModule {
         FROM documents)
       GROUP BY doc_id, shingle),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)"""
+
+  /** DuckDB twin of minhashPairs, ending in a `pairs` CTE. */
+  private lazy val minhashPairsSql = s"""
+    $shinglesSql,
+    mh AS (
+      SELECT doc_id, i // 4 AS band, string_agg(mn, '' ORDER BY i) AS band_sig
+      FROM (
+        SELECT s.doc_id, p.i,
+               MIN(md5(p.i::VARCHAR || '|' || s.shingle)) AS mn
+        FROM shingles s
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) p
+        GROUP BY s.doc_id, p.i)
+      GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mh a JOIN mh b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    common AS (
+      SELECT doc_a, doc_b, count(*) AS c
+      FROM cand
+      JOIN shingles s1 ON s1.doc_id = cand.doc_a
+      JOIN shingles s2 ON s2.doc_id = cand.doc_b AND s1.shingle = s2.shingle
+      GROUP BY doc_a, doc_b),
+    pairs AS (
+      SELECT doc_a, doc_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8)"""
 
   override def queries: Seq[GraftQuery] = Seq(
 
@@ -170,70 +239,62 @@ object Dedup extends QueryModule {
     // then exact-verified, so false positives never reach the output.
     GraftQuery(
       "dedup_minhash",
+      (s, d) =>
+        minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""
+        WITH $minhashPairsSql
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        ORDER BY doc_a, doc_b
+      """)),
+
+    // ───── dedup clustering: connected components over near-dup pairs ─────
+    // Pairs are edges; a cluster is the min doc_id reachable — iterative
+    // min-label propagation in Spark (the join-based formulation that
+    // scales to the large/small-star variants of Kiveris et al.), a
+    // WITH RECURSIVE transitive closure in the oracle. The driver loop's
+    // convergence check counts a LABEL frame (candidate docs only, tiny
+    // relative to the corpus) — not a data-path collect.
+    GraftQuery(
+      "dedup_clusters",
       (s, d) => {
-        val sh = shingles(s, d)
-        // Signatures computed fully NARROW: per-doc shingle arrays +
-        // nested transform/array_min give all 16 min-hashes in one
-        // codegen'd projection — no perm explode, no two groupBys, no
-        // exchanges (the earlier shape spent more time in stage
-        // scheduling than hashing). MIN over md5 strings per perm is
-        // identical to the grouped formulation the oracle uses.
-        val par = s.sparkContext.defaultParallelism
-        val mh = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), array_distinct(expr(
-            "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
-          )).as("shingles"))
-          .repartition(par) // spread the md5 work over all cores
-          .select(col("doc_id"), expr("""
-            transform(sequence(0, 15), i ->
-              array_min(transform(shingles,
-                s -> md5(concat(cast(i AS string), '|', s)))))""").as("mhs"))
-          .select(col("doc_id"), col("mhs"),
-            explode(expr("sequence(0, 3)")).as("band"))
-          .select(col("doc_id"), col("band"),
-            expr("array_join(slice(mhs, band*4 + 1, 4), '')").as("band_sig"))
-          // both band-join sides read this — materialize once
+        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .localCheckpoint()
-        val a = mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
-        val b = mh.select(col("doc_id").as("doc_b"),
-          col("band").as("band2"), col("band_sig").as("band_sig2"))
-        val cand = a.join(b,
-            col("band") === col("band2") && col("band_sig") === col("band_sig2") &&
-              col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        exactJaccard(cand, sh)
-          .filter(col("jaccard") >= 0.8)
-          .orderBy(col("doc_a"), col("doc_b"))
+        var labels = edges.select(col("src").as("doc")).distinct()
+          .withColumn("label", col("doc"))
+          .localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val prop = edges.join(labels, col("dst") === col("doc"))
+            .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+          val next = labels.join(prop, labels("doc") === prop("src"), "left")
+            .select(labels("doc"),
+              least(labels("label"),
+                coalesce(col("nbr_min"), labels("label"))).as("label"))
+            .localCheckpoint()
+          changed = next.as("n")
+            .join(labels.select(col("doc"), col("label").as("old")), "doc")
+            .filter(col("label") =!= col("old")).count()
+          labels = next
+        }
+        labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+          .orderBy(col("doc_id"))
       },
       Some(s"""
-        WITH $shinglesSql,
-        mh AS (
-          SELECT doc_id, i // 4 AS band, string_agg(mn, '' ORDER BY i) AS band_sig
-          FROM (
-            SELECT s.doc_id, p.i,
-                   MIN(md5(p.i::VARCHAR || '|' || s.shingle)) AS mn
-            FROM shingles s
-            CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) p
-            GROUP BY s.doc_id, p.i)
-          GROUP BY doc_id, band),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM mh a JOIN mh b
-            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-        common AS (
-          SELECT doc_a, doc_b, count(*) AS c
-          FROM cand
-          JOIN shingles s1 ON s1.doc_id = cand.doc_a
-          JOIN shingles s2 ON s2.doc_id = cand.doc_b AND s1.shingle = s2.shingle
-          GROUP BY doc_a, doc_b)
-        SELECT doc_a, doc_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
-        FROM common
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
-        ORDER BY doc_a, doc_b
+        WITH RECURSIVE $minhashPairsSql,
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS doc FROM edges),
+        reach(doc, r) AS (
+          SELECT doc, doc FROM nodes
+          UNION
+          SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        SELECT doc AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY doc
+        ORDER BY doc_id
       """)),
 
     // ───── SimHash near-dup pairs (banded hamming join) ─────

@@ -66,6 +66,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact, "banded candidates must recover every J>=0.8 pair here")
   }
 
+  test("dedup_clusters groups transitively connected near-dups") {
+    val clusters = run("dedup_clusters")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    // docs 0,1,2 are mutual near-dups → one cluster rooted at 0;
+    // docs 3,4 are a separate pair → cluster rooted at 3
+    assert(clusters(0L) === 0L && clusters(1L) === 0L && clusters(2L) === 0L)
+    assert(clusters(3L) === 3L && clusters(4L) === 3L)
+  }
+
   test("dedup_simhash: identical docs have hamming 0") {
     val rows = run("dedup_simhash")
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
