@@ -43,16 +43,32 @@ object Bench {
           errors ::= (name -> e.getClass.getSimpleName)
           false
         }
+        finally Materialize.releaseAll() // free this query's staged cache
       // a failed query records -1, never its partial elapsed time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Round to ms so the JSON line stays small: the round-2 artifact was
+    // truncated by the driver's finite output capture, losing the head of
+    // one long full-precision line (total + first ~7 queries).
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val good = results.filter(_._2 >= 0)
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Survive any finite head/tail output capture: persist the full JSON
+    // to a file, print it once up front, and re-print it as the very last
+    // line of the process (after spark.stop(), so no shutdown log noise
+    // can land between it and EOF and eat the capture budget).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
+    println(line)
   }
 }

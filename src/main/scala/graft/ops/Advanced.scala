@@ -68,15 +68,24 @@ object Advanced extends QueryModule {
         WITH e AS (
           SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type
           FROM events),
-        clicks AS (SELECT * FROM e WHERE event_type = 'click'),
-        views  AS (SELECT * FROM e WHERE event_type = 'view')
-        SELECT c.event_id, c.user_id, c.ts_us,
-               v.event_id AS asof_view_id,
-               c.ts_us - v.ts_us AS gap_us
-        FROM clicks c
-        ASOF LEFT JOIN views v
-          ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
-        ORDER BY c.event_id
+        u AS (
+          SELECT event_id, user_id, ts_us, 1 AS is_click, NULL::BIGINT AS view_id
+          FROM e WHERE event_type = 'click'
+          UNION ALL
+          SELECT event_id, user_id, ts_us, 0 AS is_click, event_id AS view_id
+          FROM e WHERE event_type = 'view'),
+        w AS (
+          SELECT event_id, user_id, ts_us, is_click,
+                 last_value(view_id IGNORE NULLS) OVER win AS asof_view_id,
+                 last_value(CASE WHEN is_click = 0 THEN ts_us END IGNORE NULLS)
+                   OVER win AS asof_view_ts
+          FROM u
+          WINDOW win AS (PARTITION BY user_id
+                         ORDER BY ts_us ASC, is_click ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, ts_us, asof_view_id,
+               ts_us - asof_view_ts AS gap_us
+        FROM w WHERE is_click = 1 ORDER BY event_id
       """)),
 
     // ───── range join via binning: same-user events with close values ─────

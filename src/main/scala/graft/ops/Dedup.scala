@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftQuery, QueryModule, Tables}
+import graft.{GraftQuery, Materialize, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *    so the shuffle carries 32-byte keys instead of full texts.
   *  - The shingle inverted index is the one surface with a skew hazard
   *    (hot shingles → giant posting lists). AQE skew-join splitting is
-  *    on (GraftSession); at real scale add a document-frequency cutoff
-  *    to the candidate-gen join and keep the exact-verify join as is —
-  *    MinHash banding (dedup_minhash) is the preferred path there
+  *    on (GraftSession), and `spark.graft.shingle.dfCutoff` drops
+  *    above-cutoff shingles from candidate generation only (the
+  *    exact-verify join still scores full shingle sets) — MinHash
+  *    banding (dedup_minhash) remains the preferred path at scale
   *    because band buckets are uniform by construction.
   *  - Embedding NN is blocked on `label` (a coarse partitioner /
   *    IVF-style cell): cosine pairs are computed per block, never
@@ -37,23 +38,21 @@ object Dedup extends QueryModule {
     * Spark's sequence(0, -1) would descend, not return empty.
     */
   private[ops] def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
-      )).as("shingle"))
-      .distinct()
-      // Pin partition count before materializing: downstream perm/band
-      // explodes are CPU-expansions whose parallelism is inherited from
-      // this RDD, and AQE's size-based coalescing would undershoot.
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      // Materialize once: every consumer joins this frame against itself
-      // (2–3 uses per query), and without truncation each side re-runs
-      // the split/explode/distinct pipeline. Executor-local blocks, GC'd
-      // with the plan; on a real cluster prefer persist() + explicit
-      // lifecycle or a staged table.
-      .localCheckpoint()
+    Materialize.stage(
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
+        )).as("shingle"))
+        .distinct()
+        // Pin partition count before materializing: downstream perm/band
+        // explodes are CPU-expansions whose parallelism is inherited from
+        // this RDD, and AQE's size-based coalescing would undershoot.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      // Stage once: every consumer joins this frame against itself
+      // (2–3 uses per query), and without a barrier each side re-runs
+      // the split/explode/distinct pipeline.
 
   /** doc_id → distinct-shingle count (Jaccard denominators). */
   private def shingleSizes(sh: DataFrame): DataFrame =
@@ -62,6 +61,11 @@ object Dedup extends QueryModule {
   /** Exact word-shingle Jaccard for a candidate-pair frame (doc_a, doc_b):
     * joins each side's shingle set, counts the intersection, and derives
     * |A∪B| = |A|+|B|-|A∩B|. Only candidate pairs are scored.
+    *
+    * No broadcast hints: every build side here (shingle sets, per-doc
+    * sizes) is O(corpus), so a forced broadcast OOMs long before 100 TB.
+    * They are plain equi-joins — AQE may still auto-broadcast at runtime
+    * when a side is measured genuinely small.
     */
   private def exactJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     val s1 = sh.select(col("doc_id").as("da"), col("shingle"))
@@ -72,9 +76,9 @@ object Dedup extends QueryModule {
       .join(s2, cand("doc_b") === s2("db") && col("shingle") === col("shingle2"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
-      .join(broadcast(sz.select(col("doc_id"), col("n").as("na"))), col("doc_a") === col("doc_id"))
+      .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id"))
       .drop("doc_id")
-      .join(broadcast(sz.select(col("doc_id"), col("n").as("nb"))), col("doc_b") === col("doc_id"))
+      .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id"))
       .drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
@@ -87,29 +91,37 @@ object Dedup extends QueryModule {
     * nested transform/array_min give all 16 min-hashes in one codegen'd
     * projection — no perm explode, no groupBys, no exchanges (the
     * earlier grouped shape spent more time in stage scheduling than
-    * hashing). MIN over md5 strings per perm is identical to the grouped
-    * formulation the oracle uses.
+    * hashing).
+    *
+    * Permutation family: ONE md5 per shingle, then permutation i is the
+    * digest rotated left by 2i hex chars. Each rotation is a bijection
+    * on 128-bit digests, so `rotate_i ∘ md5` is a valid uniform
+    * permutation of the shingle universe and lexicographic MIN under it
+    * is a valid min-hash — at 1/16th the hashing cost of the round-2
+    * form (16 md5 evaluations per shingle). Rotations start at distinct
+    * hex offsets, so the 16 orderings are driven by independent digest
+    * nibbles.
     */
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val par = s.sparkContext.defaultParallelism
-    val mh = Tables.documents(s, d)
+    val mh = Materialize.stage(Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
       )).as("shingles"))
       .repartition(par) // spread the md5 work over all cores
+      .select(col("doc_id"), expr("transform(shingles, s -> md5(s))").as("hs"))
       .select(col("doc_id"), expr("""
         transform(sequence(0, 15), i ->
-          array_min(transform(shingles,
-            s -> md5(concat(cast(i AS string), '|', s)))))""").as("mhs"))
+          array_min(transform(hs, h ->
+            concat(substring(h, 2*i + 1, 32), substring(h, 1, 2*i)))))""").as("mhs"))
       .select(col("doc_id"), col("mhs"),
         explode(expr("sequence(0, 3)")).as("band"))
       .select(col("doc_id"), col("band"),
-        expr("array_join(slice(mhs, band*4 + 1, 4), '')").as("band_sig"))
+        expr("array_join(slice(mhs, band*4 + 1, 4), '')").as("band_sig")))
       // both band-join sides read this — materialize once
-      .localCheckpoint()
     val a = mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val b = mh.select(col("doc_id").as("doc_b"),
       col("band").as("band2"), col("band_sig").as("band_sig2"))
@@ -142,7 +154,8 @@ object Dedup extends QueryModule {
       SELECT doc_id, i // 4 AS band, string_agg(mn, '' ORDER BY i) AS band_sig
       FROM (
         SELECT s.doc_id, p.i,
-               MIN(md5(p.i::VARCHAR || '|' || s.shingle)) AS mn
+               MIN(substr(md5(s.shingle), 2*p.i + 1, 32)
+                   || substr(md5(s.shingle), 1, 2*p.i)) AS mn
         FROM shingles s
         CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) p
         GROUP BY s.doc_id, p.i)
@@ -188,32 +201,52 @@ object Dedup extends QueryModule {
     // never materializing a candidate set to re-join (which would expand
     // Σ df² twice; at sf0.1 that tripled into ~3B rows and 166 s). Cost
     // is Ω(Σ df²) by nature — this is the EXACT baseline; the
-    // subquadratic scale path is dedup_minhash below.
+    // subquadratic scale path is dedup_minhash below. The self-join is a
+    // plain shuffled equi-join on the shingle (NO broadcast hint: the
+    // posting list is O(corpus)); AQE's skew-join splitting handles hot
+    // shingles, and `spark.graft.shingle.dfCutoff` can bound them
+    // outright (candidate generation only — the verify join still scores
+    // FULL shingle sets, so reported jaccards stay exact).
     GraftQuery(
       "dedup_ngram_jaccard",
       (s, d) => {
         val sh = shingles(s, d)
-        // Co-locate every doc_a's shingles (one 250k-row exchange), then
-        // probe a broadcast posting list: each (doc_a, doc_b) intersection
-        // count COMPLETES inside its task, so the partial agg collapses
-        // the Σ df² join output (~73M rows at sf0.1) before the shuffle,
-        // which then carries only the ~10M distinct pairs. Broadcasting
-        // the posting list is valid while the shingle dictionary is small;
-        // at web scale shard the build side (bucketed join) instead.
         val a  = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-          .repartition(col("doc_a"))
         val b  = sh.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"))
-        val sz = shingleSizes(sh)
-        a.join(broadcast(b), col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("c"))
-          .join(broadcast(sz.select(col("doc_id"), col("n").as("na"))), col("doc_a") === col("doc_id"))
-          .drop("doc_id")
-          .join(broadcast(sz.select(col("doc_id"), col("n").as("nb"))), col("doc_b") === col("doc_id"))
-          .drop("doc_id")
-          .select(col("doc_a"), col("doc_b"),
-            (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
+        val cutoff = s.conf.get("spark.graft.shingle.dfCutoff", "").trim
+        val pairs =
+          if (cutoff.isEmpty) {
+            // exact path: the equi-join on shingle IS the intersection
+            // counter; partial agg collapses the Σ df² join output
+            // before the (doc_a, doc_b) shuffle
+            val sz = shingleSizes(sh)
+            a.join(b, col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+              .groupBy(col("doc_a"), col("doc_b"))
+              .agg(count(lit(1)).as("c"))
+              .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id"))
+              .drop("doc_id")
+              .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id"))
+              .drop("doc_id")
+              .select(col("doc_a"), col("doc_b"),
+                (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+          } else {
+            // skew-bounded path: drop shingles with document frequency
+            // above the cutoff from CANDIDATE generation (a df-f shingle
+            // contributes f² join rows — the hot tail dominates Σ df²),
+            // then exact-verify candidates against full shingle sets.
+            // Recall loss is confined to pairs overlapping ONLY in
+            // ultra-hot shingles, which at J >= 0.8 means boilerplate.
+            val keep = sh.groupBy(col("shingle"))
+              .agg(count(lit(1)).as("df"))
+              .filter(col("df") <= cutoff.toInt)
+              .select(col("shingle").as("keep_sh"))
+            val cand = a.join(keep, col("shingle") === col("keep_sh"))
+              .select(col("doc_a"), col("shingle"))
+              .join(b, col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+              .select(col("doc_a"), col("doc_b")).distinct()
+            exactJaccard(cand, sh)
+          }
+        pairs.filter(col("jaccard") >= 0.8)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
@@ -248,37 +281,18 @@ object Dedup extends QueryModule {
       """)),
 
     // ───── dedup clustering: connected components over near-dup pairs ─────
-    // Pairs are edges; a cluster is the min doc_id reachable — iterative
-    // min-label propagation in Spark (the join-based formulation that
-    // scales to the large/small-star variants of Kiveris et al.), a
-    // WITH RECURSIVE transitive closure in the oracle. The driver loop's
-    // convergence check counts a LABEL frame (candidate docs only, tiny
-    // relative to the corpus) — not a data-path collect.
+    // Pairs are edges; a cluster is the min doc_id reachable. Computed
+    // by alternating large-star/small-star (ConnectedComponents): round
+    // count is O(log n) in the component size, NOT the component
+    // diameter — a pathological dup-chain converges in a handful of
+    // rounds where plain min-label propagation would loop once per hop.
+    // The oracle is a WITH RECURSIVE transitive closure.
     GraftQuery(
       "dedup_clusters",
       (s, d) => {
         val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint()
-        var labels = edges.select(col("src").as("doc")).distinct()
-          .withColumn("label", col("doc"))
-          .localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
-          val prop = edges.join(labels, col("dst") === col("doc"))
-            .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-          val next = labels.join(prop, labels("doc") === prop("src"), "left")
-            .select(labels("doc"),
-              least(labels("label"),
-                coalesce(col("nbr_min"), labels("label"))).as("label"))
-            .localCheckpoint()
-          changed = next.as("n")
-            .join(labels.select(col("doc"), col("label").as("old")), "doc")
-            .filter(col("label") =!= col("old")).count()
-          labels = next
-        }
-        labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+        val (labels, _) = ConnectedComponents.run(pairs)
+        labels.select(col("node").as("doc_id"), col("component").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
@@ -322,7 +336,10 @@ object Dedup extends QueryModule {
         val bb = bands.select(col("doc_id").as("doc_b"),
           col("b").as("b2"), col("band_sig").as("band_sig2"),
           col("other_sig").as("other_b"))
-        a.join(broadcast(bb),
+        // shuffled equi-join on (band, band_sig) — the bands frame is
+        // O(corpus), so no broadcast hint (OOM at scale); AQE may still
+        // auto-broadcast when measured small
+        a.join(bb,
             col("b") === col("b2") && col("band_sig") === col("band_sig2") &&
               col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"), expr(
@@ -390,19 +407,22 @@ object Dedup extends QueryModule {
           col("source").as("source2"), col("lb").as("lb2"))
           .repartition(par, col("source2"), col("lb2"))
         // Threshold-bounded edit distance (O(k·len) with early exit,
-        // returns -1 above the bound): sf0.1 documents reach 577 chars,
-        // so the bound must cover 0.4·maxlen — 400 is safe up to
-        // 1000-char texts; it never excludes a sim>=0.6 pair, it only
-        // short-circuits rejects.
+        // returns -1 above the bound). The bound is derived from the
+        // DATA — ceil(0.4 · max(len)) per pair — so it is exactly the
+        // sim >= 0.6 cut for ANY document length (a fixed constant bound
+        // silently dropped sim>=0.6 pairs on texts past 1000 chars):
+        // lev <= 0.4·mx passes through exact, lev > bound returns the
+        // -1 sentinel and is a pair the sim filter rejects anyway.
         a2.join(b2,
             col("source") === col("source2") && col("lb") === col("lb2") &&
               col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("ta"), col("tb"), 400).cast("long").as("lev"),
+            expr("levenshtein(ta, tb, cast(ceil(0.4 * greatest(length(ta), length(tb))) as int))")
+              .cast("long").as("lev"),
             greatest(length(col("ta")), length(col("tb"))).as("mx"))
+          .transform(df => Materialize.stage(df))
           // barrier: without it the pushed-down filters re-substitute the
           // levenshtein expression and it evaluates up to 3×
-          .localCheckpoint()
           .filter(col("lev") >= 0)
           .select(col("doc_a"), col("doc_b"), col("lev"),
             (lit(1.0) - col("lev").cast("double") / col("mx")).as("sim"))
@@ -475,20 +495,21 @@ object Dedup extends QueryModule {
     * shared primitive for dedup_simhash and text fingerprinting.
     */
   def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      // per-token md5s computed once, narrowly; summing ±1 per OCCURRENCE
-      // below equals the count-weighted sum per distinct term
-      .select(col("doc_id"), expr(
-        "transform(filter(split(text, ' '), t -> t <> ''), t -> md5(t))").as("hs"))
-      // pin parallelism for the signature fold + downstream banded join
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      // barrier so the md5 array materializes once, not per bit position
-      .localCheckpoint()
-      .select(col("doc_id"), expr("""
-        array_join(transform(sequence(1, 32), j ->
-          CASE WHEN aggregate(hs, 0, (acc, h) ->
-                 acc + (CASE WHEN substring(h, j, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
-               THEN '1' ELSE '0' END), '')""").as("sig"))
-      // consumed by both sides of the banded self-join
-      .localCheckpoint()
+    Materialize.stage(
+      Materialize.stage(
+        Tables.documents(s, d)
+          // per-token md5s computed once, narrowly; summing ±1 per
+          // OCCURRENCE below equals the count-weighted sum per distinct
+          // term
+          .select(col("doc_id"), expr(
+            "transform(filter(split(text, ' '), t -> t <> ''), t -> md5(t))").as("hs"))
+          // pin parallelism for the signature fold + downstream banded join
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+        // barrier so the md5 array materializes once, not per bit position
+        .select(col("doc_id"), expr("""
+          array_join(transform(sequence(1, 32), j ->
+            CASE WHEN aggregate(hs, 0, (acc, h) ->
+                   acc + (CASE WHEN substring(h, j, 1) >= '8' THEN 1 ELSE -1 END)) >= 0
+                 THEN '1' ELSE '0' END), '')""").as("sig")))
+      // staged: consumed by both sides of the banded self-join
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftQuery, QueryModule, Tables}
+import graft.{GraftQuery, Materialize, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -143,14 +143,14 @@ object Similarity extends QueryModule {
         // Signatures are 1024 md5 evaluations per row and feed the band
         // explode plus both re-rank join sides: distribute the signature
         // work across all cores (the raw scan may be 1–2 file splits),
-        // then materialize once. The band probe side keeps those
-        // partitions, the build side broadcasts, so the multi-million-
-        // pair expansion and cosine re-rank parallelize fully instead of
-        // inheriting AQE's size-based (tiny) partition count.
+        // then stage once behind the materialization seam. All three
+        // downstream joins (band self-join, two re-rank probes) are
+        // plain shuffled equi-joins — the embeddings corpus is the one
+        // frame that can NEVER broadcast at 100 TB, so no hints; AQE
+        // may still auto-broadcast when a side measures small.
         val par = s.sparkContext.defaultParallelism
-        val e = normed(s, d).repartition(par, col("vec_id"))
-          .withColumn("sig", expr(lshSigExpr))
-          .localCheckpoint()
+        val e = Materialize.stage(normed(s, d).repartition(par, col("vec_id"))
+          .withColumn("sig", expr(lshSigExpr)))
         val bands = e.select(col("vec_id"), col("sig"),
             explode(expr("sequence(1, 4)")).as("b"))
           .select(col("vec_id"), col("b"),
@@ -158,7 +158,7 @@ object Similarity extends QueryModule {
         val ba = bands.select(col("vec_id").as("va"), col("b"), col("band_sig"))
         val bb = bands.select(col("vec_id").as("vb"),
           col("b").as("b2"), col("band_sig").as("band_sig2"))
-        val cand = ba.join(broadcast(bb),
+        val cand = ba.join(bb,
             col("b") === col("b2") && col("band_sig") === col("band_sig2") &&
               col("va") =!= col("vb"))
           .select(col("va"), col("vb")).distinct()
@@ -169,8 +169,8 @@ object Similarity extends QueryModule {
         val w = Window.partitionBy(col("va"))
           .orderBy(col("cosine").desc, col("vb").asc)
         cand
-          .join(broadcast(ea), col("va") === col("qa"))
-          .join(broadcast(eb), col("vb") === col("qb"))
+          .join(ea, col("va") === col("qa"))
+          .join(eb, col("vb") === col("qb"))
           .select(col("va"), col("vb"), cosine("ea", "eb", "na", "nb"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)

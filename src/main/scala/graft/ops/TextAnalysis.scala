@@ -51,8 +51,13 @@ object TextAnalysis extends QueryModule {
             length(col("text")).cast("long").as("n_chars"),
             size(col("toks")).cast("long").as("n_tokens"),
             size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-            (expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)")
-              .cast("double") / size(col("toks"))).as("avg_token_len"),
+            // zero-token guard mirrors the oracle's CASE WHEN: an empty/
+            // whitespace-only document must yield NULL on both engines,
+            // not an ANSI divide error / IEEE infinity divergence
+            when(size(col("toks")) === 0, lit(null).cast("double"))
+              .otherwise(
+                expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)")
+                  .cast("double") / size(col("toks"))).as("avg_token_len"),
             size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
               .as("n_word_runs"),
             expr("(length(text) + 3) div 4").cast("long").as("est_bpe_tokens"))
@@ -137,14 +142,25 @@ object TextAnalysis extends QueryModule {
           .select(
             col("doc_id"),
             col("n_tokens"),
-            (col("sw_hits").cast("double") / col("n_tokens")).as("stopword_ratio"),
-            (col("alpha_chars").cast("double") / length(col("text"))).as("alpha_ratio"),
-            (size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+            // zero guards mirror the oracle CASE WHENs: empty documents
+            // yield NULL ratios on both engines (never an ANSI divide
+            // error or IEEE infinity divergence)
+            when(col("n_tokens") === 0, lit(null).cast("double"))
+              .otherwise(col("sw_hits").cast("double") / col("n_tokens"))
+              .as("stopword_ratio"),
+            when(length(col("text")) === 0, lit(null).cast("double"))
+              .otherwise(col("alpha_chars").cast("double") / length(col("text")))
+              .as("alpha_ratio"),
+            when(col("n_tokens") === 0, lit(null).cast("double"))
+              .otherwise(size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
               .as("distinct_ratio"),
             // weighted score: same left-to-right association on both sides
-            ((col("sw_hits").cast("double") / col("n_tokens")) * 0.3 +
-              (col("alpha_chars").cast("double") / length(col("text"))) * 0.4 +
-              least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3)
+            when(col("n_tokens") === 0 || length(col("text")) === 0,
+                lit(null).cast("double"))
+              .otherwise(
+                (col("sw_hits").cast("double") / col("n_tokens")) * 0.3 +
+                  (col("alpha_chars").cast("double") / length(col("text"))) * 0.4 +
+                  least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3)
               .as("quality_score"))
           .orderBy(col("doc_id")),
       Some(s"""
@@ -157,12 +173,16 @@ object TextAnalysis extends QueryModule {
                  length(text) AS n_chars
           FROM documents)
         SELECT doc_id, n_tokens,
-               sw_hits::DOUBLE / n_tokens AS stopword_ratio,
-               alpha_chars::DOUBLE / n_chars AS alpha_ratio,
-               n_distinct::DOUBLE / n_tokens AS distinct_ratio,
-               (sw_hits::DOUBLE / n_tokens) * 0.3
-                 + (alpha_chars::DOUBLE / n_chars) * 0.4
-                 + LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.3 AS quality_score
+               CASE WHEN n_tokens = 0 THEN NULL
+                    ELSE sw_hits::DOUBLE / n_tokens END AS stopword_ratio,
+               CASE WHEN n_chars = 0 THEN NULL
+                    ELSE alpha_chars::DOUBLE / n_chars END AS alpha_ratio,
+               CASE WHEN n_tokens = 0 THEN NULL
+                    ELSE n_distinct::DOUBLE / n_tokens END AS distinct_ratio,
+               CASE WHEN n_tokens = 0 OR n_chars = 0 THEN NULL
+                    ELSE (sw_hits::DOUBLE / n_tokens) * 0.3
+                      + (alpha_chars::DOUBLE / n_chars) * 0.4
+                      + LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.3 END AS quality_score
         FROM q ORDER BY doc_id
       """)),
 

@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
   * sink (S3), each proven by a write→read round trip whose result is
   * oracle-compared against the original table.
   *
-  * The round trips write under java.io.tmpdir (keyed by the sf dir) —
-  * harness-scoped scratch, overwritten per run, deterministic content.
+  * The round trips write under java.io.tmpdir (keyed by a per-process
+  * UUID plus the sf dir) — harness-scoped scratch, overwritten per run,
+  * deterministic content, never shared between concurrent JVMs.
   * Timestamps travel as epoch-microsecond BIGINTs: the raw events table
   * is nanosecond-precision, and µs-truncated integers compare exactly
   * across Spark (`unix_micros`, after Tables.events' ns→µs truncation)
@@ -18,8 +19,14 @@ import org.apache.spark.sql.types._
   */
 object Sources extends QueryModule {
 
+  /** Per-JVM unique component: two concurrent runs over the same sf dir
+    * (e.g. the driver gate plus a dev run) must never race overwrite
+    * writes against reads of the same scratch path.
+    */
+  private val procTag = java.util.UUID.randomUUID().toString.take(8)
+
   private def scratch(d: String, tag: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_$tag${Integer.toHexString(d.hashCode)}"
+    s"${sys.props("java.io.tmpdir")}/graft_$procTag/$tag${d.replaceAll("[^A-Za-z0-9.-]", "_")}"
 
   /** Typed schema for the CSV read-back (S1: declared schema, FAILFAST —
     * the strict path; EventsPipeline.readCsv covers PERMISSIVE).

@@ -81,6 +81,46 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists { case (a, b, h) => a == 0L && b == 1L && h == 0L })
   }
 
+  test("connected components converge in O(log n) rounds on a 50-node chain") {
+    // a chain is the worst case for min-label propagation (one round per
+    // hop = 49 rounds); large-star/small-star must finish in ≤ ⌈log₂ n⌉+2
+    val n = 50
+    val chain = (0L until n - 1L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = ops.ConnectedComponents.run(chain)
+    val lab = labels.as[(Long, Long)].collect().toMap
+    assert(lab.size === n)
+    assert(lab.values.forall(_ == 0L), "every chain node reaches root 0")
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 2
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
+  test("connected components keep disjoint components separate") {
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (12L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val (labels, _) = ops.ConnectedComponents.run(edges)
+    val lab = labels.as[(Long, Long)].collect().toMap
+    assert(lab(0L) == 0L && lab(1L) == 0L && lab(2L) == 0L)
+    assert(lab(10L) == 10L && lab(11L) == 10L && lab(12L) == 10L)
+    assert(lab(20L) == 20L && lab(21L) == 20L)
+  }
+
+  test("shingle df-cutoff gates candidate generation only") {
+    def pairs() = run("dedup_ngram_jaccard")
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val dflt = pairs()
+    try {
+      // cutoff above the max document frequency: a pure no-op — same
+      // pairs, same EXACT jaccards (verify scores full shingle sets)
+      spark.conf.set("spark.graft.shingle.dfCutoff", "10")
+      assert(pairs() === dflt)
+      // cutoff 1 drops every shared shingle from candidate generation:
+      // no candidates can form, demonstrating the gate actually applies
+      spark.conf.set("spark.graft.shingle.dfCutoff", "1")
+      assert(pairs().isEmpty)
+    } finally spark.conf.unset("spark.graft.shingle.dfCutoff")
+  }
+
   test("simhash signatures are 32-bit strings, equal for equal texts") {
     val sigs = ops.Dedup.simhashSignatures(spark, dir)
       .as[(Long, String)].collect().toMap

@@ -64,6 +64,32 @@ class JdbcSpec extends SparkSpec {
     assert(sink.readAll(spark).count() === 3)
   }
 
+  test("dialect hazards: quoted mixed-case watermark column, NUMERIC coercion") {
+    // The reference's production sink is Postgres; no Postgres (or H2)
+    // driver resolves in the offline sandbox, so the dialect-sensitive
+    // behaviors are pinned on Derby, which shares them: quoted
+    // identifiers are case-SENSITIVE (an unquoted `eventTs` would fold —
+    // up on Derby, down on Postgres — and miss the created column
+    // either way), and NUMERIC/DECIMAL must round-trip as exact decimal,
+    // not double.
+    val db = s"${scratchDir("derby_dialect")}/db"
+    val sink = new JdbcSink(s"jdbc:derby:$db;create=true", "typed_sink", driver)
+    val rows = Seq((1L, 1000000L, "1.25"), (2L, 5000000L, "2.50"))
+      .toDF("event_id", "ts_us", "amount")
+      .select($"event_id", timestamp_micros($"ts_us").as("eventTs"),
+        $"amount".cast("decimal(12,2)").as("amount"))
+    sink.append(rows)
+    // watermark subquery quotes "eventTs" — succeeds only if creation
+    // and lookup agree on case-sensitive quoting
+    val wm = sink.watermark(spark, "eventTs")
+    assert(wm.head().getTimestamp(0).getTime === 5000L)
+    val back = sink.readAll(spark)
+    val amt = back.schema("amount").dataType
+    assert(amt === org.apache.spark.sql.types.DecimalType(12, 2), amt)
+    assert(back.agg(sum($"amount")).head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("3.75")) === 0)
+  }
+
   test("parquet and JDBC sinks satisfy the same contract") {
     val pq = new ParquetSink(scratchDir("seam_pq") + "/sink")
     val jd = mkSink("seam")

@@ -94,6 +94,32 @@ class PipelineSpec extends SparkSpec {
     assert(r.rowsRead === 0 && r.rowsAppended === 0 && r.filesArchived === 0)
   }
 
+  test("pipeline runs unchanged on a non-default FileSystem scheme (graftfs:)") {
+    // every pipeline path resolves its FileSystem from the path URI; a
+    // second registered scheme must work with ONLY the paths changing
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    def g(p: String) = s"graftfs:$p"
+
+    val src     = scratchDir("pipe_fs_src")
+    val landing = scratchDir("pipe_fs_l")
+    val sink    = scratchDir("pipe_fs_s") + "/sink"
+    val archive = scratchDir("pipe_fs_a")
+    writeCsv(src, "b.csv", Seq("1,86400000000,10,click,1.0"))
+
+    // S4/S5 ingest over the scheme: move + checksum + manifest
+    val staged = Ingest.ingest(conf, g(src), g(landing))
+    assert(staged.map(_.name) === Seq("b.csv"))
+    assert(Files.exists(Paths.get(landing, "_manifest.csv")))
+
+    // full run over the scheme: read → watermark → append → archive
+    val r = EventsPipeline.run(spark, g(landing), g(sink), g(archive), "2026-08-12")
+    assert(r.rowsRead === 1 && r.rowsAppended === 1 && r.filesArchived === 1)
+    assert(spark.read.parquet(g(sink)).count() === 1)
+    // and the artifacts are real local files underneath
+    assert(Files.exists(Paths.get(archive, "2026-08-12", "b.csv")))
+  }
+
   test("typed() casts strings and nulls unparseable values (P1 semantics)") {
     import spark.implicits._
     val df = Seq(

@@ -69,6 +69,31 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
   }
 
+  test("corpus-side candidate joins never FORCE a broadcast (100 TB shape)") {
+    // documents/embeddings-derived frames must not carry broadcast()
+    // hints: a forced broadcast of an O(corpus) side OOMs at scale. With
+    // autoBroadcastJoinThreshold disabled, any Broadcast* left in these
+    // plans can only come from a hardcoded hint — there must be none.
+    // (AQE may still auto-broadcast at runtime when a side measures
+    // small; that adaptivity is exactly what a hint would destroy.)
+    val corpusQueries = Seq(
+      "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+      "dedup_levenshtein", "dedup_embedding_nn", "sim_ann_lsh",
+      "sim_knn_per_label")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // frames cached by EARLIER tests embed physical plans built under the
+    // default threshold (where auto-broadcast is legitimate); drop them so
+    // every subtree here is planned fresh under threshold = -1
+    spark.catalog.clearCache()
+    try corpusQueries.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfTiny)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+        s"$name forces a broadcast of a corpus-derived side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("blocked kNN joins shuffle on the block key, not all-pairs") {
     val plan = SparkEntry.queries("sim_knn_per_label")(spark, sfTiny)
       .queryExecution.sparkPlan.toString

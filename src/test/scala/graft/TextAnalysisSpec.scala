@@ -15,7 +15,11 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "der hund und die katze sind freunde und das ist gut", "de", "s", 51L),
       (2L, "el perro y la gata son amigos y los dos duermen que bien", "es", "s", 56L),
       (3L, "le chien et les chats dorment dans une maison", "fr", "s", 45L),
-      (4L, "data data data pipeline pipeline spark", "en", "s", 38L)
+      (4L, "data data data pipeline pipeline spark", "en", "s", 38L),
+      // degenerate documents: empty and whitespace-only — zero tokens,
+      // the ANSI divide-by-zero / NULL-divergence regression case
+      (5L, "", "en", "s", 0L),
+      (6L, "   ", "en", "s", 3L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
@@ -47,7 +51,8 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("text_quality ratios are exact rationals in [0, 1]") {
-    val rows = SparkEntry.queries("text_quality")(spark, dir).collect()
+    val rows = SparkEntry.queries("text_quality")(spark, dir)
+      .filter(col("n_tokens") > 0).collect()
     rows.foreach { r =>
       val sw = r.getAs[Double]("stopword_ratio")
       val al = r.getAs[Double]("alpha_ratio")
@@ -57,6 +62,25 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 0: "the" ×2 + "a" ×1 + "and" ×1 of 11 tokens
     val d0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
     assert(d0.getAs[Double]("stopword_ratio") === 4.0 / 11.0)
+  }
+
+  test("empty / whitespace-only documents yield NULL ratios, no divide error") {
+    val q = SparkEntry.queries("text_quality")(spark, dir)
+      .filter(col("doc_id") >= 5L).collect()
+    assert(q.length === 2)
+    q.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === 0L)
+      assert(r.isNullAt(r.fieldIndex("stopword_ratio")))
+      assert(r.isNullAt(r.fieldIndex("distinct_ratio")))
+      assert(r.isNullAt(r.fieldIndex("quality_score")))
+    }
+    // alpha_ratio: NULL only when the text itself is zero-length
+    val byId = q.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(5L).isNullAt(byId(5L).fieldIndex("alpha_ratio")))
+    assert(byId(6L).getAs[Double]("alpha_ratio") === 0.0)
+    val ts = SparkEntry.queries("text_token_stats")(spark, dir)
+      .filter(col("doc_id") >= 5L).collect()
+    ts.foreach(r => assert(r.isNullAt(r.fieldIndex("avg_token_len"))))
   }
 
   test("text_fingerprint: equal texts get equal fingerprints") {
