@@ -84,14 +84,23 @@ object ConnectedComponents {
 
     var rounds = 0
     var converged = false
+    // convergence check costs ONE cheap agg action per round: an
+    // order-independent (count, hash-XOR) signature of the edge set
+    // (XOR: commutative, overflow-free under ANSI mode; the frames are
+    // distinct so duplicates can't cancel). Only when consecutive
+    // signatures collide is set equality CONFIRMED with an anti-join
+    // (counts equal + no new edges ⟺ equal sets), so a hash collision
+    // can never false-converge.
+    var prevSig: (Long, Long) = null
     while (!converged && rounds < maxRounds) {
       // stageIterative: plan-truncating — round r's plan must not embed
       // round r-1's (analysis cost would grow exponentially in rounds)
       val next = Materialize.stageIterative(smallStar(largeStar(edges)))
-      // set equality via anti-joins on distinct frames (both tiny counts)
-      val grew = next.join(edges, Seq("u", "v"), "left_anti").count()
-      val shrank = edges.join(next, Seq("u", "v"), "left_anti").count()
-      converged = grew == 0 && shrank == 0
+      val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      if (sig == prevSig)
+        converged = next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      prevSig = sig
       // the superseded round's blocks are dead now — free them instead
       // of letting O(log n) rounds of cache stack up
       edges.unpersist(blocking = false)
