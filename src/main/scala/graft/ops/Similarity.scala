@@ -50,15 +50,37 @@ object Similarity extends QueryModule {
   private def cosine(ea: String, eb: String, na: String, nb: String): Column =
     (expr(s"vec_dot($ea, $eb)") / (col(na) * col(nb))).as("cosine")
 
-  /** 16-bit sign-random-projection signature (md5-parity hyperplanes). */
-  private val lshSigExpr = """
-    array_join(transform(sequence(0, 15), j ->
-      CASE WHEN aggregate(transform(sequence(0, 63),
-        i -> (CASE WHEN substring(md5(concat(cast(j AS string), '|', cast(i AS string))), 1, 1) >= '8'
-                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
-             * CAST(embedding[i] AS DOUBLE)),
-        CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0
-      THEN '1' ELSE '0' END), '')"""
+  /** The 16×64 hyperplane sign matrix is a CONSTANT — md5-parity of
+    * "j|i" — so it is computed ONCE, driver-side, and embedded as
+    * literals (constant-folded to 16 literal arrays in the plan). The
+    * round-2 expression re-hashed all 1024 cells per ROW; at corpus
+    * scale that is 1024 needless md5 evaluations per vector. Bit
+    * parity with the oracle (which still derives signs from md5 in
+    * SQL) is pinned by SimilaritySpec and the driver hash gate.
+    */
+  private[graft] def lshSign(j: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j|$i".getBytes("UTF-8"))
+    // first hex char of the digest = high nibble of byte 0; '8'..'f'
+    // (i.e. nibble >= 8) means +1, mirroring substring(md5(..), 1, 1) >= '8'
+    if (((digest(0) & 0xff) >> 4) >= 8) 1.0 else -1.0
+  }
+
+  /** 16-bit sign-random-projection signature (md5-parity hyperplanes,
+    * literal sign matrix). zip_with preserves element order and the
+    * aggregate folds left-to-right, so the sum associates exactly like
+    * the oracle's generate_series fold — bit-identical doubles.
+    */
+  private lazy val lshSigExpr: String =
+    (0 until 16).map { j =>
+      val signs = (0 until 64)
+        .map(i => if (lshSign(j, i) > 0) "1.0D" else "-1.0D")
+        .mkString("array(", ",", ")")
+      s"""CASE WHEN aggregate(zip_with($signs, embedding,
+            (s, x) -> s * CAST(x AS DOUBLE)),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+          THEN '1' ELSE '0' END"""
+    }.mkString("concat(", ", ", ")")
 
   /** Shared DuckDB CTE: embeddings with norms (dialect twin of `normed`). */
   private val normedSql = """

@@ -61,6 +61,21 @@ class SimilaritySpec extends SparkSpec {
     assert(first(1L) === 0L)
   }
 
+  test("literal LSH sign matrix matches Spark-side md5 parity cell-by-cell") {
+    // the hyperplane matrix is precomputed driver-side (ops.Similarity
+    // .lshSign) and embedded as literals; every cell must equal what the
+    // round-2 per-row SQL expression computed from md5
+    val fromSql = spark.sql("""
+      SELECT j, i,
+             CASE WHEN substring(md5(concat(cast(j AS string), '|', cast(i AS string))), 1, 1) >= '8'
+                  THEN 1.0D ELSE -1.0D END AS s
+      FROM (SELECT explode(sequence(0, 15)) AS j)
+      LATERAL VIEW explode(sequence(0, 63)) t AS i""")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (j <- 0 until 16; i <- 0 until 64)
+      assert(ops.Similarity.lshSign(j, i) === fromSql((j, i)), s"cell ($j, $i)")
+  }
+
   test("sim_ann_lsh: near-identical vectors land in the same buckets") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, dir)
       .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
