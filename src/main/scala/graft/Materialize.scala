@@ -34,11 +34,23 @@ import org.apache.spark.storage.StorageLevel
 object Materialize {
 
   private val staged = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val ckptFiles =
+    new java.util.concurrent.ConcurrentLinkedQueue[(org.apache.spark.sql.SparkSession, String)]()
+
+  private def checkpointTracked(df: DataFrame): DataFrame = {
+    val out = df.checkpoint()
+    // reliable checkpoint files are NOT cleaned by the ContextCleaner
+    // unless spark.cleaner.referenceTracking.cleanCheckpoints is set;
+    // track them so releaseAll() honors the same "one query's
+    // materialization never outlives it" contract as persist mode
+    out.rdd.getCheckpointFile.foreach(f => ckptFiles.add((df.sparkSession, f)))
+    out
+  }
 
   /** Stage a multiply-consumed frame behind a materialization barrier. */
   def stage(df: DataFrame): DataFrame =
     df.sparkSession.conf.get("spark.graft.materialize", "persist") match {
-      case "checkpoint" => df.checkpoint()
+      case "checkpoint" => checkpointTracked(df)
       case "local"      => df.localCheckpoint()
       case _ =>
         df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -57,7 +69,7 @@ object Materialize {
     */
   def stageIterative(df: DataFrame): DataFrame =
     df.sparkSession.conf.get("spark.graft.materialize", "persist") match {
-      case "checkpoint" => df.checkpoint()
+      case "checkpoint" => checkpointTracked(df)
       case "local"      => df.localCheckpoint()
       case _ =>
         val cut = df.sparkSession.createDataFrame(df.rdd, df.schema)
@@ -76,6 +88,13 @@ object Materialize {
     while (df != null) {
       df.unpersist(blocking = false)
       df = staged.poll()
+    }
+    var ck = ckptFiles.poll()
+    while (ck != null) {
+      val (spark, file) = ck
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ck = ckptFiles.poll()
     }
   }
 }

@@ -50,6 +50,11 @@ object ConnectedComponents {
       edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node")))
         .distinct())
+    // nodes is consumed only AFTER the loop (label extraction), but the
+    // initial edges frame it reads is unpersisted by round 1 — build its
+    // cache now, while the parent cache is still alive, or the whole
+    // upstream pair-mining pipeline re-runs at label time
+    nodes.count()
 
     // Emission is join-based, never collect_set: a high-degree node's
     // neighborhood must stay spread across rows (one array per celebrity

@@ -98,9 +98,23 @@ object Dedup extends QueryModule {
     * on 128-bit digests, so `rotate_i ∘ md5` is a valid uniform
     * permutation of the shingle universe and lexicographic MIN under it
     * is a valid min-hash — at 1/16th the hashing cost of the round-2
-    * form (16 md5 evaluations per shingle). Rotations start at distinct
-    * hex offsets, so the 16 orderings are driven by independent digest
-    * nibbles.
+    * form (16 md5 evaluations per shingle).
+    *
+    * Independence caveat (the honest version): the 16 minima derive
+    * from one digest, so they are not formally independent. In
+    * practice the argmin under rotation 2i is decided by the digest
+    * nibbles from offset 2i on — DISJOINT leading windows of i.i.d.
+    * uniform nibbles per permutation — so cross-permutation
+    * correlation is a second-order tie effect (~1/256 per leading
+    * pair), not a first-order one, and the banding S-curve is
+    * approximately the classical (1-J^r)^b. This is asserted
+    * EMPIRICALLY, not just argued: DedupSpec checks banded candidates
+    * recover every exact J>=0.8 pair on both the planted fixture and
+    * the driver-generated corpus. If a future corpus shows recall
+    * loss, the drop-in strengthening is one md5 per band
+    * (md5(band || shingle)) with rotations only within a band —
+    * independent bands restore the (1-p_band)^b miss bound at 4× the
+    * hash cost.
     */
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
@@ -236,9 +250,13 @@ object Dedup extends QueryModule {
             // then exact-verify candidates against full shingle sets.
             // Recall loss is confined to pairs overlapping ONLY in
             // ultra-hot shingles, which at J >= 0.8 means boilerplate.
+            val k = cutoff.toIntOption.getOrElse(sys.error(
+              s"spark.graft.shingle.dfCutoff must be a positive integer, got '$cutoff'"))
+            require(k >= 1,
+              s"spark.graft.shingle.dfCutoff must be >= 1 (a df-1 shingle is unique to one doc), got $k")
             val keep = sh.groupBy(col("shingle"))
               .agg(count(lit(1)).as("df"))
-              .filter(col("df") <= cutoff.toInt)
+              .filter(col("df") <= k)
               .select(col("shingle").as("keep_sh"))
             val cand = a.join(keep, col("shingle") === col("keep_sh"))
               .select(col("doc_a"), col("shingle"))

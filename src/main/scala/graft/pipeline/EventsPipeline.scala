@@ -118,13 +118,18 @@ object EventsPipeline {
     val raw = readCsv(spark, landingDir, failFast)
     // ONE scan of the landing CSVs: the typed projection is persisted,
     // and the row count, the watermark filter, and the write all derive
-    // from the cache (round 2 paid a second full CSV pass for rowsRead)
+    // from the cache (round 2 paid a second full CSV pass for rowsRead).
+    // `fresh` is persisted TOO: its watermark lookup is a MAX over the
+    // whole sink — at scale the most expensive scan in the pipeline —
+    // and must execute once, not once for the guard and again for the
+    // write.
     val parsed = typed(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    val fresh = watermarkFilter(spark, parsed, sinkDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val inputs = raw.inputFiles.toSeq.sorted
       val rowsRead = parsed.count() // materializes the cache pre-archival
-      val fresh = watermarkFilter(spark, parsed, sinkDir)
-      val n = fresh.count() // P3 guard + report metric, cache-served
+      val n = fresh.count() // P3 guard + report metric, one execution
       if (n > 0) {
         fresh
           .withColumn("event_date", to_date(col("ts")))
@@ -147,6 +152,9 @@ object EventsPipeline {
         }
       }
       Report(inputs, rowsRead, n, archived)
-    } finally parsed.unpersist()
+    } finally {
+      fresh.unpersist()
+      parsed.unpersist()
+    }
   }
 }

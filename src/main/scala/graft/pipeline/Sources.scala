@@ -10,8 +10,8 @@ import org.apache.spark.sql.types._
   * oracle-compared against the original table.
   *
   * The round trips write under java.io.tmpdir (keyed by a per-process
-  * UUID plus the sf dir) — harness-scoped scratch, overwritten per run,
-  * deterministic content, never shared between concurrent JVMs.
+  * UUID plus the sf dir) — harness-scoped scratch, deterministic
+  * content, never shared between concurrent JVMs, deleted on JVM exit.
   * Timestamps travel as epoch-microsecond BIGINTs: the raw events table
   * is nanosecond-precision, and µs-truncated integers compare exactly
   * across Spark (`unix_micros`, after Tables.events' ns→µs truncation)
@@ -21,12 +21,20 @@ object Sources extends QueryModule {
 
   /** Per-JVM unique component: two concurrent runs over the same sf dir
     * (e.g. the driver gate plus a dev run) must never race overwrite
-    * writes against reads of the same scratch path.
+    * writes against reads of the same scratch path. The whole per-JVM
+    * root is removed on shutdown — unique dirs must not turn into an
+    * unbounded tmp leak across runs.
     */
-  private val procTag = java.util.UUID.randomUUID().toString.take(8)
+  private lazy val procRoot: java.io.File = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_${java.util.UUID.randomUUID().toString.take(8)}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(root)))
+    root
+  }
 
   private def scratch(d: String, tag: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_$procTag/$tag${d.replaceAll("[^A-Za-z0-9.-]", "_")}"
+    s"$procRoot/$tag${d.replaceAll("[^A-Za-z0-9.-]", "_")}"
 
   /** Typed schema for the CSV read-back (S1: declared schema, FAILFAST —
     * the strict path; EventsPipeline.readCsv covers PERMISSIVE).

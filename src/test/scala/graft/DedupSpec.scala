@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact, "banded candidates must recover every J>=0.8 pair here")
   }
 
+  test("rotation-derived permutations: full recall on the driver corpus too") {
+    // the 16 permutations share one digest (disjoint-leading-window
+    // argument in Dedup.scala); this is the empirical guard that the
+    // correlation does not cost recall on realistic data, not just the
+    // 5-doc fixture: every exact J>=0.8 pair must survive banding
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfTiny)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = SparkEntry.queries("dedup_minhash")(spark, sfTiny)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact,
+      s"missed pairs: ${(exact -- lsh).take(5)}; spurious: ${(lsh -- exact).take(5)}")
+  }
+
   test("dedup_clusters groups transitively connected near-dups") {
     val clusters = run("dedup_clusters")
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap

@@ -91,7 +91,12 @@ class PlanAuditSpec extends SparkSpec {
         .queryExecution.sparkPlan.toString
       assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
         s"$name forces a broadcast of a corpus-derived side:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // symmetric: frames staged DURING this test were planned under
+      // threshold=-1 — drop them so later suites re-plan under defaults
+      spark.catalog.clearCache()
+    }
   }
 
   test("blocked kNN joins shuffle on the block key, not all-pairs") {
