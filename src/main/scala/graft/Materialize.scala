@@ -58,6 +58,23 @@ object Materialize {
         df
     }
 
+  /** Stage + force the cache to build NOW (persist is lazy). For frames
+    * whose first consumers are two CONCURRENT stages of a self-join:
+    * with a lazy cache both stages race to compute the same partitions
+    * and serialize on block locks while holding task slots — observed
+    * as multi-× run-to-run variance on the banded self-joins. One
+    * upfront pass builds the cache; the join stages then only read.
+    * (checkpoint/localCheckpoint modes are already eager.)
+    */
+  def stageEager(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.materialize", "persist") match {
+      case "checkpoint" | "local" => stage(df)
+      case _ =>
+        val out = stage(df)
+        out.count()
+        out
+    }
+
   /** Stage a frame produced by an ITERATIVE loop: like `stage`, but
     * first truncates the Catalyst plan (`createDataFrame(df.rdd,
     * schema)` → `LogicalRDD`). Without truncation each round's plan

@@ -38,7 +38,7 @@ object Dedup extends QueryModule {
     * Spark's sequence(0, -1) would descend, not return empty.
     */
   private[ops] def shingles(s: SparkSession, d: String): DataFrame =
-    Materialize.stage(
+    Materialize.stageEager(
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
@@ -119,7 +119,7 @@ object Dedup extends QueryModule {
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val par = s.sparkContext.defaultParallelism
-    val mh = Materialize.stage(Tables.documents(s, d)
+    val mh = Materialize.stageEager(Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), array_distinct(expr(
@@ -513,7 +513,7 @@ object Dedup extends QueryModule {
     * shared primitive for dedup_simhash and text fingerprinting.
     */
   def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    Materialize.stage(
+    Materialize.stageEager(
       Materialize.stage(
         Tables.documents(s, d)
           // per-token md5s computed once, narrowly; summing ±1 per

@@ -171,7 +171,7 @@ object Similarity extends QueryModule {
         // frame that can NEVER broadcast at 100 TB, so no hints; AQE
         // may still auto-broadcast when a side measures small.
         val par = s.sparkContext.defaultParallelism
-        val e = Materialize.stage(normed(s, d).repartition(par, col("vec_id"))
+        val e = Materialize.stageEager(normed(s, d).repartition(par, col("vec_id"))
           .withColumn("sig", expr(lshSigExpr)))
         val bands = e.select(col("vec_id"), col("sig"),
             explode(expr("sequence(1, 4)")).as("b"))
