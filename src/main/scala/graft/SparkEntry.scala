@@ -17,6 +17,7 @@ object SparkEntry {
     ops.Joins,
     ops.Analytics,
     ops.Dedup,
+    ops.Curation,
     ops.TextAnalysis,
     ops.Similarity,
     ops.Multimodal,

@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators over `documents` — the selection side of a
+  * training-data pipeline (SURVEY.md §2.8): deterministic stratified
+  * sampling, per-source token-budget packing, and eval-set contamination
+  * detection. These are the operations that turn a cleaned corpus into a
+  * training MIX: which documents, from which sources, under which budget,
+  * excluding anything that leaks the benchmark.
+  *
+  * Determinism rules: sampling order is md5 of the doc id (bit-identical
+  * hex in Spark and DuckDB — no engine RNG anywhere), budgets are integer
+  * window sums, contamination is exact n-gram set intersection. Every
+  * query is value-level oracle-twinnable.
+  *
+  * Scale notes (100 TB):
+  *  - Stratified sampling is one shuffle on the stratum key + a
+  *    per-partition top-k (rank <= k after a window sort). Hot strata
+  *    sort only their own partition; k rows per stratum survive.
+  *  - Budget packing is the same shape: one shuffle per source, one
+  *    ordered scan per group, running integer sum — state is one
+  *    accumulator per group, the streaming-friendly formulation.
+  *  - Contamination joins train 8-gram postings against the DISTINCT
+  *    eval gram set. Eval sets are small by nature but the join is a
+  *    plain shuffled equi-join on the gram (no broadcast hint, per the
+  *    engine's corpus-side broadcast policy); AQE broadcasts it at
+  *    runtime when it measures small.
+  */
+object Curation extends QueryModule {
+
+  /** Word n-grams per document as (doc_id, gram) — distinct within doc. */
+  private def grams(df: org.apache.spark.sql.DataFrame, n: Int) =
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks)-$n), i -> " +
+          s"array_join(slice(toks, i + 1, $n), ' '))")).as("gram"))
+      .distinct()
+
+  private def gramsSql(src: String, n: Int): String = s"""
+    SELECT doc_id, gram FROM (
+      SELECT doc_id, UNNEST(list_transform(
+        generate_series(1, len(string_split(text, ' ')) - ${n - 1}),
+        i -> array_to_string(string_split(text, ' ')[i:i+${n - 1}], ' ')
+      )) AS gram
+      FROM $src)
+    GROUP BY doc_id, gram"""
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── deterministic stratified sample: k docs per language ─────
+    // The sampling key is md5(doc_id) — a fixed uniform hash, so the
+    // sample is reproducible across runs/engines and adding documents
+    // never reshuffles the order of existing ones (stable curation).
+    GraftQuery(
+      "curate_stratified_sample",
+      (s, d) => {
+        val k = 50
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("smp"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            md5(col("doc_id").cast("string")).as("smp"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("doc_id"), col("lang"), col("rk"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""
+        SELECT doc_id, lang, rk FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) t
+        WHERE rk <= 50
+        ORDER BY lang, rk
+      """)),
+
+    // ───── token-budget packing: best docs per source under a budget ─────
+    // Greedy fill: per source, documents ordered by lexical diversity
+    // (distinct-token count, an integer — bit-stable ordering) take
+    // their whitespace-token counts out of a shared budget; a document
+    // is kept while the running total stays within budget. One window
+    // pass; per-group state is a single accumulator.
+    GraftQuery(
+      "curate_token_budget",
+      (s, d) => {
+        val budget = 2000L
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("size(filter(split(text, ' '), t -> t <> ''))")
+              .cast("long").as("n_tokens"),
+            expr("size(array_distinct(filter(split(text, ' '), t -> t <> '')))")
+              .cast("long").as("n_distinct"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_distinct").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= budget)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("source"), col("cum_tokens"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_distinct
+          FROM documents)
+        SELECT doc_id, source, n_tokens, cum_tokens FROM (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY n_distinct DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM toks) t
+        WHERE cum_tokens <= 2000
+        ORDER BY source, cum_tokens
+      """)),
+
+    // ───── eval-set contamination: train docs sharing an 8-gram ─────
+    // The "benchmark" is every 20th document (a stand-in for an eval
+    // suite); any OTHER document sharing at least one word-8-gram with
+    // it is flagged with its shared-gram count. Exact set intersection —
+    // the membrane a training mix must enforce before release.
+    GraftQuery(
+      "curate_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = grams(docs.filter(col("doc_id") % 20 =!= 0), 8)
+        val eval8 = grams(docs.filter(col("doc_id") % 20 === 0), 8)
+          .select(col("gram").as("eg")).distinct()
+        train.join(eval8, col("gram") === col("eg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH train AS (${gramsSql("(SELECT * FROM documents WHERE doc_id % 20 <> 0)", 8)}),
+        ev AS (SELECT DISTINCT gram
+               FROM (${gramsSql("(SELECT * FROM documents WHERE doc_id % 20 = 0)", 8)}) g)
+        SELECT doc_id, COUNT(*) AS n_shared_grams
+        FROM train JOIN ev USING (gram)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """))
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Curation-operator semantics on crafted fixtures with hand-checkable
+  * answers: stable stratified sampling, greedy budget packing, exact
+  * contamination intersection.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = scratchDir("curation")
+    val eight = "one two three four five six seven eight"
+    val docs = Seq(
+      // doc 0 is an "eval" doc (doc_id % 20 == 0)
+      (0L, s"$eight and some eval only tail words", "en", "srcA", 40L),
+      // doc 1 contains the same 8-gram → contaminated
+      (1L, s"prefix words then $eight trailing text", "en", "srcA", 40L),
+      // doc 2 shares no 8-gram
+      (2L, "totally different content with no overlap at all here kept short", "en", "srcA", 64L),
+      // doc 3: high diversity, srcB; doc 4: low diversity, srcB
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "de", "srcB", 56L),
+      (4L, "rep rep rep rep rep rep rep rep rep rep", "de", "srcB", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("curate_stratified_sample: per-stratum ranks are stable and bounded") {
+    val rows = SparkEntry.queries("curate_stratified_sample")(spark, dir)
+      .select("doc_id", "lang", "rk").as[(Long, String, Int)].collect()
+    // every doc survives (k=50 > stratum sizes) with ranks 1..n per lang
+    assert(rows.length === 5)
+    val en = rows.filter(_._2 == "en").map(_._3).sorted
+    assert(en.toSeq === Seq(1, 2, 3))
+    // determinism: a second run produces the identical assignment
+    val again = SparkEntry.queries("curate_stratified_sample")(spark, dir)
+      .select("doc_id", "lang", "rk").as[(Long, String, Int)].collect()
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("curate_token_budget packs high-diversity docs first, respects budget") {
+    val rows = SparkEntry.queries("curate_token_budget")(spark, dir)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    // srcB: doc 3 (10 distinct) packs before doc 4 (1 distinct)
+    val srcB = rows.filter(_._2 == "srcB").sortBy(_._4)
+    assert(srcB.head._1 === 3L)
+    // running sums are monotone and within budget
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.last._4 <= 2000L)
+      assert(sorted.map(_._4).toSeq === sorted.scanLeft(0L)(_ + _._3).tail.toSeq)
+    }
+  }
+
+  test("curate_contamination flags exactly the docs sharing an 8-gram") {
+    val rows = SparkEntry.queries("curate_contamination")(spark, dir)
+      .select("doc_id", "n_shared_grams").as[(Long, Long)].collect().toMap
+    assert(rows.contains(1L), "doc 1 embeds the eval 8-gram")
+    assert(rows(1L) >= 1L)
+    assert(!rows.contains(2L), "doc 2 shares nothing")
+    assert(!rows.contains(0L), "eval docs are not scored against themselves")
+  }
+}
