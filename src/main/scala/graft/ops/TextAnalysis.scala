@@ -226,6 +226,37 @@ object TextAnalysis extends QueryModule {
         ORDER BY doc_id, rnk
       """)),
 
+    // ───── PII scrub: email/phone detection + deterministic redaction ─────
+    // The standard pre-release scrub step for a training corpus. Both
+    // patterns are RE2-compatible, so the Java-regex (Spark) and RE2
+    // (DuckDB) engines match identically; Spark's regexp_replace is
+    // global by default, the oracle passes the 'g' flag.
+    GraftQuery(
+      "text_pii_scrub",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
+            lit(phone), lit("<PHONE>")).as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+        FROM documents ORDER BY doc_id
+      """)),
+
     // ───── document fingerprinting: content digest + min-shingle + SimHash ─────
     GraftQuery(
       "text_fingerprint",

@@ -83,6 +83,22 @@ class TextAnalysisSpec extends SparkSpec {
     ts.foreach(r => assert(r.isNullAt(r.fieldIndex("avg_token_len"))))
   }
 
+  test("text_pii_scrub redacts planted emails and phone numbers") {
+    val d = scratchDir("textpii")
+    Seq(
+      (0L, "contact alice.smith+x@example.org or call 555-123-4567 today", "en", "s", 60L),
+      (1L, "no pii in this one just words", "en", "s", 29L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("text_pii_scrub")(spark, d)
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (k, e, p, r) => k -> ((e, p, r)) }.toMap
+    assert(rows(0L)._1 === 1L && rows(0L)._2 === 1L)
+    assert(rows(0L)._3 === "contact <EMAIL> or call <PHONE> today")
+    assert(rows(1L) === ((0L, 0L, "no pii in this one just words")))
+  }
+
   test("text_fingerprint: equal texts get equal fingerprints") {
     val d = scratchDir("textfp")
     Seq(
