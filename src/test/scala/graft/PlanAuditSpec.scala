@@ -79,7 +79,7 @@ class PlanAuditSpec extends SparkSpec {
     val corpusQueries = Seq(
       "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
       "dedup_levenshtein", "dedup_embedding_nn", "sim_ann_lsh",
-      "sim_knn_per_label")
+      "sim_knn_per_label", "curate_contamination")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // frames cached by EARLIER tests embed physical plans built under the
@@ -97,6 +97,15 @@ class PlanAuditSpec extends SparkSpec {
       // threshold=-1 — drop them so later suites re-plan under defaults
       spark.catalog.clearCache()
     }
+  }
+
+  test("dedup_ngram_jaccard collapses the join output map-side (partial agg)") {
+    // the Σ df² posting-list join output must be partially aggregated
+    // BEFORE the (doc_a, doc_b) shuffle — losing the partial agg would
+    // shuffle the full join expansion at corpus scale
+    val plan = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("partial_count"), plan)
   }
 
   test("blocked kNN joins shuffle on the block key, not all-pairs") {
