@@ -99,6 +99,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE re-plans the de-hinted band join adaptively at runtime") {
+    // the broadcast hints were deleted so the STATIC plan never forces a
+    // broadcast; the flip side of that policy is that AQE must still be
+    // free to specialize at runtime when a side MEASURES small. Execute
+    // the banded self-join at sfTiny and check the final adaptive plan
+    // took a runtime decision (broadcast conversion or coalesced reads).
+    spark.catalog.clearCache() // plans cached by earlier tests pin old shapes
+    val df = SparkEntry.queries("dedup_simhash")(spark, sfTiny)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin") ||
+      finalPlan.contains("AQEShuffleRead"), finalPlan)
+  }
+
   test("dedup_ngram_jaccard collapses the join output map-side (partial agg)") {
     // the Σ df² posting-list join output must be partially aggregated
     // BEFORE the (doc_a, doc_b) shuffle — losing the partial agg would
