@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Empty-input robustness: at cluster scale empty partitions and empty
+  * tables are routine (a fresh source, an over-eager filter, a skewed
+  * split), so every corpus operator must return an empty result — never
+  * throw — on zero rows. This sweep runs the full dedup / text /
+  * curation / similarity families against empty (but correctly-typed)
+  * documents and embeddings tables.
+  */
+class DegenerateInputSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = scratchDir("degenerate")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], docSchema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], embSchema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private val docQueries = Seq(
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dedup_levenshtein", "dedup_clusters",
+    "text_token_stats", "text_lang_id", "text_quality", "text_tfidf",
+    "text_fingerprint", "text_ngram_top", "text_pii_scrub",
+    "curate_stratified_sample", "curate_token_budget", "curate_contamination",
+    "mm_binary_meta", "mm_decode_features", "mm_frame_sample", "mm_modality_stats")
+
+  private val embQueries = Seq(
+    "dedup_embedding_nn", "sim_knn_per_label", "sim_ann_lsh", "sim_topk_cosine")
+
+  for (name <- docQueries ++ embQueries)
+    test(s"$name returns an empty result on an empty table, never throws") {
+      assert(SparkEntry.queries(name)(spark, dir).count() === 0L)
+    }
+}
