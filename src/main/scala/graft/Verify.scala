@@ -7,10 +7,16 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args.toSeq match {
+      case Seq(s, o, rest @ _*) => (s, o, rest.toSet)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [query ...]")
+    }
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    selected.foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce folds upstream and would
       // run the whole query plan on one task; repartition keeps the plan
       // parallel and only the final write is single-file

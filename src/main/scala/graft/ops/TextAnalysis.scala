@@ -187,6 +187,14 @@ object TextAnalysis extends QueryModule {
       """)),
 
     // ───── tf-idf: top-3 weighted terms per document ─────
+    // The document-frequency table is corpus-derived (one row per
+    // distinct token) — at web scale the vocabulary is tens of GB,
+    // dominated by hapax tokens (typos, IDs, hashes). So the df join is
+    // a plain shuffled equi-join on the token (NO broadcast hint; AQE
+    // still auto-broadcasts at runtime when df measures small), and
+    // `spark.graft.tfidf.minDf` bounds the vocabulary by construction:
+    // tokens with df < minDf are dropped from the ranking. minDf=2
+    // alone removes the hapax tail that dominates a web-scale vocab.
     GraftQuery(
       "text_tfidf",
       (s, d) => {
@@ -195,12 +203,22 @@ object TextAnalysis extends QueryModule {
           .filter(col("tok") =!= "")
           .groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
-        val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val dfreqAll = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val minDf = s.conf.get("spark.graft.tfidf.minDf", "").trim
+        val dfreq =
+          if (minDf.isEmpty) dfreqAll
+          else {
+            val k = minDf.toIntOption.getOrElse(sys.error(
+              s"spark.graft.tfidf.minDf must be a positive integer, got '$minDf'"))
+            require(k >= 1,
+              s"spark.graft.tfidf.minDf must be >= 1, got $k")
+            dfreqAll.filter(col("df") >= k)
+          }
         // corpus size stays executor-side: 1-row agg broadcast, no collect()
         val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("tok").asc)
-        toks.join(broadcast(dfreq), "tok")
+        toks.join(dfreq, "tok")
           .crossJoin(broadcast(nDf))
           .withColumn("tfidf", col("tf").cast("double") * col("n") / col("df"))
           .withColumn("rnk", row_number().over(w))

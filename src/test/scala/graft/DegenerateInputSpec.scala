@@ -46,4 +46,33 @@ class DegenerateInputSpec extends SparkSpec {
     test(s"$name returns an empty result on an empty table, never throws") {
       assert(SparkEntry.queries(name)(spark, dir).count() === 0L)
     }
+
+  test("text_tfidf honors spark.graft.tfidf.minDf (vocabulary cutoff knob)") {
+    import org.apache.spark.sql.functions.{col, min}
+    // conf changes the plan shape — drop frames cached under the default
+    spark.catalog.clearCache()
+    try {
+      spark.conf.set("spark.graft.tfidf.minDf", "2")
+      val out = SparkEntry.queries("text_tfidf")(spark, sfTiny)
+      assert(out.count() > 0L)
+      // every surviving token cleared the document-frequency floor
+      assert(out.agg(min(col("df"))).head.getLong(0) >= 2L)
+    } finally {
+      spark.conf.unset("spark.graft.tfidf.minDf")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("text_tfidf rejects a junk minDf value instead of silently ignoring it") {
+    try {
+      spark.conf.set("spark.graft.tfidf.minDf", "lots")
+      intercept[RuntimeException] {
+        SparkEntry.queries("text_tfidf")(spark, sfTiny)
+      }
+      spark.conf.set("spark.graft.tfidf.minDf", "0")
+      intercept[IllegalArgumentException] {
+        SparkEntry.queries("text_tfidf")(spark, sfTiny)
+      }
+    } finally spark.conf.unset("spark.graft.tfidf.minDf")
+  }
 }

@@ -79,7 +79,12 @@ class PlanAuditSpec extends SparkSpec {
     val corpusQueries = Seq(
       "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
       "dedup_levenshtein", "dedup_embedding_nn", "sim_ann_lsh",
-      "sim_knn_per_label", "curate_contamination")
+      "sim_knn_per_label", "curate_contamination", "text_tfidf")
+    // text_tfidf legitimately broadcasts ONE side: the 1-row corpus-size
+    // aggregate (a scalar, not corpus-sized). Its vocabulary (df) join
+    // must still be hint-free — no BroadcastHashJoin, and no exchange
+    // beyond the single scalar one.
+    val allowedExchanges = Map("text_tfidf" -> 1).withDefaultValue(0)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // frames cached by EARLIER tests embed physical plans built under the
@@ -89,7 +94,9 @@ class PlanAuditSpec extends SparkSpec {
     try corpusQueries.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfTiny)
         .queryExecution.sparkPlan.toString
-      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$name forces a broadcast hash join of a corpus-derived side:\n$plan")
+      assert("BroadcastExchange".r.findAllIn(plan).size <= allowedExchanges(name),
         s"$name forces a broadcast of a corpus-derived side:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
