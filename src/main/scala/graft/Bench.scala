@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR
   * (default sf0.1) and prints ONE JSON line for the driver's BENCH_r{N}.
   *
@@ -16,11 +20,79 @@ package graft
   *
   * Failures are reported in an `errors` field (name → exception class),
   * never silently recorded as a timing.
+  *
+  * Contention diagnosability: wall time alone cannot distinguish a slow
+  * plan from an oversubscribed host (the round-3 driver artifact was a
+  * 2.2× outlier vs two reruns of identical code). So each query also
+  * records, via a SparkListener over task-end events:
+  *   - `cpu`  executor CPU seconds (sum over tasks)
+  *   - `gc`   JVM GC seconds billed to tasks
+  *   - `sr` / `sw` shuffle bytes read / written (MB)
+  * plus process-wide `loadavg` samples at start/end. Reading the fields:
+  * wall >> cpu/32 with low gc and unchanged shuffle bytes = external
+  * load, not a plan regression; high gc = memory pressure; changed
+  * shuffle bytes = an actual plan change. The five variance-prone banded
+  * self-join queries additionally run SPARK_GRAFT_BENCH_REPS times
+  * (default 3) and report the median wall, with all rep walls kept in
+  * the metrics entry for adjudication.
   */
 object Bench {
+
+  /** Accumulates task-level metrics process-wide; per-query values are
+    * deltas between snapshots. Listener delivery is async, so snapshots
+    * are taken via [[drainedSnap]], which polls until the counters
+    * stabilize (bounded wait) — wall timing is unaffected because the
+    * wall clock is read before draining.
+    */
+  private final class TaskMetricsListener extends SparkListener {
+    val cpuNs  = new AtomicLong
+    val gcMs   = new AtomicLong
+    val shufR  = new AtomicLong
+    val shufW  = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        shufR.addAndGet(m.shuffleReadMetrics.remoteBytesRead
+          + m.shuffleReadMetrics.localBytesRead)
+        shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snap: (Long, Long, Long, Long) =
+      (cpuNs.get, gcMs.get, shufR.get, shufW.get)
+    def drainedSnap(): (Long, Long, Long, Long) = {
+      var prev = snap
+      var stableFor = 0
+      var waited = 0
+      while (stableFor < 2 && waited < 1000) { // ≤1 s; typically ~50 ms
+        Thread.sleep(25); waited += 25
+        val cur = snap
+        if (cur == prev) stableFor += 1 else { stableFor = 0; prev = cur }
+      }
+      prev
+    }
+  }
+
+  /** Banded self-joins whose lazy-cache stage races made round-2/3 wall
+    * times bounce up to 5× run-to-run; medianed to keep one unlucky
+    * scheduling race from defining the round's artifact.
+    */
+  private val varianceProne = Set(
+    "dedup_clusters", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "sim_ann_lsh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val spark = GraftSession.get()
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val load0 = loadAvg
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -30,36 +102,62 @@ object Bench {
       Tables.lineitem(spark, sfDir)
         .groupBy("l_returnflag").count())
 
+    final case class Rep(wall: Double, cpu: Double, gc: Double,
+                         srMb: Double, swMb: Double)
+
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolate queries: release the previous query's checkpoint blocks
-      // (freed via ContextCleaner on GC) so its heap churn isn't billed
-      // to the next query
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          errors ::= (name -> e.getClass.getSimpleName)
-          false
-        }
-        finally Materialize.releaseAll() // free this query's staged cache
+      val n = if (varianceProne(name)) reps else 1
+      val runs = (1 to n).flatMap { _ =>
+        // isolate reps: release the previous run's staged cache so every
+        // rep (and the next query) starts from a cold plan, and collect
+        // the previous run's heap churn before the clock starts
+        System.gc()
+        val (c0, g0, r0, w0) = listener.drainedSnap()
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            errors ::= (name -> e.getClass.getSimpleName)
+            false
+          }
+          finally Materialize.releaseAll()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (c1, g1, r1, w1) = listener.drainedSnap()
+        if (ok) Some(Rep(wall, (c1 - c0) / 1e9, (g1 - g0) / 1e3,
+          (r1 - r0) / 1e6, (w1 - w0) / 1e6))
+        else None
+      }
       // a failed query records -1, never its partial elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (runs.isEmpty) name -> (Rep(-1.0, 0, 0, 0, 0), Seq.empty[Double])
+      else {
+        val sorted = runs.sortBy(_.wall)
+        name -> (sorted(sorted.size / 2), runs.map(_.wall))
+      }
     }
     // Round to ms so the JSON line stays small: the round-2 artifact was
     // truncated by the driver's finite output capture, losing the head of
     // one long full-precision line (total + first ~7 queries).
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    def r2(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + r3(m.wall) }
       .mkString("{", ",", "}")
+    val metrics = results.collect { case (k, (m, walls)) if m.wall >= 0 =>
+      val base = s""""cpu":${r2(m.cpu)},"gc":${r2(m.gc)},"sr_mb":${r2(m.srMb)},"sw_mb":${r2(m.swMb)}"""
+      val w = if (walls.size > 1)
+        s""","walls":[${walls.map(r3).mkString(",")}]""" else ""
+      "\"" + k + "\":{" + base + w + "}"
+    }.mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val good = results.filter(_._2 >= 0)
-    val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
+    val good = results.map(_._2._1.wall).filter(_ >= 0)
+    val total = if (good.nonEmpty) good.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,""" +
+        s""""metrics":$metrics,"loadavg":[${r2(load0)},${r2(loadAvg)}],""" +
+        s""""host_cpus":${Runtime.getRuntime.availableProcessors},"reps":$reps,"sf":"$sfDir"}"""
     // Survive any finite head/tail output capture: persist the full JSON
     // to a file, print it once up front, and re-print it as the very last
     // line of the process (after spark.stop(), so no shutdown log noise
