@@ -210,18 +210,38 @@ object Advanced extends QueryModule {
         ORDER BY o_orderstatus
       """)),
 
-    // ───── approximate distinct (HLL++ sketch; no exact SQL twin) ─────
-    // Sketch outputs are engine-specific by construction, so the driver
-    // records the weaker rows-only check; SketchSpec bounds the relative
-    // error against the exact count instead.
+    // ───── approximate distinct (HLL++ sketch, self-validating) ─────
+    // Raw sketch estimates are engine-specific by construction, so they
+    // can never hash-match across engines. Instead each engine VALIDATES
+    // ITS OWN estimator: it emits the exact distinct count (which both
+    // engines agree on bit-for-bit) plus a boolean saying whether its own
+    // HLL estimate landed within 10% of its own exact count. Any sane
+    // estimator yields all-true on both sides, so rows+schema+hash match
+    // — and the row still proves the sketch machinery ran and converged.
+    // SketchSpec additionally bounds the raw relative error at 3× rsd.
     GraftQuery(
       "agg_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            count(lit(1)).as("n_rows"))
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            count(lit(1)).as("n_rows"),
+            (abs(approx_count_distinct(col("l_partkey"), 0.02)
+              - countDistinct(col("l_partkey"))).cast("double")
+              <= lit(0.1) * countDistinct(col("l_partkey")))
+              .as("estimate_within_10pct"))
           .orderBy(col("l_returnflag")),
-      None)
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(ABS(approx_count_distinct(l_partkey)
+                        - COUNT(DISTINCT l_partkey)) AS DOUBLE)
+                 <= 0.1 * COUNT(DISTINCT l_partkey) AS estimate_within_10pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """))
   )
 }
