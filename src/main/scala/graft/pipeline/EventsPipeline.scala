@@ -146,7 +146,16 @@ object EventsPipeline {
       inputs.foreach { uri =>
         val p = new Path(new java.net.URI(uri))
         if (fs.exists(p)) {
-          if (!fs.rename(p, new Path(archBase, p.getName)))
+          val dst = new Path(archBase, p.getName)
+          if (fs.exists(dst)) {
+            // On object stores rename is copy-then-delete (S3A); a crash
+            // between the halves leaves the file at BOTH paths. The
+            // archive path is scoped by run date, so an existing dst for
+            // this source can only be a previous attempt's surviving
+            // copy: finish its delete half instead of failing the run.
+            if (!fs.delete(p, false))
+              sys.error(s"archive: could not remove already-archived $p")
+          } else if (!fs.rename(p, dst))
             sys.error(s"archive: rename failed for $p")
           archived += 1
         }

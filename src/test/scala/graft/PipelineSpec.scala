@@ -120,6 +120,65 @@ class PipelineSpec extends SparkSpec {
     assert(Files.exists(Paths.get(archive, "2026-08-12", "b.csv")))
   }
 
+  test("archival stays exactly-once when rename is S3A-style copy+delete") {
+    // object-store rename is copy-then-delete, not atomic; the happy path
+    // must behave identically to a posix rename
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    def g(p: String) = s"graftfs:$p"
+    val landing = scratchDir("pipe_s3_l")
+    val sink    = scratchDir("pipe_s3_s") + "/sink"
+    val archive = scratchDir("pipe_s3_a")
+    writeCsv(landing, "c.csv", Seq("1,86400000000,10,click,1.0"))
+    GraftTestFileSystem.renameIsCopyDelete = true
+    try {
+      val r = EventsPipeline.run(spark, g(landing), g(sink), g(archive), "2026-08-12")
+      assert(r.rowsAppended === 1 && r.filesArchived === 1)
+      assert(Files.exists(Paths.get(archive, "2026-08-12", "c.csv")))
+      assert(!Files.exists(Paths.get(landing, "c.csv")))
+    } finally GraftTestFileSystem.renameIsCopyDelete = false
+  }
+
+  test("archival converges after a crash inside the copy+delete window") {
+    // the S3A hazard: a crash between the copy and the delete leaves the
+    // file at BOTH paths. The retry must (a) append no duplicate rows —
+    // the watermark's job — and (b) finish the orphaned delete half
+    // instead of failing on the already-present archive copy.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    def g(p: String) = s"graftfs:$p"
+    val landing = scratchDir("pipe_crash_l")
+    val sink    = scratchDir("pipe_crash_s") + "/sink"
+    val archive = scratchDir("pipe_crash_a")
+    writeCsv(landing, "d.csv", Seq(
+      "1,86400000000,10,click,1.0",
+      "2,172800000000,11,view,2.0"))
+    GraftTestFileSystem.renameIsCopyDelete = true
+    try {
+      // scope the crash to the archival rename (Spark's committer also
+      // renames on this scheme while writing the sink)
+      GraftTestFileSystem.crashAfterCopyWhenDstContains = Some("pipe_crash_a")
+      intercept[java.io.IOException] {
+        EventsPipeline.run(spark, g(landing), g(sink), g(archive), "2026-08-12")
+      }
+      // crash window: sink write committed, file present at BOTH paths
+      assert(spark.read.parquet(g(sink)).count() === 2)
+      assert(Files.exists(Paths.get(landing, "d.csv")))
+      assert(Files.exists(Paths.get(archive, "2026-08-12", "d.csv")))
+
+      // retry of the same run date: exactly-once on rows AND on files
+      val r = EventsPipeline.run(spark, g(landing), g(sink), g(archive), "2026-08-12")
+      assert(r.rowsAppended === 0, "watermark must reject the replayed file's rows")
+      assert(r.filesArchived === 1, "retry must account the recovered file")
+      assert(spark.read.parquet(g(sink)).count() === 2, "no duplicate rows after retry")
+      assert(!Files.exists(Paths.get(landing, "d.csv")), "landing drained")
+      assert(Files.exists(Paths.get(archive, "2026-08-12", "d.csv")))
+    } finally {
+      GraftTestFileSystem.renameIsCopyDelete = false
+      GraftTestFileSystem.crashAfterCopyWhenDstContains = None
+    }
+  }
+
   test("typed() casts strings and nulls unparseable values (P1 semantics)") {
     import spark.implicits._
     val df = Seq(
