@@ -99,6 +99,13 @@ object Materialize {
     * (Verify, Bench) call this after materializing each query so one
     * query's cache never occupies memory during the next. `blocking =
     * false`: block cleanup proceeds async while the next query starts.
+    *
+    * CONTRACT: the staging queues are process-global, so release is
+    * strictly run-one-query-then-release — the single-threaded loop
+    * Verify/Bench use. Callers running queries CONCURRENTLY must not use
+    * `releaseAll()` (it would unpersist another in-flight query's staged
+    * frames and delete its live checkpoint files); concurrent execution
+    * needs a per-query scope token, which no current caller requires.
     */
   def releaseAll(): Unit = {
     var df = staged.poll()

@@ -37,23 +37,26 @@ object ConnectedComponents {
   def run(pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
 
-    // u > v canonical orientation, self-loops dropped (plan-truncating
-    // stage: the upstream pair-mining plan must not be re-embedded in
-    // every round's star plans)
-    var edges = Materialize.stageIterative(
+    // u >= v canonical orientation (plan-truncating stage: the upstream
+    // pair-mining plan must not be re-embedded in every round's star
+    // plans). Self-loops are KEPT in this staged frame so `nodes` sees a
+    // node whose only edges are self-loops — the scaladoc guarantees
+    // every node of `pairs` appears in the labels — and only `edges`,
+    // the star loop's input, filters them out. Such a node then labels
+    // itself via the left-join fallback below, which is its component.
+    val canon = Materialize.stageIterative(
       pairs.toDF("a", "b")
-        .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
         .distinct())
+    var edges = canon.filter(col("u") =!= col("v"))
     val nodes = Materialize.stage(
-      edges.select(col("u").as("node"))
-        .union(edges.select(col("v").as("node")))
+      canon.select(col("u").as("node"))
+        .union(canon.select(col("v").as("node")))
         .distinct())
-    // nodes is consumed only AFTER the loop (label extraction), but the
-    // initial edges frame it reads is unpersisted by round 1 — build its
-    // cache now, while the parent cache is still alive, or the whole
-    // upstream pair-mining pipeline re-runs at label time
+    // nodes is consumed only AFTER the loop (label extraction); build its
+    // cache now from canon's still-warm cache, or the whole upstream
+    // pair-mining pipeline re-runs at label time
     nodes.count()
 
     // Emission is join-based, never collect_set: a high-degree node's

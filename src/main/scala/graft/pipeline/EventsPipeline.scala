@@ -83,16 +83,19 @@ object EventsPipeline {
   def watermarkFilter(spark: SparkSession, df: DataFrame, sinkDir: String): DataFrame =
     SinkIO.watermarkFilter(spark, df, new ParquetSink(sinkDir), "ts")
 
-  /** `rowsRead` counts VALID parsed rows (in PERMISSIVE mode corrupt
-    * rows are excluded): it is served from the one persisted scan — the
-    * round-2 shape re-scanned every landing CSV a second time purely for
-    * this metric.
+  /** `rowsRead` counts VALID parsed rows and `corruptRows` the rows
+    * PERMISSIVE mode dropped (always 0 under FAILFAST, which throws
+    * instead) — so rowsRead + corruptRows is the landing total and the
+    * corrupt-drop signal is never silently lost. Both counts are served
+    * from the one persisted scan — the round-2 shape re-scanned every
+    * landing CSV a second time purely for metrics.
     */
   final case class Report(
       filesIn: Seq[String],
       rowsRead: Long,
       rowsAppended: Long,
-      filesArchived: Int)
+      filesArchived: Int,
+      corruptRows: Long = 0L)
 
   /** O1–O3: the sequential runner. FAILFAST by default; pass
     * failFast=false for the PERMISSIVE + corrupt-record-drop path.
@@ -115,20 +118,31 @@ object EventsPipeline {
         st.isFile && st.getPath.getName.endsWith(".csv"))
     if (!hasCsv) return Report(Seq.empty, 0L, 0L, 0)
 
-    val raw = readCsv(spark, landingDir, failFast)
-    // ONE scan of the landing CSVs: the typed projection is persisted,
-    // and the row count, the watermark filter, and the write all derive
+    // ONE scan of the landing CSVs: the RAW frame is persisted (not the
+    // typed projection, which is a cheap narrow cast over the cache), so
+    // the total count, the corrupt-row count, and the write all derive
     // from the cache (round 2 paid a second full CSV pass for rowsRead).
     // `fresh` is persisted TOO: its watermark lookup is a MAX over the
     // whole sink — at scale the most expensive scan in the pipeline —
     // and must execute once, not once for the guard and again for the
     // write.
-    val parsed = typed(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    val rawScan = readCsv(spark, landingDir, failFast)
+    // inputFiles MUST be read off the un-persisted scan: once the frame
+    // is cached, plan analysis substitutes InMemoryRelation (no file
+    // index) and inputFiles silently returns empty — archiving nothing
+    val inputs = rawScan.inputFiles.toSeq.sorted
+    val raw = rawScan.persist(StorageLevel.MEMORY_AND_DISK)
+    val parsed = typed(raw)
     val fresh = watermarkFilter(spark, parsed, sinkDir)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val inputs = raw.inputFiles.toSeq.sorted
-      val rowsRead = parsed.count() // materializes the cache pre-archival
+      val totalRows = raw.count() // materializes the cache pre-archival
+      // cached scan, not a CSV re-read (counting ONLY the corrupt column
+      // straight off a CSV relation is disallowed; off a cache it's fine)
+      val corruptRows =
+        if (failFast) 0L
+        else raw.filter(col("_corrupt_record").isNotNull).count()
+      val rowsRead = totalRows - corruptRows
       val n = fresh.count() // P3 guard + report metric, one execution
       if (n > 0) {
         fresh
@@ -160,10 +174,10 @@ object EventsPipeline {
           archived += 1
         }
       }
-      Report(inputs, rowsRead, n, archived)
+      Report(inputs, rowsRead, n, archived, corruptRows)
     } finally {
       fresh.unpersist()
-      parsed.unpersist()
+      raw.unpersist()
     }
   }
 }

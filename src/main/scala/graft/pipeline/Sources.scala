@@ -22,12 +22,23 @@ object Sources extends QueryModule {
   /** Per-JVM unique component: two concurrent runs over the same sf dir
     * (e.g. the driver gate plus a dev run) must never race overwrite
     * writes against reads of the same scratch path. The whole per-JVM
-    * root is removed on shutdown — unique dirs must not turn into an
-    * unbounded tmp leak across runs.
+    * root is removed on shutdown; because a SIGKILL/OOM-kill skips the
+    * shutdown hook, root creation also best-effort sweeps sibling
+    * `graft_*` dirs that have been idle for over a day — crashed runs
+    * must not turn unique dirs into an unbounded tmp leak.
     */
   private lazy val procRoot: java.io.File = {
+    val tmpDir = new java.io.File(sys.props("java.io.tmpdir"))
+    val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(tmpDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      // lastModified of a live run's root updates as queries write into
+      // it; a day-stale root can only be a crashed run's leftover
+      if (f.getName.startsWith("graft_") && f.isDirectory
+          && f.lastModified() < dayAgo)
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_${java.util.UUID.randomUUID().toString.take(8)}")
+      tmpDir, s"graft_${java.util.UUID.randomUUID().toString.take(8)}")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(root)))
     root

@@ -117,6 +117,15 @@ class DedupSpec extends SparkSpec {
     assert(lab(20L) == 20L && lab(21L) == 20L)
   }
 
+  test("connected components label self-loop-only nodes (scaladoc guarantee)") {
+    // node 5 appears ONLY as a self-loop: it must still appear in the
+    // labels, as its own singleton component
+    val edges = Seq((0L, 1L), (5L, 5L), (1L, 1L)).toDF("a", "b")
+    val (labels, _) = ops.ConnectedComponents.run(edges)
+    val lab = labels.as[(Long, Long)].collect().toMap
+    assert(lab === Map(0L -> 0L, 1L -> 0L, 5L -> 5L))
+  }
+
   test("shingle df-cutoff gates candidate generation only") {
     def pairs() = run("dedup_ngram_jaccard")
       .select("doc_a", "doc_b", "jaccard")

@@ -85,6 +85,8 @@ class PipelineSpec extends SparkSpec {
     val r = EventsPipeline.run(spark, landing, sink, archive, "2026-08-12",
       failFast = false)
     assert(r.rowsAppended === 1, "corrupt row dropped, valid row kept")
+    assert(r.rowsRead === 1 && r.corruptRows === 1,
+      "the dropped corrupt row must be accounted, not silently lost")
   }
 
   test("run on an empty landing dir returns a zero report (steady state)") {
