@@ -116,16 +116,25 @@ object Dedup extends QueryModule {
     * independent bands restore the (1-p_band)^b miss bound at 4× the
     * hash cost.
     */
-  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val par = s.sparkContext.defaultParallelism
-    val mh = Materialize.stageEager(Tables.documents(s, d)
+  /** (doc_id, band, band_sig) LSH band signatures for a (doc_id, text)
+    * frame — the narrow one-md5-per-shingle + digest-rotation pipeline
+    * documented above. Stateless projections only, so the SAME
+    * definition runs over a batch frame here and over a stream in
+    * `StreamingPipeline.nearDupLinks` (one signature definition, two
+    * execution modes — signatures computed online match the batch ones
+    * exactly). `par`: optional repartition before the md5 work.
+    */
+  private[graft] def bandSignatures(docs: DataFrame, par: Option[Int] = None): DataFrame = {
+    val shingled = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
       )).as("shingles"))
-      .repartition(par) // spread the md5 work over all cores
+    // spread the md5 work over all cores (batch path; a stream inherits
+    // its source partitioning)
+    val spread = par.fold(shingled)(shingled.repartition)
+    spread
       .select(col("doc_id"), expr("transform(shingles, s -> md5(s))").as("hs"))
       .select(col("doc_id"), expr("""
         transform(sequence(0, 15), i ->
@@ -134,7 +143,13 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("mhs"),
         explode(expr("sequence(0, 3)")).as("band"))
       .select(col("doc_id"), col("band"),
-        expr("array_join(slice(mhs, band*4 + 1, 4), '')").as("band_sig")))
+        expr("array_join(slice(mhs, band*4 + 1, 4), '')").as("band_sig"))
+  }
+
+  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val mh = Materialize.stageEager(bandSignatures(
+      Tables.documents(s, d), Some(s.sparkContext.defaultParallelism)))
       // both band-join sides read this — materialize once
     val a = mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
     val b = mh.select(col("doc_id").as("doc_b"),

@@ -11,6 +11,16 @@ final case class SessionState(startUs: Long, lastUs: Long, n: Long)
 /** A closed session emitted downstream. */
 final case class SessionSummary(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
+/** Per-LSH-band state for streaming near-dup detection: the canonical
+  * (lowest) doc_id ever seen for this band signature.
+  */
+final case class BandCanon(canonDoc: Long)
+
+/** One near-dup link: `doc_id` collided with `canon_doc`'s band. A doc
+  * with min(canon_doc) < doc_id over its links is a near-duplicate.
+  */
+final case class BandLink(doc_id: Long, canon_doc: Long)
+
 /** Structured-Streaming re-expression of the reference's incremental
   * pipeline (SURVEY.md §7.3 step 6): the hand-rolled high-watermark
   * (read sink MAX → filter → append, weather_task.py:70-99) collapses
@@ -98,6 +108,50 @@ object StreamingPipeline {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** Streaming NEAR-dup detection (the streaming sibling of
+    * `dedup_minhash`): MinHash band signatures computed online with the
+    * exact same projection pipeline as the batch operator
+    * (`Dedup.bandSignatures` — one signature definition, two modes),
+    * then `flatMapGroupsWithState` keyed by (band, band_sig). State per
+    * band key is one long — the canonical (lowest) doc_id ever seen for
+    * that signature — so a document arriving in a LATER micro-batch that
+    * collides with any band of an earlier document links to it. Each
+    * input doc emits one `BandLink` per band; downstream, a doc whose
+    * min(canon_doc) is below its own id is a near-duplicate of that
+    * canonical doc (a stateless aggregation the consumer applies — in
+    * Append mode a second stateful aggregation cannot follow this one in
+    * the same query).
+    *
+    * Scale/state bound: state is one long per DISTINCT band signature
+    * inside the retention horizon. A production deployment bounds it the
+    * same way the exact streaming dedup is bounded — key the state by a
+    * time bucket (prefix the band key with the watermark-truncated
+    * period) or evict via GroupStateTimeout; unbounded here because the
+    * test harness drives NoTimeout (and dedup-against-all-history is a
+    * legitimate configuration for a bounded corpus).
+    */
+  def nearDupLinks(docs: DataFrame): org.apache.spark.sql.Dataset[BandLink] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[BandCanon]
+    implicit val outEnc   = Encoders.product[BandLink]
+
+    def update(key: String, rows: Iterator[Row],
+        state: GroupState[BandCanon]): Iterator[BandLink] = {
+      val ids = rows.map(_.getAs[Long]("doc_id")).toArray
+      val canon = (state.getOption.map(_.canonDoc) ++ ids).min
+      state.update(BandCanon(canon))
+      ids.iterator.map(id => BandLink(id, canon))
+    }
+
+    graft.ops.Dedup.bandSignatures(docs)
+      .select(col("doc_id"),
+        concat_ws(":", col("band"), col("band_sig")).as("band_key"))
+      .groupByKey((r: Row) => r.getAs[String]("band_key"))(Encoders.STRING)
+      .flatMapGroupsWithState[BandCanon, BandLink](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 

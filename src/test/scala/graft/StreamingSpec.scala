@@ -105,4 +105,36 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup_stream").count() === 2)
     } finally q.stop()
   }
+
+  test("streaming NEAR-dup dedup collapses band collisions across micro-batches") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingPipeline.nearDupLinks(docs)
+      .writeStream.format("memory").queryName("near_dups")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+        "sleepy cats watch from the old wooden fence near the river bank at dawn"
+      mem.addData(
+        (1L, base),
+        (2L, "completely different text about spark structured streaming " +
+          "state stores and watermarks for bounded aggregation memory"))
+      q.processAllAvailable()
+      // a LATER micro-batch: a planted near-dup of doc 1 (one word
+      // changed, bigram jaccard ~0.92) plus a fresh unrelated doc — the
+      // band state must link the near-dup back to the earlier canonical
+      mem.addData(
+        (7L, base.replace("dawn", "dusk")),
+        (8L, "another unrelated document mentioning connected components " +
+          "and large star small star rounds"))
+      q.processAllAvailable()
+      val reps = spark.table("near_dups").groupBy($"doc_id")
+        .agg(min($"canon_doc").as("rep")).as[(Long, Long)].collect().toMap
+      assert(reps(1L) === 1L)
+      assert(reps(7L) === 1L,
+        "cross-micro-batch near-dup must collapse onto the earlier canonical doc")
+      assert(reps(2L) === 2L && reps(8L) === 8L,
+        "unrelated docs stay their own canonical")
+    } finally q.stop()
+  }
 }
