@@ -86,6 +86,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    // comma-separated allowlist for partial runs (e.g. the SCALE.md
+    // corpus-family scaling curve, whose generated dir only carries
+    // documents/embeddings); empty/absent = the full registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val spark = GraftSession.get()
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -98,15 +104,20 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // prime: parquet scan + shuffle + noop sink, not part of any timing
+    // (corpus-only dirs from ScaleGen carry no lineitem — prime on
+    // documents there; either way it's a real scan + shuffle)
     materialize(
-      Tables.lineitem(spark, sfDir)
-        .groupBy("l_returnflag").count())
+      if (new java.io.File(s"$sfDir/lineitem.parquet").exists())
+        Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count()
+      else Tables.documents(spark, sfDir).groupBy("lang").count())
 
     final case class Rep(wall: Double, cpu: Double, gc: Double,
                          srMb: Double, swMb: Double)
 
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val n = if (varianceProne(name)) reps else 1
       val runs = (1 to n).flatMap { _ =>
         // isolate reps: release the previous run's staged cache so every

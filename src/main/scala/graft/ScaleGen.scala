@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Generates a scaled synthetic corpus for scaling-curve measurements
+  * (SCALE.md): replicates documents/embeddings FACTOR× with
+  * deterministic per-replica perturbations chosen so the statistical
+  * shape of the workload is preserved — the point is to measure how the
+  * ENGINE scales, not to manufacture a quadratically harder problem:
+  *
+  *  - documents: replica k suffixes every token with `_k` (replica 0 is
+  *    the original corpus verbatim). Token counts, shingle structure,
+  *    and the intra-replica duplicate rate are identical to the source;
+  *    cross-replica shingle overlap is ZERO, so the near-dup pair
+  *    density per document stays CONSTANT as volume grows — the same
+  *    property a real 10× crawl has (10× docs ≈ 10× dup pairs, not
+  *    45×, which is what naive replication would produce by making
+  *    every doc a 10-way near-dup of its own copies).
+  *  - embeddings: replica k shifts the label space (`label + 10000·k`),
+  *    holding vectors-per-IVF-cell constant — matching the production
+  *    practice of scaling the cell count with the corpus, and keeping
+  *    the blocked kNN/ANN join linear rather than quadratic in FACTOR —
+  *    and perturbs each component with deterministic sinusoidal noise
+  *    (±0.05, ~half the typical component magnitude). Unperturbed
+  *    replicas would be bit-identical vectors, which collapse into the
+  *    SAME sign-random-projection LSH buckets and manufacture a
+  *    quadratic candidate blowup no real corpus has (exact-duplicate
+  *    vectors are removed by exact dedup long before ANN runs).
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> [factor=10]
+  * Only documents.parquet and embeddings.parquet are emitted — the
+  * corpus-family queries read nothing else (pair with Bench's
+  * SPARK_GRAFT_BENCH_ONLY to run just those).
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val (src, out, factor) = args.toSeq match {
+      case Seq(s, o)    => (s, o, 10)
+      case Seq(s, o, f) => (s, o, f.toInt)
+      case _ => sys.error("usage: ScaleGen <srcSfDir> <outDir> [factor]")
+    }
+    val spark = GraftSession.get()
+    val reps = spark.range(0, factor).select(col("id").cast("int").as("k"))
+
+    Tables.documents(spark, src)
+      .crossJoin(broadcast(reps)) // k is FACTOR rows — a true broadcast
+      .select(
+        (col("doc_id") * factor + col("k")).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("k"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    Tables.embeddings(spark, src)
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") * factor + col("k")).as("vec_id"),
+        when(col("k") === 0, col("embedding")).otherwise(
+          expr("""transform(embedding, (x, i) ->
+            cast(x + sin(cast(vec_id * 131 + k * 17 + i AS DOUBLE)) * 0.05d AS FLOAT))"""))
+          .as("embedding"),
+        (col("label") + col("k") * 10000).as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[scalegen] wrote ${factor}x corpus to $out")
+    spark.stop()
+  }
+}
