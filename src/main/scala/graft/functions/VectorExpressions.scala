@@ -88,6 +88,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"vec_dot requires exactly 2 arguments, got ${children.size}")
         FloatVecDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"nfc_normalize requires exactly 1 argument, got ${children.size}")
+        NfcNormalize(children.head)
+      }))
     ext.injectOptimizerRule(_ => LevenshteinLengthGuard)
   }
 }

@@ -145,6 +145,51 @@ object Curation extends QueryModule {
         FROM train JOIN ev USING (gram)
         GROUP BY doc_id
         ORDER BY doc_id
+      """)),
+
+    // ───── domain-mix rebalancing: cap dominant sources ─────
+    // A training mix must not let one crawl source drown the rest: each
+    // source keeps at most n_tot/(2·n_sources) documents (all-integer
+    // math — no float shares, so the cut is bit-identical across
+    // engines), chosen by the same deterministic md5 order as the
+    // stratified sample. Sources under the cap keep everything; the
+    // dominant source is downsampled to it. One shuffle on the source
+    // key for the window; per-source counts join back as a tiny
+    // aggregate (no broadcast hint — AQE broadcasts it at runtime);
+    // the two corpus totals ride a broadcast 1-row frame.
+    GraftQuery(
+      "curate_domain_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        val tot = docs.agg(count(lit(1)).as("n_tot"),
+          count_distinct(col("source")).as("n_sources"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(w))
+          .join(bySrc, "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("src_cap",
+            least(col("n_src"), expr("n_tot div (2 * n_sources)")))
+          .filter(col("rk") <= col("src_cap"))
+          .select(col("doc_id"), col("source"), col("rk"), col("src_cap"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents),
+        by_src AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+        tot AS (SELECT COUNT(*) AS n_tot, COUNT(DISTINCT source) AS n_sources
+                FROM documents)
+        SELECT doc_id, source, rk,
+               LEAST(n_src, n_tot // (2 * n_sources)) AS src_cap
+        FROM ranked JOIN by_src USING (source) CROSS JOIN tot
+        WHERE rk <= LEAST(n_src, n_tot // (2 * n_sources))
+        ORDER BY source, rk
       """))
   )
 }

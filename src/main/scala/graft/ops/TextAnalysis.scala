@@ -320,6 +320,39 @@ object TextAnalysis extends QueryModule {
         JOIN mins m ON d.doc_id = m.doc_id
         JOIN sh ON d.doc_id = sh.doc_id
         ORDER BY d.doc_id
+      """)),
+
+    // ───── canonical text normalization (NFC + case + whitespace) ─────
+    // The first stage of any cleaning pipeline: Unicode NFC (composed
+    // form — "café" in NFD and NFC must hash identically downstream),
+    // lowercase, whitespace collapse, trim. NFC runs as the native
+    // codegen'd `nfc_normalize` expression (graft.functions.NfcNormalize
+    // — Spark has no normalization builtin and a UDF would break
+    // whole-stage codegen on the hottest projection in the pipeline);
+    // DuckDB's built-in nfc_normalize is the oracle twin — both
+    // implement the Unicode canonical-composition algorithm, so the
+    // md5 of the normalized text is compared too, pinning byte equality.
+    // Purely narrow (zero exchanges) — scan-speed at any corpus size.
+    GraftQuery(
+      "text_normalize",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            trim(regexp_replace(expr("nfc_normalize(lower(text))"),
+              lit("\\s+"), lit(" "))).as("norm_text"))
+          .select(col("doc_id"), col("norm_text"),
+            length(col("norm_text")).cast("long").as("n_norm_chars"),
+            md5(col("norm_text")).as("norm_md5"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, norm_text,
+               CAST(length(norm_text) AS BIGINT) AS n_norm_chars,
+               md5(norm_text) AS norm_md5
+        FROM (
+          SELECT doc_id,
+                 trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS norm_text
+          FROM documents)
+        ORDER BY doc_id
       """))
   )
 }

@@ -63,4 +63,27 @@ class CurationSpec extends SparkSpec {
     assert(!rows.contains(2L), "doc 2 shares nothing")
     assert(!rows.contains(0L), "eval docs are not scored against themselves")
   }
+
+  test("curate_domain_mix caps the dominant source, keeps small ones whole") {
+    import org.apache.spark.sql.functions.lit
+    val d = scratchDir("mix")
+    // source A dominates: 8 of 12 docs; cap = 12 / (2*3) = 2 per source
+    val docs = ((0L to 7L).map(i => (i, s"alpha beta doc $i", "en", "A")) ++
+      Seq((8L, "gamma one", "en", "B"), (9L, "gamma two", "en", "B"),
+        (10L, "delta one", "en", "C"), (11L, "delta two", "en", "C")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", lit(10L))
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("curate_domain_mix")(spark, d)
+      .select("doc_id", "source", "rk", "src_cap")
+      .as[(Long, String, Int, Long)].collect()
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc === Map("A" -> 2, "B" -> 2, "C" -> 2),
+      s"dominant source must be capped to n_tot/(2*n_sources): $bySrc")
+    assert(rows.forall(_._4 === 2L))
+    // determinism: identical selection on a re-run
+    val again = SparkEntry.queries("curate_domain_mix")(spark, d)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq === rows.map(_._1).sorted.toSeq)
+  }
 }

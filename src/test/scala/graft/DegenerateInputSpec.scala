@@ -35,8 +35,9 @@ class DegenerateInputSpec extends SparkSpec {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_levenshtein", "dedup_clusters",
     "text_token_stats", "text_lang_id", "text_quality", "text_tfidf",
-    "text_fingerprint", "text_ngram_top", "text_pii_scrub",
+    "text_fingerprint", "text_ngram_top", "text_pii_scrub", "text_normalize",
     "curate_stratified_sample", "curate_token_budget", "curate_contamination",
+    "curate_domain_mix",
     "mm_binary_meta", "mm_decode_features", "mm_frame_sample", "mm_modality_stats")
 
   private val embQueries = Seq(

@@ -14,7 +14,8 @@ class PlanAuditSpec extends SparkSpec {
   // a broadcast 1-row scalar (watermark, corpus size, query vector). The
   // build side is provably tiny in each.
   private val allowNestedLoop = Set(
-    "ref_watermark_filter", "text_tfidf", "sim_topk_cosine")
+    "ref_watermark_filter", "text_tfidf", "sim_topk_cosine",
+    "curate_domain_mix")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

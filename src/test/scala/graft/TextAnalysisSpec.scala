@@ -114,4 +114,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0L) === fp(1L))
     assert(fp(0L)._1 !== fp(2L)._1)
   }
+
+  test("text_normalize composes NFD to NFC, lowercases, collapses whitespace") {
+    val d = scratchDir("text_norm")
+    val nfdCafe = "cafe\u0301"   // e + COMBINING ACUTE (decomposed)
+    val nfcCafe = "caf\u00e9"    // precomposed
+    Seq(
+      (0L, s"  CAFE   du   $nfdCafe ", "fr", "s", 20L),
+      (1L, s"cafe du $nfcCafe", "fr", "s", 11L),
+      (2L, "ASCII Stays  As IS", "en", "s", 18L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("text_normalize")(spark, d)
+      .select("doc_id", "norm_text", "norm_md5")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the decomposed, mixed-case, ragged-whitespace doc 0 canonicalizes
+    // to exactly doc 1's bytes — same text, same md5, so downstream
+    // exact dedup collapses them
+    assert(out(0L)._1 === s"cafe du $nfcCafe")
+    assert(out(0L) === out(1L))
+    assert(out(2L)._1 === "ascii stays as is")
+  }
+
+  test("nfc_normalize expression: interpreted and codegen agree with Normalizer") {
+    // reference = java.text.Normalizer computed driver-side; the column
+    // runs through whole-stage codegen (defineCodeGen path)
+    val samples = Seq("cafe\u0301", "caf\u00e9", "A\u030a", "\u00c5",
+      "plain ascii", "", "ffi \ufb03")
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), expr("nfc_normalize(t)").as("n"))
+    val got = df.as[(Long, String)].collect().toMap
+    samples.zipWithIndex.foreach { case (t, i) =>
+      val expect = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      assert(got(i.toLong) === expect, s"sample $i")
+    }
+    // null propagates
+    val nulls = Seq((0L, null: String)).toDF("id", "t")
+      .select(expr("nfc_normalize(t)")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
 }
