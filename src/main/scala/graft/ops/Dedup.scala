@@ -521,6 +521,65 @@ object Dedup extends QueryModule {
           FROM pairs) t
         WHERE rn = 1
         ORDER BY vec_id
+      """)),
+
+    // ───── duplicated-text fraction via chunk hashing ─────
+    // Cross-document SUBSTRING duplication (boilerplate headers, quoted
+    // passages) that whole-document dedup misses: hash overlapping
+    // 8-word chunks (stride 4, so any shared run of ≥ 11 words is
+    // guaranteed to contain a common aligned chunk), count how many
+    // documents each chunk appears in, and score every document by the
+    // fraction of its chunks that also occur elsewhere — the signal
+    // pipelines threshold to drop boilerplate-heavy docs. Chunks travel
+    // as md5 digests (16 bytes), never text. Two shuffles: distinct on
+    // (doc_id, chunk), then chunk-count + equi-join back on the chunk
+    // key (co-partitioned, so the exchange is reused); per-doc rollup
+    // rides the doc_id key. No broadcast hints — AQE decides at runtime.
+    GraftQuery(
+      "dedup_substring",
+      (s, d) => {
+        // staged once: the distinct (doc_id, chunk) set feeds both the
+        // per-chunk doc count and the join back — without the barrier
+        // the split+explode+distinct pipeline runs twice
+        val chunks = Materialize.stage(Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, (size(toks)-8) div 4), c -> " +
+              "md5(array_join(slice(toks, c*4+1, 8), ' ')))")).as("chunk"))
+          .distinct())
+        val shared = chunks.groupBy(col("chunk"))
+          .agg(count(lit(1)).as("n_docs"))
+        chunks.join(shared, "chunk")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+            (col("n_dup_chunks").cast("double") / col("n_chunks"))
+              .as("dup_chunk_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH chunks AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(t[c*4+1 : c*4+8], ' ')) AS chunk
+          FROM (SELECT doc_id, t,
+                       UNNEST(generate_series(0, (len(t)-8) // 4)) AS c
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents) s0
+                WHERE len(t) >= 8) s1),
+        shared AS (SELECT chunk, COUNT(*) AS n_docs FROM chunks GROUP BY chunk)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_chunks,
+               CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+                 / COUNT(*) AS dup_chunk_frac
+        FROM chunks JOIN shared USING (chunk)
+        GROUP BY doc_id
+        ORDER BY doc_id
       """))
   )
 

@@ -353,6 +353,109 @@ object TextAnalysis extends QueryModule {
                  trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS norm_text
           FROM documents)
         ORDER BY doc_id
+      """)),
+
+    // ───── repetition metrics (Gopher-style quality rules) ─────
+    // Machine-generated and boilerplate text repeats itself; the
+    // standard corpus-quality rules threshold on (a) the fraction of
+    // word n-grams that are duplicates and (b) the share of the most
+    // frequent 2-gram. Duplicate fractions are NARROW per-row array
+    // math (size - distinct over the gram list — zero exchanges); the
+    // top 2-gram needs occurrence counts, so it goes explode →
+    // hash-agg on (doc_id, gram) — map-side combinable, shuffling only
+    // (id, gram, count) — then a per-doc window top-1 with a total
+    // order (count desc, gram desc) so both engines pick the same gram
+    // on ties. Fractions are single IEEE divisions of exact ints.
+    GraftQuery(
+      "text_repetition",
+      (s, d) => {
+        // barrier: the gram arrays feed four consumers (counts, distinct
+        // counts, the explode) — without it projection collapse
+        // re-substitutes the transform() per use and the arrays build 4×
+        val toks = graft.Materialize.stage(Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("bg", when(size(col("toks")) >= 2, expr(
+            "transform(sequence(0, size(toks)-2), i -> " +
+              "concat(toks[i], ' ', toks[i+1]))"))
+            .otherwise(expr("array()")))
+          .withColumn("tg", when(size(col("toks")) >= 3, expr(
+            "transform(sequence(0, size(toks)-3), i -> " +
+              "concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))
+            .otherwise(expr("array()"))))
+        val narrow = toks.select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          (size(col("bg")) - size(array_distinct(col("bg")))).cast("long")
+            .as("n_dup_bigrams"),
+          when(size(col("bg")) === 0, lit(null).cast("double"))
+            .otherwise((size(col("bg")) - size(array_distinct(col("bg"))))
+              .cast("double") / size(col("bg"))).as("dup_bigram_frac"),
+          when(size(col("tg")) === 0, lit(null).cast("double"))
+            .otherwise((size(col("tg")) - size(array_distinct(col("tg"))))
+              .cast("double") / size(col("tg"))).as("dup_trigram_frac"))
+        val wTop = Window.partitionBy(col("doc_id"))
+          .orderBy(col("cnt").desc, col("gram").desc)
+        val top = toks
+          .select(col("doc_id"), explode(col("bg")).as("gram"))
+          .groupBy(col("doc_id"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("gram").as("top_bigram"),
+            col("cnt").as("top_bigram_cnt"))
+        narrow.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"), col("n_bigrams"),
+            col("n_dup_bigrams"), col("dup_bigram_frac"),
+            col("dup_trigram_frac"), col("top_bigram"),
+            col("top_bigram_cnt"),
+            when(col("n_bigrams") === 0, lit(null).cast("double"))
+              .otherwise(col("top_bigram_cnt").cast("double")
+                / col("n_bigrams")).as("top_bigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        lists AS (
+          SELECT doc_id, t,
+            CASE WHEN len(t) >= 2 THEN list_transform(
+              generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS bg,
+            CASE WHEN len(t) >= 3 THEN list_transform(
+              generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END AS tg
+          FROM toks),
+        narrow AS (
+          SELECT doc_id,
+            CAST(len(t) AS BIGINT) AS n_words,
+            CAST(len(bg) AS BIGINT) AS n_bigrams,
+            CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_dup_bigrams,
+            CASE WHEN len(bg) = 0 THEN NULL ELSE
+              (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg) END
+              AS dup_bigram_frac,
+            CASE WHEN len(tg) = 0 THEN NULL ELSE
+              (len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg) END
+              AS dup_trigram_frac
+          FROM lists),
+        cnts AS (
+          SELECT doc_id, gram, COUNT(*) AS cnt
+          FROM (SELECT doc_id, UNNEST(bg) AS gram FROM lists) g
+          GROUP BY doc_id, gram),
+        top AS (
+          SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_cnt FROM (
+            SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+            FROM cnts) r WHERE rn = 1)
+        SELECT n.doc_id, n_words, n_bigrams, n_dup_bigrams,
+               dup_bigram_frac, dup_trigram_frac, top_bigram,
+               top_bigram_cnt,
+               CASE WHEN n_bigrams = 0 THEN NULL ELSE
+                 top_bigram_cnt::DOUBLE / n_bigrams END AS top_bigram_frac
+        FROM narrow n LEFT JOIN top USING (doc_id)
+        ORDER BY doc_id
       """))
   )
 }

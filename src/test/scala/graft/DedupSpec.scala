@@ -143,6 +143,29 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.shingle.dfCutoff")
   }
 
+  test("dedup_substring flags shared chunks, scores unique docs zero") {
+    val d = scratchDir("dedup_sub")
+    val shared = "one two three four five six seven eight"   // 8 words
+    Seq(
+      // 0 and 1 open with the same aligned 8-word run; tails differ
+      (0L, s"$shared alpha beta gamma delta", "en", "s", 10L),
+      (1L, s"$shared epsilon zeta eta theta", "en", "s", 10L),
+      // 2: 12 unique words — two chunks, none shared
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll", "en", "s", 10L),
+      // 3: seven words — below a chunk, absent from the output
+      (3L, "too short for any chunk at all", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("dedup_substring")(spark, d)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chunk_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(0L) === ((2L, 1L, 0.5)))    // chunks at word 1 and 5
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+  }
+
   test("simhash signatures are 32-bit strings, equal for equal texts") {
     val sigs = ops.Dedup.simhashSignatures(spark, dir)
       .as[(Long, String)].collect().toMap

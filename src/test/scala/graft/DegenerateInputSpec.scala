@@ -33,9 +33,10 @@ class DegenerateInputSpec extends SparkSpec {
 
   private val docQueries = Seq(
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
-    "dedup_levenshtein", "dedup_clusters",
+    "dedup_levenshtein", "dedup_clusters", "dedup_substring",
     "text_token_stats", "text_lang_id", "text_quality", "text_tfidf",
     "text_fingerprint", "text_ngram_top", "text_pii_scrub", "text_normalize",
+    "text_repetition",
     "curate_stratified_sample", "curate_token_budget", "curate_contamination",
     "curate_domain_mix",
     "mm_binary_meta", "mm_decode_features", "mm_frame_sample", "mm_modality_stats")

@@ -137,6 +137,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._1 === "ascii stays as is")
   }
 
+  test("text_repetition scores planted bigram repetition exactly") {
+    import org.apache.spark.sql.functions.lit
+    val d = scratchDir("text_rep")
+    Seq(
+      (0L, "a b a b a b", "en", "s"),         // 5 bigrams, 2 distinct
+      (1L, "u v w x y z", "en", "s"),         // all distinct
+      (2L, "solo", "en", "s")                 // no bigrams
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", lit(10L))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("text_repetition")(spark, d)
+      .select("doc_id", "n_bigrams", "n_dup_bigrams", "dup_bigram_frac",
+        "dup_trigram_frac", "top_bigram", "top_bigram_cnt")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getLong(1) === 5L && r0.getLong(2) === 3L)
+    assert(r0.getDouble(3) === 0.6)
+    assert(r0.getDouble(4) === 0.5)            // 4 trigrams, 2 distinct
+    assert(r0.getString(5) === "a b" && r0.getLong(6) === 3L)
+    val r1 = out(1L)
+    assert(r1.getLong(2) === 0L && r1.getDouble(3) === 0.0)
+    // "z y" > ... > "u v" on count ties the DESC gram order picks "y z"
+    assert(r1.getString(5) === "y z")
+    val r2 = out(2L)
+    assert(r2.getLong(1) === 0L && r2.isNullAt(3) && r2.isNullAt(5))
+  }
+
   test("nfc_normalize expression: interpreted and codegen agree with Normalizer") {
     // reference = java.text.Normalizer computed driver-side; the column
     // runs through whole-stage codegen (defineCodeGen path)
