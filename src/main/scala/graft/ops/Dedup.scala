@@ -580,6 +580,74 @@ object Dedup extends QueryModule {
         FROM chunks JOIN shared USING (chunk)
         GROUP BY doc_id
         ORDER BY doc_id
+      """)),
+
+    // ───── semantic dedup: keep one vector per cosine cluster ─────
+    // SemDeDup-shaped: embeddings are blocked into cells (the `label`
+    // column stands in for the IVF/k-means cell id), pairs above the
+    // cosine threshold within a cell become edges, connected components
+    // group transitive near-duplicates, and exactly one vector per
+    // component — the minimum id — is kept. The quadratic term is
+    // bounded by the CELL size (the clustering granularity knob), never
+    // the corpus; cosines are sequential double folds (codegen'd
+    // vec_dot) so the threshold cut is bit-identical to the oracle's
+    // list_reduce, and the component ids agree by the same md5-free
+    // integer math as dedup_clusters. Singleton vectors (no neighbor
+    // above τ) keep themselves via the left-join fallback.
+    GraftQuery(
+      "dedup_semantic",
+      (s, d) => {
+        // τ = 0.35 exercises non-trivial clusters on the synthetic
+        // corpus (max within-cell cosine ≈ 0.47); production text
+        // embeddings would run 0.95+
+        val tau = 0.35
+        val e = Tables.embeddings(s, d).select(
+          col("vec_id"), col("label"), col("embedding"),
+          expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
+        val a = e.select(col("vec_id").as("va"), col("label"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vb"), col("label").as("label2"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val pairs = a.join(b, col("label") === col("label2") && col("va") < col("vb"))
+          .filter(expr("vec_dot(ea, eb)") / (col("na") * col("nb")) >= tau)
+          .select(col("va"), col("vb"))
+        val (labels, _) = ConnectedComponents.run(pairs)
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+          .join(labels.select(col("node").as("vec_id"),
+            col("component")), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("label"),
+            coalesce(col("component"), col("vec_id")).as("cluster_id"),
+            (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+              .as("is_kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH RECURSIVE n AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(list_reduce(list_transform(embedding,
+                   x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS nrm
+          FROM embeddings),
+        prs AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                  (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.35),
+        edges AS (
+          SELECT va AS src, vb AS dst FROM prs
+          UNION ALL
+          SELECT vb AS src, va AS dst FROM prs),
+        nds AS (SELECT DISTINCT src AS doc FROM edges),
+        reach(doc, r) AS (
+          SELECT doc, doc FROM nds
+          UNION
+          SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        comp AS (SELECT doc, MIN(r) AS component FROM reach GROUP BY doc)
+        SELECT e.vec_id, e.label,
+               COALESCE(c.component, e.vec_id) AS cluster_id,
+               COALESCE(c.component, e.vec_id) = e.vec_id AS is_kept
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc
+        ORDER BY e.vec_id
       """))
   )
 

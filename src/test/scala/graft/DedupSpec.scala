@@ -166,6 +166,33 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === ((2L, 0L, 0.0)))
   }
 
+  test("dedup_semantic keeps one vector per transitive cosine cluster") {
+    val d = scratchDir("dedup_sem")
+    val dim = 8
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(dim)(0.0f); parts.foreach { case (i, x) => v(i) = x }; v
+    }
+    Seq(
+      // label 0: 0 and 1 near-identical; 2 orthogonal to both
+      (0L, vec(0 -> 1.0f), 0),
+      (1L, vec(0 -> 1.0f, 1 -> 0.02f), 0),
+      (2L, vec(2 -> 1.0f), 0),
+      // label 1: 3~4 and 4~5 are similar, 3~5 orthogonal — one
+      // component only via transitivity
+      (3L, vec(3 -> 1.0f), 1),
+      (4L, vec(3 -> 1.0f, 4 -> 1.0f), 1),
+      (5L, vec(4 -> 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("dedup_semantic")(spark, d)
+      .select("vec_id", "cluster_id", "is_kept")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      0L -> ((0L, true)), 1L -> ((0L, false)), 2L -> ((2L, true)),
+      3L -> ((3L, true)), 4L -> ((3L, false)), 5L -> ((3L, false))))
+  }
+
   test("simhash signatures are 32-bit strings, equal for equal texts") {
     val sigs = ops.Dedup.simhashSignatures(spark, dir)
       .as[(Long, String)].collect().toMap

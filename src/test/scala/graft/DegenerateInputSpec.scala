@@ -42,7 +42,8 @@ class DegenerateInputSpec extends SparkSpec {
     "mm_binary_meta", "mm_decode_features", "mm_frame_sample", "mm_modality_stats")
 
   private val embQueries = Seq(
-    "dedup_embedding_nn", "sim_knn_per_label", "sim_ann_lsh", "sim_topk_cosine")
+    "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",
+    "sim_ann_lsh", "sim_topk_cosine")
 
   for (name <- docQueries ++ embQueries)
     test(s"$name returns an empty result on an empty table, never throws") {
