@@ -599,8 +599,18 @@ object Dedup extends QueryModule {
       (s, d) => {
         // τ = 0.35 exercises non-trivial clusters on the synthetic
         // corpus (max within-cell cosine ≈ 0.47); production text
-        // embeddings would run 0.95+
-        val tau = 0.35
+        // embeddings would run 0.95+ — `spark.graft.semantic.tau`
+        // overrides (the oracle pins the default)
+        val raw = s.conf.get("spark.graft.semantic.tau", "").trim
+        val tau =
+          if (raw.isEmpty) 0.35
+          else {
+            val t = raw.toDoubleOption.getOrElse(sys.error(
+              s"spark.graft.semantic.tau must be a number in [-1, 1], got '$raw'"))
+            require(t >= -1.0 && t <= 1.0,
+              s"spark.graft.semantic.tau must be a cosine in [-1, 1], got $t")
+            t
+          }
         val e = Tables.embeddings(s, d).select(
           col("vec_id"), col("label"), col("embedding"),
           expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))

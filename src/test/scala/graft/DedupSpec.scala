@@ -193,6 +193,30 @@ class DedupSpec extends SparkSpec {
       3L -> ((3L, true)), 4L -> ((3L, false)), 5L -> ((3L, false))))
   }
 
+  test("dedup_semantic tau knob: 0.99 keeps all but exact-direction dups") {
+    val d = scratchDir("dedup_sem_tau")
+    val dim = 8
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(dim)(0.0f); parts.foreach { case (i, x) => v(i) = x }; v
+    }
+    Seq(
+      (0L, vec(0 -> 1.0f), 0),
+      (1L, vec(0 -> 2.0f), 0),            // same direction, cos = 1
+      (2L, vec(0 -> 1.0f, 1 -> 1.0f), 0)  // cos ≈ 0.707 — below 0.99
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    try {
+      spark.conf.set("spark.graft.semantic.tau", "0.99")
+      val kept = SparkEntry.queries("dedup_semantic")(spark, d)
+        .filter("is_kept").select("vec_id").as[Long].collect().toSet
+      assert(kept === Set(0L, 2L), "only the colinear pair merges at 0.99")
+      spark.conf.set("spark.graft.semantic.tau", "bogus")
+      intercept[RuntimeException] {
+        SparkEntry.queries("dedup_semantic")(spark, d).collect()
+      }
+    } finally spark.conf.unset("spark.graft.semantic.tau")
+  }
+
   test("simhash signatures are 32-bit strings, equal for equal texts") {
     val sigs = ops.Dedup.simhashSignatures(spark, dir)
       .as[(Long, String)].collect().toMap

@@ -79,13 +79,16 @@ class PlanAuditSpec extends SparkSpec {
     // small; that adaptivity is exactly what a hint would destroy.)
     val corpusQueries = Seq(
       "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
-      "dedup_levenshtein", "dedup_embedding_nn", "sim_ann_lsh",
-      "sim_knn_per_label", "curate_contamination", "text_tfidf")
-    // text_tfidf legitimately broadcasts ONE side: the 1-row corpus-size
-    // aggregate (a scalar, not corpus-sized). Its vocabulary (df) join
-    // must still be hint-free — no BroadcastHashJoin, and no exchange
-    // beyond the single scalar one.
-    val allowedExchanges = Map("text_tfidf" -> 1).withDefaultValue(0)
+      "dedup_levenshtein", "dedup_embedding_nn", "dedup_semantic",
+      "dedup_substring", "sim_ann_lsh", "sim_knn_per_label",
+      "curate_contamination", "curate_domain_mix", "text_tfidf",
+      "text_repetition")
+    // text_tfidf and curate_domain_mix legitimately broadcast ONE side:
+    // a 1-row corpus-size aggregate (a scalar, not corpus-sized). Every
+    // other corpus-derived join must be hint-free — no
+    // BroadcastHashJoin, and no exchange beyond the single scalar one.
+    val allowedExchanges = Map(
+      "text_tfidf" -> 1, "curate_domain_mix" -> 1).withDefaultValue(0)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // frames cached by EARLIER tests embed physical plans built under the
