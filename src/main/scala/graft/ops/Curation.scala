@@ -190,6 +190,46 @@ object Curation extends QueryModule {
         FROM ranked JOIN by_src USING (source) CROSS JOIN tot
         WHERE rk <= LEAST(n_src, n_tot // (2 * n_sources))
         ORDER BY source, rk
+      """)),
+
+    // ───── shard planning: pack every doc into fixed-budget shards ─────
+    // The write-side twin of curate_token_budget: instead of truncating
+    // at one budget, EVERY document is assigned to a training shard of
+    // ~2000 estimated tokens — the unit a data loader streams. Shard
+    // membership is a pure function of the running token sum over the
+    // md5-deterministic order, so a re-run (or a different engine)
+    // produces byte-identical shard manifests. One shuffle on the
+    // source key; within a source the window scan is a single ordered
+    // pass — shards for different sources pack in parallel, and no
+    // shard ever spans a source (the layout that lets loaders sample
+    // sources independently).
+    GraftQuery(
+      "curate_shard_plan",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("(length(text) + 3) div 4").cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("cum_tokens"),
+            expr("(cum_tokens - 1) div 2000").cast("long").as("shard_id"))
+          .orderBy(col("source"), col("cum_tokens"))
+      },
+      Some("""
+        SELECT doc_id, source, n_tokens, cum_tokens,
+               (cum_tokens - 1) // 2000 AS shard_id
+        FROM (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM (SELECT doc_id, source,
+                       CAST((length(text) + 3) // 4 AS BIGINT) AS n_tokens
+                FROM documents) t0) t1
+        ORDER BY source, cum_tokens
       """))
   )
 }

@@ -64,6 +64,33 @@ class CurationSpec extends SparkSpec {
     assert(!rows.contains(0L), "eval docs are not scored against themselves")
   }
 
+  test("curate_shard_plan packs every doc; shards never span sources") {
+    import org.apache.spark.sql.functions.lit
+    val d = scratchDir("shard")
+    // ~600 est tokens per doc -> shard capacity 2000 fits 3-4 docs
+    val docs = (0L to 19L).map(i =>
+      (i, ("tok " * 600).trim, "en", if (i < 12) "A" else "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", lit(2399L))
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("curate_shard_plan")(spark, d)
+      .select("doc_id", "source", "n_tokens", "cum_tokens", "shard_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.length === 20, "every document is assigned")
+    assert(rows.forall(r => r._5 === (r._4 - 1) / 2000))
+    // within a (source, shard) the token span never exceeds the budget
+    // start boundary: consecutive shard ids, starting at 0, per source
+    for ((_, rs) <- rows.groupBy(_._2)) {
+      val ids = rs.map(_._5).distinct.sorted.toSeq
+      assert(ids === (0L until ids.length.toLong),
+        s"shards are dense per source: $ids")
+    }
+    // deterministic: same assignment on a re-run
+    val again = SparkEntry.queries("curate_shard_plan")(spark, d)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._5).toMap === again)
+  }
+
   test("curate_domain_mix caps the dominant source, keeps small ones whole") {
     import org.apache.spark.sql.functions.lit
     val d = scratchDir("mix")
