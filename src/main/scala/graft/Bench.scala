@@ -129,7 +129,8 @@ object Bench {
         val ok =
           try { materialize(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
-            errors ::= (name -> e.getClass.getSimpleName)
+            if (!errors.exists(_._1 == name))
+              errors ::= (name -> e.getClass.getSimpleName)
             false
           }
           finally Materialize.releaseAll()
@@ -139,8 +140,10 @@ object Bench {
           (r1 - r0) / 1e6, (w1 - w0) / 1e6))
         else None
       }
-      // a failed query records -1, never its partial elapsed time
-      if (runs.isEmpty) name -> (Rep(-1.0, 0, 0, 0, 0), Seq.empty[Double])
+      // ANY failed rep poisons the query: a median over the surviving
+      // reps would look trustworthy while the name also sits in errors.
+      // -1 plus the errors entry is unambiguous.
+      if (runs.size < n) name -> (Rep(-1.0, 0, 0, 0, 0), Seq.empty[Double])
       else {
         val sorted = runs.sortBy(_.wall)
         name -> (sorted(sorted.size / 2), runs.map(_.wall))

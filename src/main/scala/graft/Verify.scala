@@ -13,6 +13,10 @@ object Verify {
     }
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
+    // a typo'd name must fail loudly — filtering to an empty set would
+    // exit green having verified nothing
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }

@@ -171,7 +171,11 @@ object Curation extends QueryModule {
           .join(bySrc, "source")
           .crossJoin(broadcast(tot))
           .withColumn("src_cap",
-            least(col("n_src"), expr("n_tot div (2 * n_sources)")))
+            // floor of 1: with many tiny sources (a per-domain crawl)
+            // n_tot/(2·n_sources) rounds to 0 and would silently drop
+            // the whole corpus; every source always keeps >= 1 doc
+            least(col("n_src"),
+              greatest(lit(1L), expr("n_tot div (2 * n_sources)"))))
           .filter(col("rk") <= col("src_cap"))
           .select(col("doc_id"), col("source"), col("rk"), col("src_cap"))
           .orderBy(col("source"), col("rk"))
@@ -186,9 +190,9 @@ object Curation extends QueryModule {
         tot AS (SELECT COUNT(*) AS n_tot, COUNT(DISTINCT source) AS n_sources
                 FROM documents)
         SELECT doc_id, source, rk,
-               LEAST(n_src, n_tot // (2 * n_sources)) AS src_cap
+               LEAST(n_src, GREATEST(1, n_tot // (2 * n_sources))) AS src_cap
         FROM ranked JOIN by_src USING (source) CROSS JOIN tot
-        WHERE rk <= LEAST(n_src, n_tot // (2 * n_sources))
+        WHERE rk <= LEAST(n_src, GREATEST(1, n_tot // (2 * n_sources)))
         ORDER BY source, rk
       """)),
 
@@ -210,12 +214,17 @@ object Curation extends QueryModule {
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
-            expr("(length(text) + 3) div 4").cast("long").as("n_tokens"))
+            // floor of 1: an empty doc still occupies a slot, and a
+            // strictly increasing running sum keeps (source, cum_tokens)
+            // a TOTAL order — ties would let the two engines emit tied
+            // rows in different order and break the hash gate
+            greatest(lit(1L), expr("(length(text) + 3) div 4").cast("long"))
+              .as("n_tokens"))
           .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
           .select(col("doc_id"), col("source"), col("n_tokens"),
             col("cum_tokens"),
             expr("(cum_tokens - 1) div 2000").cast("long").as("shard_id"))
-          .orderBy(col("source"), col("cum_tokens"))
+          .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
       },
       Some("""
         SELECT doc_id, source, n_tokens, cum_tokens,
@@ -227,9 +236,10 @@ object Curation extends QueryModule {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS cum_tokens
           FROM (SELECT doc_id, source,
-                       CAST((length(text) + 3) // 4 AS BIGINT) AS n_tokens
+                       GREATEST(1, CAST((length(text) + 3) // 4 AS BIGINT))
+                         AS n_tokens
                 FROM documents) t0) t1
-        ORDER BY source, cum_tokens
+        ORDER BY source, cum_tokens, doc_id
       """))
   )
 }

@@ -523,12 +523,18 @@ object Dedup extends QueryModule {
         ORDER BY vec_id
       """)),
 
-    // ───── duplicated-text fraction via chunk hashing ─────
+    // ───── duplicated-text fraction via content-defined chunking ─────
     // Cross-document SUBSTRING duplication (boilerplate headers, quoted
-    // passages) that whole-document dedup misses: hash overlapping
-    // 8-word chunks (stride 4, so any shared run of ≥ 11 words is
-    // guaranteed to contain a common aligned chunk), count how many
-    // documents each chunk appears in, and score every document by the
+    // passages) that whole-document dedup misses. Chunk boundaries are
+    // CONTENT-DEFINED — a token is a boundary iff md5(token) starts
+    // with '0' or '1' (rate 1/8) — so chunk positions are a function
+    // of the text itself, not of document offsets: the same passage
+    // embedded at DIFFERENT offsets in two documents produces the same
+    // chunks (a fixed-stride grid only detects same-phase duplication).
+    // Each boundary anchors an 8-word chunk; a shared L-word passage is
+    // detected with probability 1-(7/8)^(L-7) (~66% at L=15, ~95% at
+    // L=30) — the standard CDC trade-off, tunable via the boundary
+    // rate. Per-chunk document counts then score every document by the
     // fraction of its chunks that also occur elsewhere — the signal
     // pipelines threshold to drop boilerplate-heavy docs. Chunks travel
     // as md5 digests (16 bytes), never text. Two shuffles: distinct on
@@ -546,8 +552,10 @@ object Dedup extends QueryModule {
           .filter(size(col("toks")) >= 8)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, (size(toks)-8) div 4), c -> " +
-              "md5(array_join(slice(toks, c*4+1, 8), ' ')))")).as("chunk"))
+            "transform(" +
+              "filter(sequence(0, size(toks)-8), " +
+                "i -> substring(md5(toks[i]), 1, 1) IN ('0', '1')), " +
+              "i -> md5(array_join(slice(toks, i+1, 8), ' ')))")).as("chunk"))
           .distinct())
         val shared = chunks.groupBy(col("chunk"))
           .agg(count(lit(1)).as("n_docs"))
@@ -564,9 +572,10 @@ object Dedup extends QueryModule {
       Some("""
         WITH chunks AS (
           SELECT DISTINCT doc_id,
-                 md5(array_to_string(t[c*4+1 : c*4+8], ' ')) AS chunk
+                 md5(array_to_string(t[c : c+7], ' ')) AS chunk
           FROM (SELECT doc_id, t,
-                       UNNEST(generate_series(0, (len(t)-8) // 4)) AS c
+                       UNNEST(list_filter(generate_series(1, len(t)-7),
+                         i -> substring(md5(t[i]), 1, 1) IN ('0', '1'))) AS c
                 FROM (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents) s0
                 WHERE len(t) >= 8) s1),

@@ -332,6 +332,13 @@ object TextAnalysis extends QueryModule {
     // DuckDB's built-in nfc_normalize is the oracle twin — both
     // implement the Unicode canonical-composition algorithm, so the
     // md5 of the normalized text is compared too, pinning byte equality.
+    // The whitespace class is EXPLICIT ([ \t\n\r\x0B\f]) rather than
+    // \s: Java and RE2 disagree on \s (\x0B), an explicit class means
+    // the same bytes on both engines. Case mapping is each engine's
+    // lower(); they agree on ASCII and the vast majority of Unicode but
+    // NOT on a handful of full-vs-simple-mapping codepoints (U+0130,
+    // contextual final sigma) — corpora in those scripts should
+    // lowercase with a dedicated locale-aware pass before this op.
     // Purely narrow (zero exchanges) — scan-speed at any corpus size.
     GraftQuery(
       "text_normalize",
@@ -339,7 +346,7 @@ object TextAnalysis extends QueryModule {
         Tables.documents(s, d)
           .select(col("doc_id"),
             trim(regexp_replace(expr("nfc_normalize(lower(text))"),
-              lit("\\s+"), lit(" "))).as("norm_text"))
+              lit("[ \\t\\n\\r\\x0B\\f]+"), lit(" "))).as("norm_text"))
           .select(col("doc_id"), col("norm_text"),
             length(col("norm_text")).cast("long").as("n_norm_chars"),
             md5(col("norm_text")).as("norm_md5"))
@@ -350,7 +357,7 @@ object TextAnalysis extends QueryModule {
                md5(norm_text) AS norm_md5
         FROM (
           SELECT doc_id,
-                 trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS norm_text
+                 trim(regexp_replace(nfc_normalize(lower(text)), '[ \t\n\r\x0B\f]+', ' ', 'g')) AS norm_text
           FROM documents)
         ORDER BY doc_id
       """)),

@@ -31,8 +31,9 @@ object Sources extends QueryModule {
     val tmpDir = new java.io.File(sys.props("java.io.tmpdir"))
     val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmpDir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      // lastModified of a live run's root updates as queries write into
-      // it; a day-stale root can only be a crashed run's leftover
+      // a root's mtime only tracks DIRECT-child churn, so scratch()
+      // explicitly touches the root on every allocation — a day-stale
+      // root can then only be a crashed run's leftover
       if (f.getName.startsWith("graft_") && f.isDirectory
           && f.lastModified() < dayAgo)
         org.apache.commons.io.FileUtils.deleteQuietly(f)
@@ -44,8 +45,13 @@ object Sources extends QueryModule {
     root
   }
 
-  private def scratch(d: String, tag: String): String =
+  private def scratch(d: String, tag: String): String = {
+    // keep the root's mtime live: writes land in nested subdirs, which
+    // do NOT update the root's own mtime — without the touch, a soak
+    // run >24h could be swept by a newly starting sibling JVM
+    procRoot.setLastModified(System.currentTimeMillis())
     s"$procRoot/$tag${d.replaceAll("[^A-Za-z0-9.-]", "_")}"
+  }
 
   /** Typed schema for the CSV read-back (S1: declared schema, FAILFAST —
     * the strict path; EventsPipeline.readCsv covers PERMISSIVE).

@@ -119,7 +119,10 @@ object StreamingPipeline {
     * band key is one long — the canonical (lowest) doc_id ever seen for
     * that signature — so a document arriving in a LATER micro-batch that
     * collides with any band of an earlier document links to it. Each
-    * input doc emits one `BandLink` per band; downstream, a doc whose
+    * input doc emits one `BandLink` per band, and when a later arrival
+    * DEMOTES the stored canon (ids need not arrive ascending) a retro
+    * link (oldCanon -> newCanon) is emitted too, so the link set stays
+    * a forest rooted at true minima. Downstream, a doc whose
     * min(canon_doc) is below its own id is a near-duplicate of that
     * canonical doc (a stateless aggregation the consumer applies — in
     * Append mode a second stateful aggregation cannot follow this one in
@@ -142,9 +145,16 @@ object StreamingPipeline {
     def update(key: String, rows: Iterator[Row],
         state: GroupState[BandCanon]): Iterator[BandLink] = {
       val ids = rows.map(_.getAs[Long]("doc_id")).toArray
-      val canon = (state.getOption.map(_.canonDoc) ++ ids).min
+      val prev = state.getOption.map(_.canonDoc)
+      val canon = (prev ++ ids).min
       state.update(BandCanon(canon))
-      ids.iterator.map(id => BandLink(id, canon))
+      // ids are NOT guaranteed to arrive ascending: when a later batch
+      // brings a lower id, the stored canon is demoted — emit a retro
+      // link (oldCanon -> newCanon) so the earlier doc's link set
+      // reflects the new canonical; without it BOTH docs would look
+      // canonical and the pair would be silently missed
+      val retro = prev.filter(_ > canon).map(p => BandLink(p, canon))
+      ids.iterator.map(id => BandLink(id, canon)) ++ retro.iterator
     }
 
     graft.ops.Dedup.bandSignatures(docs)

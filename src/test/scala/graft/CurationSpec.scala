@@ -113,4 +113,18 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(again.toSeq === rows.map(_._1).sorted.toSeq)
   }
+
+  test("curate_domain_mix cap floors at 1 when sources outnumber docs/2") {
+    import org.apache.spark.sql.functions.lit
+    val d = scratchDir("mix_floor")
+    // 4 docs over 4 sources: 4/(2*4) = 0 — the floor keeps one each
+    (0L to 3L).map(i => (i, s"doc $i", "en", s"S$i"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", lit(5L))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("curate_domain_mix")(spark, d)
+      .select("doc_id").as[Long].collect()
+    assert(rows.sorted.toSeq === Seq(0L, 1L, 2L, 3L),
+      "no corpus is ever silently emptied by the cap")
+  }
 }

@@ -143,27 +143,39 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.shingle.dfCutoff")
   }
 
-  test("dedup_substring flags shared chunks, scores unique docs zero") {
+  test("dedup_substring: content-defined chunks catch offset-SHIFTED duplication") {
+    // boundaries are a function of token content (md5 prefix), so the
+    // same passage at different offsets yields the same chunks — the
+    // blind spot of a fixed-stride grid. Select boundary/plain words
+    // with the operator's own rule, computed here independently.
+    def isBoundary(w: String): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.charAt(0) == '0' || hex.charAt(0) == '1'
+    }
+    val words = (0 until 200).map(i => s"w$i")
+    val plain = words.filterNot(isBoundary)
+    val anchor = words.find(isBoundary).get
+    // 16-word passage with exactly ONE boundary, at position 4 (0-based)
+    val passage = (plain.take(4) :+ anchor) ++ plain.slice(4, 15)
+    assert(passage.length === 16 && passage.count(isBoundary) === 1)
     val d = scratchDir("dedup_sub")
-    val shared = "one two three four five six seven eight"   // 8 words
     Seq(
-      // 0 and 1 open with the same aligned 8-word run; tails differ
-      (0L, s"$shared alpha beta gamma delta", "en", "s", 10L),
-      (1L, s"$shared epsilon zeta eta theta", "en", "s", 10L),
-      // 2: 12 unique words — two chunks, none shared
-      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll", "en", "s", 10L),
-      // 3: seven words — below a chunk, absent from the output
-      (3L, "too short for any chunk at all", "en", "s", 10L)
+      (0L, passage.mkString(" "), "en", "s", 10L),
+      // same passage shifted 3 words right by a plain prefix
+      (1L, (plain.slice(20, 23) ++ passage).mkString(" "), "en", "s", 10L),
+      // no boundary tokens at all: no chunks, absent from the output
+      (2L, plain.slice(30, 46).mkString(" "), "en", "s", 10L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     val out = SparkEntry.queries("dedup_substring")(spark, d)
       .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chunk_frac")
       .as[(Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(out.keySet === Set(0L, 1L, 2L))
-    assert(out(0L) === ((2L, 1L, 0.5)))    // chunks at word 1 and 5
-    assert(out(1L) === ((2L, 1L, 0.5)))
-    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out.keySet === Set(0L, 1L))
+    // the single anchored chunk is identical in both despite the shift
+    assert(out(0L) === ((1L, 1L, 1.0)))
+    assert(out(1L) === ((1L, 1L, 1.0)))
   }
 
   test("dedup_semantic keeps one vector per transitive cosine cluster") {

@@ -137,4 +137,29 @@ class StreamingSpec extends SparkSpec {
         "unrelated docs stay their own canonical")
     } finally q.stop()
   }
+
+  test("streaming NEAR-dup: lower doc_id arriving LATER demotes the stored canon") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingPipeline.nearDupLinks(docs)
+      .writeStream.format("memory").queryName("near_dups_retro")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+        "sleepy cats watch from the old wooden fence near the river bank at dawn"
+      // the HIGHER id arrives first and becomes the provisional canon
+      mem.addData((5L, base))
+      q.processAllAvailable()
+      // the near-dup with the LOWER id arrives in a later micro-batch —
+      // the retro link must re-root doc 5 under 3, or neither would
+      // look like a duplicate
+      mem.addData((3L, base.replace("dawn", "dusk")))
+      q.processAllAvailable()
+      val reps = spark.table("near_dups_retro").groupBy($"doc_id")
+        .agg(min($"canon_doc").as("rep")).as[(Long, Long)].collect().toMap
+      assert(reps(3L) === 3L, "the new minimum is canonical")
+      assert(reps(5L) === 3L,
+        "the earlier provisional canon is demoted via the retro link")
+    } finally q.stop()
+  }
 }
