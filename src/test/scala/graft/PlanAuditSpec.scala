@@ -36,6 +36,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("win_topn_per_group plans WindowGroupLimit, not a full window sort") {
+    // Spark ≥3.5 rewrites rank()/row_number() ≤ k into per-partition
+    // group-limit heaps (Partial before the shuffle, Final after) — the
+    // same O(n log k) shape a custom TopKPerGroup exec would provide.
+    // Guard the query's written form staying inside the pattern the
+    // optimizer recognizes: losing it silently degrades to a full
+    // partition sort of every group at corpus scale.
+    val plan = SparkEntry.queries("win_topn_per_group")(spark, sfTiny)
+      .queryExecution.sparkPlan.toString
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined, plan)
+    assert("WindowGroupLimit.*Final".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("ref_sort_full keeps its global sort (bench regression guard)") {
     val plan = SparkEntry.queries("ref_sort_full")(spark, sfTiny)
       .queryExecution.sparkPlan.toString
