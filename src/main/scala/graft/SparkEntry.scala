@@ -23,7 +23,8 @@ object SparkEntry {
     ops.Multimodal,
     ops.Advanced,
     ops.Extras,
-    pipeline.Sources
+    pipeline.Sources,
+    pipeline.Layout
   )
 
   def all: Seq[GraftQuery] = {

@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-layout maintenance operators: the table-management jobs every
+  * large parquet lake needs between ingest and query. The reference's
+  * sink is an unindexed Postgres table (postgres/init.sql:1-17), so none
+  * of these exist there — they are the §7.3-4 capability bar applied to
+  * the storage layer, where 100 TB problems actually live:
+  *
+  *  - `sink_compaction`: streaming/micro-batch ingest produces thousands
+  *    of KB-sized files per partition; NameNode/S3 listing and per-file
+  *    open cost then dominate scans. Compaction rewrites a directory to
+  *    size-targeted files — file count derives from measured input
+  *    bytes, never a hardcoded partition count.
+  *  - `sink_clustered_write`: range-clustering on the dominant filter
+  *    key gives parquet row-group min/max stats real selectivity, so a
+  *    key-range scan skips whole files instead of reading everything.
+  *    This is the write-side half of predicate pushdown.
+  *  - `sink_upsert_merge`: copy-on-write SCD-1 merge — one shuffled
+  *    anti-join of the snapshot against the delta keys plus a union.
+  *    At 100 TB the same plan runs per-partition with dynamic partition
+  *    overwrite so only touched partitions rewrite; the join is the
+  *    identical shape either way.
+  *  - `src_jsonl_roundtrip`: JSONL is the lingua franca of training-data
+  *    interchange; the round trip pins escaping fidelity (newlines,
+  *    quotes, unicode) through the Spark JSON source against DuckDB's
+  *    reading of the original parquet.
+  */
+object Layout extends QueryModule {
+
+  /** Compact every parquet file under `inDir` into size-targeted files at
+    * `outDir`. Returns (inputFiles, outputFiles). The output file count is
+    * ceil(totalBytes / targetBytes) — measured, not guessed, so the same
+    * call that merges 10k micro-batch droppings into 3 files also splits
+    * one pathological 10 GB file into 80.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long): (Int, Int) = {
+    val p  = new Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    val outFiles = fs.listStatus(new Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, outFiles)
+  }
+
+  /** Write `df` range-clustered on `key`: rows range-partitioned so each
+    * file owns a contiguous, non-overlapping key interval, and sorted
+    * within files so row-group min/max stats are tight. `numFiles` is a
+    * caller decision (bytes-per-file policy) — at scale it comes from
+    * input size the way `compact` derives it.
+    */
+  def clusteredWrite(df: DataFrame, key: String, numFiles: Int,
+                     outDir: String): Unit =
+    df.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Copy-on-write upsert: rows of `base` whose key appears in `delta`
+    * are replaced by the delta row; delta rows with new keys append.
+    * One anti-join on the key + one union — no driver-side state.
+    */
+  def upsert(base: DataFrame, delta: DataFrame, key: String): DataFrame =
+    base.join(delta.select(col(key)), Seq(key), "left_anti")
+      .unionByName(delta)
+
+  private val jsonlSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── JSONL sink → FAILFAST schema'd scan → typed rows ─────
+    GraftQuery(
+      "src_jsonl_roundtrip",
+      (s, d) => {
+        val tmp = Sources.scratch(d, "jsonl_")
+        Tables.documents(s, d)
+          .write.mode("overwrite").json(tmp)
+        s.read.schema(jsonlSchema).option("mode", "FAILFAST").json(tmp)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ───── small-file compaction: 64 droppings → size-targeted files ─────
+    // The landing write fakes a micro-batch ingest (64 tiny files); the
+    // compacted read-back must be value-identical to the source table —
+    // layout changes, content never does.
+    GraftQuery(
+      "sink_compaction",
+      (s, d) => {
+        val landing   = Sources.scratch(d, "compact_in_")
+        val compacted = Sources.scratch(d, "compact_out_")
+        Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(landing)
+        val target = s.conf.get("spark.graft.compact.targetFileBytes",
+          (128L * 1024 * 1024).toString).toLong
+        require(target > 0, s"targetFileBytes must be positive, got $target")
+        compact(s, landing, compacted, target)
+        s.read.parquet(compacted).orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type, value
+        FROM events ORDER BY event_id
+      """)),
+
+    // ───── range-clustered write + key-range pruned read-back ─────
+    // Files own disjoint l_orderkey intervals (LayoutSpec proves the
+    // min/max disjointness), so the between-filter read touches a
+    // fraction of files via parquet stats instead of scanning all.
+    GraftQuery(
+      "sink_clustered_write",
+      (s, d) => {
+        val tmp = Sources.scratch(d, "clustered_")
+        clusteredWrite(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice")),
+          "l_orderkey", numFiles = 8, tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_orderkey").between(500, 800))
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 500 AND 800
+        ORDER BY l_orderkey, l_partkey, l_linenumber
+      """)),
+
+    // ───── copy-on-write SCD-1 merge: updates win, inserts append ─────
+    // Deterministic delta derived from the base itself: every 97th key
+    // is an update (price bump, status 'U'), every 193rd key re-enters
+    // as a new key (status 'N'). The merged snapshot round-trips through
+    // parquet so the sink path (not just the join) is under test.
+    GraftQuery(
+      "sink_upsert_merge",
+      (s, d) => {
+        val tmp  = Sources.scratch(d, "merge_")
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"))
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+        val inserts = base
+          .filter(pmod(col("o_orderkey"), lit(193)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N"))
+        upsert(base, updates.unionByName(inserts), "o_orderkey")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderpriority
+          FROM orders),
+        upd AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 o_totalprice + 100000.0 AS o_totalprice, o_orderpriority
+          FROM base WHERE o_orderkey % 97 = 0),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                 'N' AS o_orderstatus, o_totalprice, o_orderpriority
+          FROM base WHERE o_orderkey % 193 = 0),
+        delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        UNION ALL
+        SELECT * FROM delta
+        ORDER BY o_orderkey
+      """))
+  )
+}

@@ -45,7 +45,7 @@ object Sources extends QueryModule {
     root
   }
 
-  private def scratch(d: String, tag: String): String = {
+  private[pipeline] def scratch(d: String, tag: String): String = {
     // keep the root's mtime live: writes land in nested subdirs, which
     // do NOT update the root's own mtime — without the touch, a soak
     // run >24h could be swept by a newly starting sibling JVM

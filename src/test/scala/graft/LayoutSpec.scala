@@ -1,0 +1,94 @@
+package graft
+
+import graft.pipeline.Layout
+import org.apache.spark.sql.functions._
+
+/** Layout-maintenance properties the oracle can't see: file COUNTS after
+  * compaction, per-file key disjointness after clustered writes, and
+  * merge cardinality. The oracle gate (CORRECTNESS) already proves the
+  * same queries are value-lossless.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("compact derives output file count from measured bytes") {
+    val in  = scratchDir("compact_in")
+    val out = scratchDir("compact_out")
+    Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(in)
+    // huge target: everything fits one file
+    val (nIn, nOut) = Layout.compact(spark, in, out, 128L * 1024 * 1024)
+    assert(nIn == 16)
+    assert(nOut == 1)
+    assert(spark.read.parquet(out).count() ==
+      Tables.events(spark, sfTiny).count())
+
+    // tiny target: measured bytes force a split into multiple files
+    val out2 = scratchDir("compact_out2")
+    val (_, nOut2) = Layout.compact(spark, in, out2, 8L * 1024)
+    assert(nOut2 > 1, s"expected a split, got $nOut2 file(s)")
+  }
+
+  test("clusteredWrite yields disjoint per-file key ranges") {
+    val out = scratchDir("clustered")
+    Layout.clusteredWrite(
+      Tables.lineitem(spark, sfTiny)
+        .select(col("l_orderkey"), col("l_quantity")),
+      "l_orderkey", numFiles = 4, out)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length >= 2, s"want multiple files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+  }
+
+  test("upsert replaces matched keys and appends new ones") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val delta = Seq((2L, "b2", 99.0), (9L, "new", 1.0))
+      .toDF("k", "name", "v")
+    val got = Layout.upsert(base, delta, "k")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0),
+      (9L, "new", 1.0)))
+  }
+
+  test("sink_clustered_write read-back pushes the key-range filter to parquet") {
+    val plan = SparkEntry.queries("sink_clustered_write")(spark, sfTiny)
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata("PushedFilters").contains("l_orderkey"),
+      scans.head.metadata("PushedFilters"))
+  }
+
+  test("jsonl round trip preserves hostile text exactly") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, "line\nbreak and \"quotes\" and tab\there"),
+      (2L, "unicode: é中文 😀 and backslash \\"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = scratchDir("jsonl")
+    hostile.write.mode("overwrite").json(out)
+    val back = spark.read
+      .schema("doc_id LONG, text STRING").option("mode", "FAILFAST")
+      .json(out)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(back.toSeq == Seq(
+      (1L, "line\nbreak and \"quotes\" and tab\there"),
+      (2L, "unicode: é中文 😀 and backslash \\"),
+      (3L, "")))
+  }
+}
