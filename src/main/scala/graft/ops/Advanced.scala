@@ -219,17 +219,25 @@ object Advanced extends QueryModule {
     // estimator yields all-true on both sides, so rows+schema+hash match
     // — and the row still proves the sketch machinery ran and converged.
     // SketchSpec additionally bounds the raw relative error at 3× rsd.
+    // Two-stage formulation: dedup (flag, partkey) FIRST with a narrow
+    // count-only agg, then run the HLL over the already-distinct keys.
+    // HLL is duplicate-insensitive so the estimate is identical, but the
+    // single-stage plan shuffled the ~400-register sketch state per
+    // (flag, partkey) group through the distinct pipeline — here sketch
+    // state exists only at the 3-row flag granularity.
     GraftQuery(
       "agg_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_partkey"))
+          .agg(count(lit(1)).as("key_rows"))
           .groupBy(col("l_returnflag"))
           .agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            count(lit(1)).as("n_rows"),
+            count(lit(1)).as("exact_parts"),
+            sum(col("key_rows")).as("n_rows"),
             (abs(approx_count_distinct(col("l_partkey"), 0.02)
-              - countDistinct(col("l_partkey"))).cast("double")
-              <= lit(0.1) * countDistinct(col("l_partkey")))
+              - count(lit(1))).cast("double")
+              <= lit(0.1) * count(lit(1)))
               .as("estimate_within_10pct"))
           .orderBy(col("l_returnflag")),
       Some("""
