@@ -165,6 +165,45 @@ object StreamingPipeline {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** Stream-static dimension enrichment: each micro-batch joins the
+    * static dimension by key. Stateless — no streaming state store is
+    * involved; the dimension is re-resolved per batch, so a dimension
+    * refresh (overwritten parquet) is picked up without restarting the
+    * query. Left join: an event with no dimension row must pass through
+    * with nulls, not vanish (fact streams outlive dimension coverage).
+    * Broadcasting is left to the planner: a small dim auto-broadcasts
+    * under the threshold; forcing a hint here would pin OOM risk on
+    * callers with large dims (the corpus-broadcast lesson, applied to
+    * streams).
+    */
+  def enriched(typed: DataFrame, dim: DataFrame,
+               streamKey: String, dimKey: String): DataFrame =
+    typed.join(dim, typed(streamKey) === dim(dimKey), "left")
+
+  /** Continuous upsert into a `SnapshotStore` table: each micro-batch
+    * merges on `key` (highest `seqCol` wins within a batch), committed
+    * as snapshot version = batchId. foreachBatch delivery is
+    * at-least-once; the store's version markers make replays no-ops, so
+    * the SNAPSHOT is exactly-once — the streaming sibling of
+    * `sink_upsert_merge`, and the pattern that turns a CDC stream into
+    * a queryable lake table.
+    */
+  def runIncrementalUpsert(
+      spark: SparkSession,
+      stream: DataFrame,
+      key: String,
+      seqCol: Option[String],
+      snapshotDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.SnapshotStore.upsertVersion(
+          batch.sparkSession, batch, key, seqCol, snapshotDir, batchId)
+      }
+      .start()
+
   /** The incremental ingest: CSV landing dir → typed → parquet sink,
     * exactly-once via checkpoint. Trigger.AvailableNow drains what
     * exists and stops — the batch-cadence deployment of a streaming

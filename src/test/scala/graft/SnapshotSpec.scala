@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipeline.SnapshotStore
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Versioned-snapshot semantics: exactly-once upserts from an
+  * at-least-once stream, crash-orphan invisibility, retention pruning,
+  * and stream-static enrichment.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val csvSchema = StructType(Seq(
+    StructField("k", LongType), StructField("seq", LongType),
+    StructField("v", StringType)))
+
+  private def writeCsv(dir: String, name: String, rows: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      ("k,seq,v" +: rows).mkString("\n").getBytes("UTF-8"))
+
+  private def snapshot(dir: String): Map[Long, (Long, String)] =
+    SnapshotStore.read(spark, dir).get
+      .select("k", "seq", "v").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("streaming upsert maintains an exactly-once keyed snapshot") {
+    val landing = scratchDir("snap_landing")
+    val snap    = scratchDir("snap_store") + "/tbl"
+    val ckpt    = scratchDir("snap_ckpt") + "/cp"
+    def run(): Unit = StreamingPipeline.runIncrementalUpsert(
+      spark,
+      spark.readStream.option("header", "true").schema(csvSchema)
+        .csv(s"$landing/*.csv"),
+      key = "k", seqCol = Some("seq"), snap, ckpt).awaitTermination()
+
+    // batch 0: two keys; key 2 appears twice — highest seq wins
+    writeCsv(landing, "b1.csv", Seq("1,1,a", "2,1,b", "2,2,b2"))
+    run()
+    assert(SnapshotStore.latestVersion(spark, snap).contains(0L))
+    assert(snapshot(snap) == Map(1L -> (1L, "a"), 2L -> (2L, "b2")))
+
+    // batch 1: update key 2, insert key 4; key 1 untouched
+    writeCsv(landing, "b2.csv", Seq("2,3,b3", "4,1,d"))
+    run()
+    assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
+    assert(snapshot(snap) ==
+      Map(1L -> (1L, "a"), 2L -> (3L, "b3"), 4L -> (1L, "d")))
+
+    // replayed batch (same version): must be a no-op, even with junk
+    SnapshotStore.upsertVersion(spark,
+      Seq((2L, 9L, "JUNK")).toDF("k", "seq", "v"), "k", Some("seq"),
+      snap, version = 1L)
+    assert(snapshot(snap)(2L) == (3L, "b3"))
+
+    // restart with no new files: checkpoint replays nothing
+    run()
+    assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
+  }
+
+  test("uncommitted orphan data dirs are invisible to readers") {
+    val snap = scratchDir("snap_orphan") + "/tbl"
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, 1L, "a")).toDF("k", "seq", "v"), "k", None, snap, 0L)
+    // a writer that crashed after writing data but BEFORE the marker
+    Seq((1L, 9L, "phantom")).toDF("k", "seq", "v")
+      .write.parquet(SnapshotStore.versionDir(snap, 5L))
+    assert(SnapshotStore.latestVersion(spark, snap).contains(0L))
+    assert(snapshot(snap) == Map(1L -> (1L, "a")))
+  }
+
+  test("retention prunes old data dirs but keeps the commit log") {
+    val snap = scratchDir("snap_retain") + "/tbl"
+    (0L to 2L).foreach { v =>
+      SnapshotStore.upsertVersion(spark,
+        Seq((v, v, s"v$v")).toDF("k", "seq", "v"), "k", None, snap, v,
+        retain = 2)
+    }
+    val root = new org.apache.hadoop.fs.Path(snap)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}")).sorted
+    assert(dataDirs.toSeq == Seq("v00000001", "v00000002"),
+      s"expected v0 pruned, got ${dataDirs.mkString(",")}")
+    // all three commit markers survive (auditable history)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$snap/_commits"))
+      .length == 3)
+    // the snapshot accumulated all three keys
+    assert(snapshot(snap).keySet == Set(0L, 1L, 2L))
+  }
+
+  test("stream-static enrichment attaches dimension columns per batch") {
+    val dim = Seq((10L, "alice"), (11L, "bob")).toDF("id", "name")
+    val mem = MemoryStream[(Long, Long, Double)](spark)
+    val typed = mem.toDF().toDF("event_id", "user_id", "value")
+    val q = StreamingPipeline.enriched(typed, dim, "user_id", "id")
+      .select($"event_id", $"name")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L, 1.0), (2L, 11L, 2.0), (3L, 99L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .as[(Long, Option[String])].collect().toMap
+      // unmatched key 99 passes through with null, not dropped
+      assert(rows == Map(1L -> Some("alice"), 2L -> Some("bob"), 3L -> None))
+    } finally q.stop()
+  }
+}
