@@ -240,6 +240,95 @@ object Curation extends QueryModule {
                          AS n_tokens
                 FROM documents) t0) t1
         ORDER BY source, cum_tokens, doc_id
+      """)),
+
+    // ───── C4/Gopher-style quality gate: rule stack → keep/drop ─────
+    // The decision layer real pretraining pipelines put on top of the
+    // quality primitives: a fixed rule ladder (length, stopword ratio,
+    // alphabetic ratio, bigram repetition) where the FIRST failing rule
+    // names the drop reason. One narrow per-row projection — no joins,
+    // no shuffle beyond the output sort; at 100 TB this runs at scan
+    // speed, which is exactly why production filters are rule ladders
+    // and not models for the first pass. Every ratio is a single IEEE
+    // division of exact ints (cross-engine bit-exact); NULL ratios
+    // (empty/1-token docs) are all pre-caught by the length rule, so
+    // the CASE ladder never evaluates a NULL comparison differently
+    // across engines. Thresholds are tuned to the synthetic corpus so
+    // every rule fires (DegenerateInputSpec covers the empty corpus);
+    // production values are corpus-specific knobs by nature.
+    GraftQuery(
+      "curate_quality_gate",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("swr",
+            when(col("n_tokens") === 0, lit(null).cast("double"))
+              .otherwise(expr(
+                s"size(filter(toks, t -> t IN ${TextAnalysis.inList(TextAnalysis.stop("en"))}))")
+                .cast("double") / col("n_tokens")))
+          .withColumn("ar",
+            when(length(col("text")) === 0, lit(null).cast("double"))
+              .otherwise(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+                .cast("double") / length(col("text"))))
+          .withColumn("bg",
+            when(size(col("toks")) >= 2, expr(
+              "transform(sequence(0, size(toks)-2), i -> " +
+                "concat(toks[i], ' ', toks[i+1]))"))
+              .otherwise(expr("array()")))
+          .withColumn("dup_bg",
+            when(size(col("bg")) === 0, lit(null).cast("double"))
+              .otherwise((size(col("bg")) - size(array_distinct(col("bg"))))
+                .cast("double") / size(col("bg"))))
+          .withColumn("reason",
+            when(col("n_tokens") < 20, "too_short")
+              .when(col("swr") < 0.02, "low_stopword")
+              .when(col("ar") < 0.81, "low_alpha")
+              .when(col("dup_bg") > 0.08, "repetitive")
+              .otherwise("keep"))
+          .select(col("doc_id"), col("n_tokens"), col("swr"), col("ar"),
+            col("dup_bg"), col("reason"),
+            (col("reason") === "keep").as("keep"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CASE WHEN len(toks) = 0 THEN NULL
+                      ELSE CAST(len(list_filter(toks,
+                             t -> t IN ${TextAnalysis.inList(TextAnalysis.stop("en"))})) AS DOUBLE)
+                           / len(toks) END AS swr,
+                 CASE WHEN length(text) = 0 THEN NULL
+                      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                           / length(text) END AS ar,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1])
+                      ELSE [] END AS bg
+          FROM t),
+        r AS (
+          SELECT doc_id, n_tokens, swr, ar,
+                 CASE WHEN len(bg) = 0 THEN NULL
+                      ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                           / len(bg) END AS dup_bg
+          FROM m)
+        SELECT doc_id, n_tokens, swr, ar, dup_bg,
+               CASE WHEN n_tokens < 20 THEN 'too_short'
+                    WHEN swr < 0.02 THEN 'low_stopword'
+                    WHEN ar < 0.81 THEN 'low_alpha'
+                    WHEN dup_bg > 0.08 THEN 'repetitive'
+                    ELSE 'keep' END AS reason,
+               (CASE WHEN n_tokens < 20 THEN 'too_short'
+                     WHEN swr < 0.02 THEN 'low_stopword'
+                     WHEN ar < 0.81 THEN 'low_alpha'
+                     WHEN dup_bg > 0.08 THEN 'repetitive'
+                     ELSE 'keep' END) = 'keep' AS keep
+        FROM r
+        ORDER BY doc_id
       """))
   )
 }

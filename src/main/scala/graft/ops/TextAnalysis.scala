@@ -28,14 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryModule {
 
-  private val stop = Map(
+  private[ops] val stop = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "la", "los", "y", "que"),
     "fr" -> Seq("le", "les", "et", "une", "dans"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo"))
 
-  private def inList(xs: Seq[String]): String =
+  private[ops] def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   override def queries: Seq[GraftQuery] = Seq(
