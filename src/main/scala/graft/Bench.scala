@@ -176,8 +176,15 @@ object Bench {
     // to a file, print it once up front, and re-print it as the very last
     // line of the process (after spark.stop(), so no shutdown log noise
     // can land between it and EOF and eat the capture budget).
+    // BENCH_FULL.json is the committed adjudication baseline — a
+    // SPARK_GRAFT_BENCH_ONLY-filtered run must never overwrite it with a
+    // partial measurement, so filtered runs land in BENCH_PARTIAL.json.
+    val artifact =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").exists(_.trim.nonEmpty))
+        "BENCH_PARTIAL.json"
+      else "BENCH_FULL.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(artifact),
       (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()

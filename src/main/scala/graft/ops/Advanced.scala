@@ -232,12 +232,16 @@ object Advanced extends QueryModule {
           .groupBy(col("l_returnflag"), col("l_partkey"))
           .agg(count(lit(1)).as("key_rows"))
           .groupBy(col("l_returnflag"))
+          // count(l_partkey), not count(1): a NULL partkey forms its own
+          // stage-1 group row, which COUNT DISTINCT (and the HLL, which
+          // skips NULL inputs) must not count — n_rows still counts
+          // every underlying row via the summed per-key counts
           .agg(
-            count(lit(1)).as("exact_parts"),
+            count(col("l_partkey")).as("exact_parts"),
             sum(col("key_rows")).as("n_rows"),
             (abs(approx_count_distinct(col("l_partkey"), 0.02)
-              - count(lit(1))).cast("double")
-              <= lit(0.1) * count(lit(1)))
+              - count(col("l_partkey"))).cast("double")
+              <= lit(0.1) * count(col("l_partkey")))
               .as("estimate_within_10pct"))
           .orderBy(col("l_returnflag")),
       Some("""

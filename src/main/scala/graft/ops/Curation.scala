@@ -315,19 +315,18 @@ object Curation extends QueryModule {
                  CASE WHEN len(bg) = 0 THEN NULL
                       ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
                            / len(bg) END AS dup_bg
-          FROM m)
-        SELECT doc_id, n_tokens, swr, ar, dup_bg,
-               CASE WHEN n_tokens < 20 THEN 'too_short'
-                    WHEN swr < 0.02 THEN 'low_stopword'
-                    WHEN ar < 0.81 THEN 'low_alpha'
-                    WHEN dup_bg > 0.08 THEN 'repetitive'
-                    ELSE 'keep' END AS reason,
-               (CASE WHEN n_tokens < 20 THEN 'too_short'
-                     WHEN swr < 0.02 THEN 'low_stopword'
-                     WHEN ar < 0.81 THEN 'low_alpha'
-                     WHEN dup_bg > 0.08 THEN 'repetitive'
-                     ELSE 'keep' END) = 'keep' AS keep
-        FROM r
+          FROM m),
+        g AS (
+          SELECT doc_id, n_tokens, swr, ar, dup_bg,
+                 CASE WHEN n_tokens < 20 THEN 'too_short'
+                      WHEN swr < 0.02 THEN 'low_stopword'
+                      WHEN ar < 0.81 THEN 'low_alpha'
+                      WHEN dup_bg > 0.08 THEN 'repetitive'
+                      ELSE 'keep' END AS reason
+          FROM r)
+        SELECT doc_id, n_tokens, swr, ar, dup_bg, reason,
+               reason = 'keep' AS keep
+        FROM g
         ORDER BY doc_id
       """))
   )

@@ -37,22 +37,33 @@ object Layout extends QueryModule {
     * `outDir`. Returns (inputFiles, outputFiles). The output file count is
     * ceil(totalBytes / targetBytes) — measured, not guessed, so the same
     * call that merges 10k micro-batch droppings into 3 files also splits
-    * one pathological 10 GB file into 80.
+    * one pathological 10 GB file into 80. The output is a single flat
+    * dir: hive-partition columns of a partitioned input are read back
+    * as data columns, so to compact a partitioned table partition-by-
+    * partition (preserving its layout), call this once per leaf dir.
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long): (Int, Int) = {
-    val p  = new Path(inDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // recursive: partitioned layouts nest part files under key=value
+    // dirs — a non-recursive listing would measure 0 bytes there and
+    // "compact" everything into one file
+    def parquetFiles(dir: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(dir, true)
+      val out = Array.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f
+      }
+      out.result()
+    }
+    val dataFiles = parquetFiles(new Path(inDir))
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)
       .repartition(nOut)
       .write.mode("overwrite").parquet(outDir)
-    val outFiles = fs.listStatus(new Path(outDir))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (dataFiles.length, outFiles)
+    (dataFiles.length, parquetFiles(new Path(outDir)).length)
   }
 
   /** Write `df` range-clustered on `key`: rows range-partitioned so each

@@ -39,6 +39,8 @@ object SnapshotStore {
   private def markerPath(dir: String, v: Long): Path =
     new Path(s"$dir/_commits/${versionName(v)}")
 
+  private val versionPat = "v(\\d{8,})".r
+
   /** Highest committed version, if any commit exists. */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
     val commits = new Path(s"$dir/_commits")
@@ -46,7 +48,7 @@ object SnapshotStore {
     if (!f.exists(commits)) None
     else f.listStatus(commits)
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      .collect { case versionPat(n) => n.toLong }
       .reduceOption(_ max _)
   }
 
@@ -58,27 +60,42 @@ object SnapshotStore {
     * already committed is a no-op, so at-least-once callers get an
     * exactly-once snapshot). Delta rows win over snapshot rows on `key`;
     * new keys append. Within the delta, the row with the highest
-    * `seqCol` per key wins (deterministic winner for replayed CDC
-    * batches); pass a delta already unique on `key` to skip that pass.
+    * `seqCol` per key wins, with an md5-of-row tiebreak on equal seq so
+    * replays pick the SAME winner (deterministic snapshot contents);
+    * pass a delta already unique on `key` to skip that pass.
     * After committing, data dirs older than the `retain` most recent
     * committed versions are deleted (their markers stay, so version
     * history remains auditable).
+    *
+    * Replay vs collision: at-least-once streaming can only replay the
+    * LAST committed batch, so version == latest no-ops (the replay) but
+    * version < latest throws — that is a writer running against a
+    * checkpoint that was reset while the snapshot dir survived, and a
+    * silent no-op there would discard every batch whose id collides
+    * with an old marker. (The one undetectable case is a reset
+    * checkpoint colliding on the very latest version; recovery from a
+    * checkpoint loss is to also start a fresh snapshot dir or
+    * re-point `retain`-aware tooling at the old one.)
     */
   def upsertVersion(spark: SparkSession, delta: DataFrame, key: String,
                     seqCol: Option[String], dir: String, version: Long,
                     retain: Int = 2): Unit = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val f = fs(spark, dir)
-    if (f.exists(markerPath(dir, version))) return // replayed batch
-    latestVersion(spark, dir).foreach(prev => require(prev < version,
-      s"version $version not after committed $prev (single-writer contract)"))
+    val latest = latestVersion(spark, dir)
+    if (latest.contains(version)) return // replay of the last batch
+    require(latest.forall(_ < version),
+      s"version $version collides below committed ${latest.get}: the " +
+        "checkpoint driving this writer was reset against a live snapshot " +
+        "dir (single-writer, monotone-version contract)")
 
     val deltaLatest = seqCol match {
       case Some(seq) =>
         import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.{col, row_number}
+        import org.apache.spark.sql.functions.{col, md5, row_number, struct, to_json}
         delta.withColumn("_rn", row_number().over(
-            Window.partitionBy(col(key)).orderBy(col(seq).desc)))
+            Window.partitionBy(col(key))
+              .orderBy(col(seq).desc, md5(to_json(struct(delta.columns.map(col): _*))))))
           .filter(col("_rn") === 1).drop("_rn")
       case None => delta
     }
@@ -99,10 +116,11 @@ object SnapshotStore {
   private def pruneData(spark: SparkSession, dir: String, retain: Int): Unit = {
     val f = fs(spark, dir)
     val commits = new Path(s"$dir/_commits")
-    val committed = f.listStatus(commits).map(_.getPath.getName.drop(1).toLong)
+    val committed = f.listStatus(commits).map(_.getPath.getName)
+      .collect { case versionPat(n) => n.toLong }
     val cutoff = committed.sorted.takeRight(retain).min
     f.listStatus(new Path(dir))
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{8}"))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{8,}"))
       .map(_.getPath)
       .filter(_.getName.drop(1).toLong < cutoff)
       .foreach(p => f.delete(p, true))

@@ -167,18 +167,24 @@ object StreamingPipeline {
 
   /** Stream-static dimension enrichment: each micro-batch joins the
     * static dimension by key. Stateless — no streaming state store is
-    * involved; the dimension is re-resolved per batch, so a dimension
-    * refresh (overwritten parquet) is picked up without restarting the
-    * query. Left join: an event with no dimension row must pass through
-    * with nulls, not vanish (fact streams outlive dimension coverage).
-    * Broadcasting is left to the planner: a small dim auto-broadcasts
-    * under the threshold; forcing a hint here would pin OOM risk on
-    * callers with large dims (the corpus-broadcast lesson, applied to
-    * streams).
+    * involved. The static side's FILE LISTING is captured when the
+    * query starts (InMemoryFileIndex caches part-file names), so
+    * overwriting the dimension dir in place mid-query fails the stream
+    * with missing-file reads — refresh a dimension by writing a NEW
+    * versioned dir (`SnapshotStore` is exactly that) and restarting
+    * the query, or re-resolve it per batch inside foreachBatch.
+    * Left join: an event with no dimension row must pass through with
+    * nulls, not vanish (fact streams outlive dimension coverage). The
+    * dimension's key column is dropped — only enrichment payload joins
+    * the stream schema. Broadcasting is left to the planner: a small
+    * dim auto-broadcasts under the threshold; forcing a hint here would
+    * pin OOM risk on callers with large dims (the corpus-broadcast
+    * lesson, applied to streams).
     */
   def enriched(typed: DataFrame, dim: DataFrame,
                streamKey: String, dimKey: String): DataFrame =
     typed.join(dim, typed(streamKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
 
   /** Continuous upsert into a `SnapshotStore` table: each micro-batch
     * merges on `key` (highest `seqCol` wins within a batch), committed

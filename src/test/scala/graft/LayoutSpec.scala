@@ -43,9 +43,11 @@ class LayoutSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     assert(ranges.length >= 2, s"want multiple files, got ${ranges.length}")
+    // strictly less: range partitioning sends a key to exactly ONE
+    // partition, so even the boundary key must not appear in two files
     ranges.sliding(2).foreach {
       case Array((_, hiA), (loB, _)) =>
-        assert(hiA <= loB, s"overlapping file ranges: $ranges")
+        assert(hiA < loB, s"overlapping file ranges: $ranges")
       case _ =>
     }
   }

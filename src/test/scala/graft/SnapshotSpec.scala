@@ -62,6 +62,39 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
   }
 
+  test("a version colliding BELOW the committed head fails loudly") {
+    // a reset checkpoint replaying old batch ids against a surviving
+    // snapshot dir must error, not silently discard the batches
+    val snap = scratchDir("snap_collide") + "/tbl"
+    (0L to 2L).foreach { v =>
+      SnapshotStore.upsertVersion(spark,
+        Seq((v, v, s"v$v")).toDF("k", "seq", "v"), "k", None, snap, v)
+    }
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.upsertVersion(spark,
+        Seq((9L, 9L, "late")).toDF("k", "seq", "v"), "k", None, snap, 1L)
+    }
+    assert(e.getMessage.contains("collides"))
+    // version == head is the legitimate at-least-once replay: no-op
+    SnapshotStore.upsertVersion(spark,
+      Seq((9L, 9L, "replay")).toDF("k", "seq", "v"), "k", None, snap, 2L)
+    assert(!snapshot(snap).contains(9L))
+  }
+
+  test("within-batch seq ties resolve deterministically") {
+    val snapA = scratchDir("snap_tie_a") + "/tbl"
+    val snapB = scratchDir("snap_tie_b") + "/tbl"
+    // two rows, same key, same seq — the md5-of-row tiebreak must pick
+    // the same winner regardless of input order
+    Seq(snapA -> Seq((1L, 5L, "a"), (1L, 5L, "b")),
+        snapB -> Seq((1L, 5L, "b"), (1L, 5L, "a"))).foreach {
+      case (dir, rows) =>
+        SnapshotStore.upsertVersion(spark,
+          rows.toDF("k", "seq", "v"), "k", Some("seq"), dir, 0L)
+    }
+    assert(snapshot(snapA) == snapshot(snapB))
+  }
+
   test("uncommitted orphan data dirs are invisible to readers") {
     val snap = scratchDir("snap_orphan") + "/tbl"
     SnapshotStore.upsertVersion(spark,
