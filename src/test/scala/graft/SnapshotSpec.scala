@@ -126,6 +126,26 @@ class SnapshotSpec extends SparkSpec {
     assert(snapshot(snap).keySet == Set(0L, 1L, 2L))
   }
 
+  test("snapshot store runs unchanged on a non-default FileSystem scheme (graftfs:)") {
+    // the store claims rename-free S3A safety: prove every path
+    // (data dirs, markers, pruning) resolves through Path.getFileSystem
+    // on a second scheme — the s3a:// substitution a real deployment makes
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    GraftTestFileSystem.renameIsCopyDelete = true
+    val snap = s"graftfs:${scratchDir("snap_scheme")}/tbl"
+    try {
+      SnapshotStore.upsertVersion(spark,
+        Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "seq", "v"),
+        "k", Some("seq"), snap, 0L)
+      SnapshotStore.upsertVersion(spark,
+        Seq((2L, 2L, "b2")).toDF("k", "seq", "v"),
+        "k", Some("seq"), snap, 1L)
+      assert(snapshot(snap) == Map(1L -> (1L, "a"), 2L -> (2L, "b2")))
+      assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
+    } finally GraftTestFileSystem.renameIsCopyDelete = false
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     val dim = Seq((10L, "alice"), (11L, "bob")).toDF("id", "name")
     val mem = MemoryStream[(Long, Long, Double)](spark)
