@@ -146,6 +146,34 @@ class SnapshotSpec extends SparkSpec {
     } finally GraftTestFileSystem.renameIsCopyDelete = false
   }
 
+  test("property: random CDC batch sequences match an in-memory map model") {
+    // fixed-seed model test: the snapshot after N random upsert batches
+    // (with random replays interleaved) must equal folding the same
+    // batches into a Map — replays must change nothing
+    val rnd = new scala.util.Random(42)
+    val snap = scratchDir("snap_model") + "/tbl"
+    var model = Map.empty[Long, (Long, String)]
+    var version = 0L
+    (0 until 12).foreach { i =>
+      // unique seq per batch row => deterministic winner without ties
+      val batch = Seq.fill(1 + rnd.nextInt(6)) {
+        (rnd.nextInt(8).toLong, i.toLong * 10 + rnd.nextInt(10), s"b${i}_${rnd.nextInt(100)}")
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // drop exact seq ties
+      SnapshotStore.upsertVersion(spark,
+        batch.toDF("k", "seq", "v"), "k", Some("seq"), snap, version)
+      if (rnd.nextBoolean()) // at-least-once: replay the same batch
+        SnapshotStore.upsertVersion(spark,
+          batch.toDF("k", "seq", "v"), "k", Some("seq"), snap, version)
+      val winners = batch.groupBy(_._1).map { case (k, rows) =>
+        val w = rows.maxBy(r => (r._2, r._3))
+        k -> (w._2, w._3)
+      }
+      model = model ++ winners
+      version += 1
+    }
+    assert(snapshot(snap) == model)
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     val dim = Seq((10L, "alice"), (11L, "bob")).toDF("id", "name")
     val mem = MemoryStream[(Long, Long, Double)](spark)
