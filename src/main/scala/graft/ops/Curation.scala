@@ -259,39 +259,118 @@ object Curation extends QueryModule {
     GraftQuery(
       "curate_quality_gate",
       (s, d) =>
-        Tables.documents(s, d)
-          .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-          .withColumn("n_tokens", size(col("toks")).cast("long"))
-          .withColumn("swr",
-            when(col("n_tokens") === 0, lit(null).cast("double"))
-              .otherwise(expr(
-                s"size(filter(toks, t -> t IN ${TextAnalysis.inList(TextAnalysis.stop("en"))}))")
-                .cast("double") / col("n_tokens")))
-          .withColumn("ar",
-            when(length(col("text")) === 0, lit(null).cast("double"))
-              .otherwise(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-                .cast("double") / length(col("text"))))
-          .withColumn("bg",
-            when(size(col("toks")) >= 2, expr(
-              "transform(sequence(0, size(toks)-2), i -> " +
-                "concat(toks[i], ' ', toks[i+1]))"))
-              .otherwise(expr("array()")))
-          .withColumn("dup_bg",
-            when(size(col("bg")) === 0, lit(null).cast("double"))
-              .otherwise((size(col("bg")) - size(array_distinct(col("bg"))))
-                .cast("double") / size(col("bg"))))
-          .withColumn("reason",
-            when(col("n_tokens") < 20, "too_short")
-              .when(col("swr") < 0.02, "low_stopword")
-              .when(col("ar") < 0.81, "low_alpha")
-              .when(col("dup_bg") > 0.08, "repetitive")
-              .otherwise("keep"))
+        withGateReason(Tables.documents(s, d))
           .select(col("doc_id"), col("n_tokens"), col("swr"), col("ar"),
             col("dup_bg"), col("reason"),
             (col("reason") === "keep").as("keep"))
           .orderBy(col("doc_id")),
       Some(s"""
-        WITH t AS (
+        WITH $gateCtes
+        SELECT doc_id, n_tokens, swr, ar, dup_bg, reason,
+               reason = 'keep' AS keep
+        FROM g
+        ORDER BY doc_id
+      """)),
+
+    // ───── the whole curation pipeline, one oracle-matched query ─────
+    // gate → exact dedup → shard plan: what a user actually runs. The
+    // stages reuse the SAME rule ladder / canonical-min / shard-window
+    // definitions as their standalone queries (shared helpers, so the
+    // composed and standalone results can't drift), and the chain stays
+    // bit-exact end to end: the manifest the Spark engine emits for a
+    // corpus is byte-identical to the oracle's. Plan shape: one narrow
+    // gate projection, one shuffle on the body hash (dedup), one
+    // shuffle on the source (shard window) — nothing quadratic, no
+    // corpus broadcast, exactly the standalone operators back to back.
+    GraftQuery(
+      "curate_pipeline_e2e",
+      (s, d) => {
+        val survivors = withGateReason(Tables.documents(s, d))
+          .filter(col("reason") === "keep")
+          .withColumn("canon_id", min(col("doc_id")).over(
+            Window.partitionBy(md5(col("text")))))
+          .filter(col("doc_id") === col("canon_id"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        survivors
+          .select(col("doc_id"), col("source"),
+            greatest(lit(1L), expr("(length(text) + 3) div 4").cast("long"))
+              .as("n_tokens"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("cum_tokens"),
+            expr("(cum_tokens - 1) div 2000").cast("long").as("shard_id"))
+          .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+      },
+      Some(s"""
+        WITH $gateCtes,
+        kept AS (
+          SELECT d.doc_id, d.text, d.source
+          FROM documents d JOIN g ON d.doc_id = g.doc_id
+          WHERE g.reason = 'keep'),
+        canon AS (
+          SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canon_id
+            FROM kept) c
+          WHERE doc_id = canon_id),
+        tok AS (
+          SELECT doc_id, source,
+                 GREATEST(1, CAST((length(text) + 3) // 4 AS BIGINT)) AS n_tokens
+          FROM canon),
+        sh AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM tok)
+        SELECT doc_id, source, n_tokens, cum_tokens,
+               (cum_tokens - 1) // 2000 AS shard_id
+        FROM sh
+        ORDER BY source, cum_tokens, doc_id
+      """))
+  )
+
+  /** The quality-gate rule ladder as added columns (`n_tokens`, `swr`,
+    * `ar`, `dup_bg`, `reason`) — shared by `curate_quality_gate` and the
+    * composed `curate_pipeline_e2e` so the two can never disagree. See
+    * the gate query's comment for the cross-engine determinism rules.
+    */
+  private def withGateReason(df: org.apache.spark.sql.DataFrame) =
+    df
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("swr",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(expr(
+            s"size(filter(toks, t -> t IN ${TextAnalysis.inList(TextAnalysis.stop("en"))}))")
+            .cast("double") / col("n_tokens")))
+      .withColumn("ar",
+        when(length(col("text")) === 0, lit(null).cast("double"))
+          .otherwise(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text"))))
+      .withColumn("bg",
+        when(size(col("toks")) >= 2, expr(
+          "transform(sequence(0, size(toks)-2), i -> " +
+            "concat(toks[i], ' ', toks[i+1]))"))
+          .otherwise(expr("array()")))
+      .withColumn("dup_bg",
+        when(size(col("bg")) === 0, lit(null).cast("double"))
+          .otherwise((size(col("bg")) - size(array_distinct(col("bg"))))
+            .cast("double") / size(col("bg"))))
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("swr") < 0.02, "low_stopword")
+          .when(col("ar") < 0.81, "low_alpha")
+          .when(col("dup_bg") > 0.08, "repetitive")
+          .otherwise("keep"))
+
+  /** DuckDB twin of [[withGateReason]]: CTEs `t/m/r/g`, with `g` ending
+    * at (doc_id, n_tokens, swr, ar, dup_bg, reason).
+    */
+  private def gateCtes: String = s"""
+        t AS (
           SELECT doc_id, text,
                  list_filter(string_split(text, ' '), t -> t <> '') AS toks
           FROM documents),
@@ -323,11 +402,5 @@ object Curation extends QueryModule {
                       WHEN ar < 0.81 THEN 'low_alpha'
                       WHEN dup_bg > 0.08 THEN 'repetitive'
                       ELSE 'keep' END AS reason
-          FROM r)
-        SELECT doc_id, n_tokens, swr, ar, dup_bg, reason,
-               reason = 'keep' AS keep
-        FROM g
-        ORDER BY doc_id
-      """))
-  )
+          FROM r)"""
 }

@@ -114,6 +114,28 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === rows.map(_._1).sorted.toSeq)
   }
 
+  test("curate_pipeline_e2e drops gated docs and non-canonical exact dupes") {
+    import org.apache.spark.sql.functions.{length, lit}
+    val d = scratchDir("e2e")
+    // 24 distinct words incl. stopwords: passes every gate rule
+    val good = "the quick brown fox jumps over a lazy dog while many other " +
+      "animals watch from the tall green hill beside this winding river today"
+    val other = "a different body of twenty plus words with the usual mix " +
+      "of stopwords and content terms spread across one natural sentence here"
+    Seq(
+      (1L, good, "en", "srcA"),    // canonical copy (min doc_id)
+      (5L, good, "en", "srcA"),    // exact dupe — must be dropped
+      (3L, other, "en", "srcA"),   // unique survivor
+      (9L, "too short", "en", "srcA")) // gated out (n_tokens < 20)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val manifest = SparkEntry.queries("curate_pipeline_e2e")(spark, d)
+      .select("doc_id").as[Long].collect().sorted
+    assert(manifest.toSeq === Seq(1L, 3L),
+      "manifest must keep the canonical dupe + the unique doc only")
+  }
+
   test("curate_domain_mix cap floors at 1 when sources outnumber docs/2") {
     import org.apache.spark.sql.functions.lit
     val d = scratchDir("mix_floor")

@@ -39,6 +39,7 @@ class DegenerateInputSpec extends SparkSpec {
     "text_repetition",
     "curate_stratified_sample", "curate_token_budget", "curate_contamination",
     "curate_domain_mix", "curate_shard_plan", "curate_quality_gate",
+    "curate_pipeline_e2e",
     "mm_binary_meta", "mm_decode_features", "mm_frame_sample", "mm_modality_stats")
 
   private val embQueries = Seq(
