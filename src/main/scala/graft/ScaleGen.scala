@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions._
   *    quadratic candidate blowup no real corpus has (exact-duplicate
   *    vectors are removed by exact dedup long before ANN runs).
   *
+  *  - events/orders/lineitem: replica k re-keys ids (`id·F + k`, with
+  *    foreign keys re-keyed identically so joins stay consistent) and
+  *    shifts the user/part/supplier spaces so per-key row density stays
+  *    constant — the layout/sink family (`sink_compaction`,
+  *    `sink_clustered_write`, `sink_upsert_merge`) measures against
+  *    genuinely 10× relational volume, not 10×-hot keys.
+  *
   * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> [factor=10]
-  * Only documents.parquet and embeddings.parquet are emitted — the
-  * corpus-family queries read nothing else (pair with Bench's
-  * SPARK_GRAFT_BENCH_ONLY to run just those).
+  * (Pair with Bench's SPARK_GRAFT_BENCH_ONLY to run a family.)
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -65,6 +70,42 @@ object ScaleGen {
         (col("label") + col("k") * 10000).as("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // events read RAW (ts stays an epoch-ns long on disk, the shape
+    // Tables.events normalizes); user space grows with the corpus so
+    // per-user event density — what sessionization/window state is
+    // keyed on — stays constant
+    Tables.table(spark, src, "events")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") * factor + col("k")).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * 10000000L).as("user_id"),
+        col("event_type"), col("value"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    Tables.orders(spark, src)
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("o_orderkey") * factor + col("k")).as("o_orderkey"),
+        (col("o_custkey") + col("k") * 10000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    Tables.lineitem(spark, src)
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("l_orderkey") * factor + col("k")).as("l_orderkey"),
+        (col("l_partkey") + col("k") * 10000000L).as("l_partkey"),
+        (col("l_suppkey") + col("k") * 10000000L).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     println(s"[scalegen] wrote ${factor}x corpus to $out")
     spark.stop()

@@ -285,7 +285,20 @@ object Curation extends QueryModule {
     GraftQuery(
       "curate_pipeline_e2e",
       (s, d) => {
-        val survivors = withGateReason(Tables.documents(s, d))
+        // repartition BEFORE the gate (the one-file corpus scan is a
+        // single input partition), and persist the gate PROJECTION
+        // before filtering on it: a filter on the computed `reason`
+        // would otherwise be pushed below the repartition and evaluate
+        // the whole inlined ladder per row on the single scan task,
+        // with none of the projection-level subexpression elimination —
+        // measured 13 s single-core vs ~1 s for the staged projection.
+        // The barrier also stops both window stages re-substituting the
+        // ladder (projection collapse re-evaluates it per consumer).
+        val gated = graft.Materialize.stage(
+          withGateReason(Tables.documents(s, d)
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+            .select(col("doc_id"), col("source"), col("text"), col("reason")))
+        val survivors = gated
           .filter(col("reason") === "keep")
           .withColumn("canon_id", min(col("doc_id")).over(
             Window.partitionBy(md5(col("text")))))
@@ -331,6 +344,7 @@ object Curation extends QueryModule {
         ORDER BY source, cum_tokens, doc_id
       """))
   )
+
 
   /** The quality-gate rule ladder as added columns (`n_tokens`, `swr`,
     * `ar`, `dup_bg`, `reason`) — shared by `curate_quality_gate` and the
