@@ -186,6 +186,34 @@ object StreamingPipeline {
     typed.join(dim, typed(streamKey) === dim(dimKey), "left")
       .drop(dim(dimKey))
 
+  /** Watermarked stream-STREAM interval join: each click joins the
+    * views of the same user that happened at most `maxGapMinutes`
+    * before it (the streaming sibling of the batch as-of/range joins —
+    * inner interval join rather than latest-at-or-before, which is the
+    * semantics a stream can answer without waiting forever). BOTH
+    * sides carry event-time watermarks and the join condition bounds
+    * click_ts relative to view_ts in both directions, which is exactly
+    * what lets the state store evict rows once the other side's
+    * watermark passes their match window — state is O(watermark
+    * horizon × arrival rate) per side, never O(stream length).
+    */
+  def intervalJoined(clicks: DataFrame, views: DataFrame,
+      watermark: String = "1 hour", maxGapMinutes: Long = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("view_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") +
+            expr(s"INTERVAL $maxGapMinutes MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Continuous upsert into a `SnapshotStore` table: each micro-batch
     * merges on `key` (highest `seqCol` wins within a batch), committed
     * as snapshot version = batchId. foreachBatch delivery is

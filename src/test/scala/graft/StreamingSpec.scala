@@ -106,6 +106,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to recent views only") {
+    val clicks = MemoryStream[(Long, Long, Long)](spark)
+    val views  = MemoryStream[(Long, Long, Long)](spark)
+    def typed(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("event_id", "ts_us", "user_id")
+        .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id")
+    val q = StreamingPipeline.intervalJoined(typed(clicks), typed(views))
+      .writeStream.format("memory").queryName("clickview")
+      .outputMode("append").start()
+    try {
+      val min = 60L * 1000000L
+      // base is one day past the epoch: rows AT epoch 0 would sit at
+      // Spark's initial watermark and be dropped as late on entry to
+      // the join state
+      val t0 = 86400L * 1000000L
+      views.addData((100L, t0, 1L), (101L, t0, 2L))
+      // view arrives in an EARLIER micro-batch than the click: the join
+      // state must hold it until the click side catches up
+      q.processAllAvailable()
+      clicks.addData(
+        (200L, t0 + 10 * min, 1L),  // 10 min after view 100 → match
+        (201L, t0 + 50 * min, 1L),  // 50 min after → outside the 30-min gap
+        (202L, t0 + 5 * min, 3L))   // user with no view → no match
+      q.processAllAvailable()
+      val rows = spark.table("clickview")
+        .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+      assert(rows === Set((200L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming NEAR-dup dedup collapses band collisions across micro-batches") {
     val mem = MemoryStream[(Long, String)](spark)
     val docs = mem.toDF().toDF("doc_id", "text")
