@@ -179,10 +179,11 @@ object Bench {
     // BENCH_FULL.json is the committed adjudication baseline — a
     // SPARK_GRAFT_BENCH_ONLY-filtered run must never overwrite it with a
     // partial measurement, so filtered runs land in BENCH_PARTIAL.json.
+    // derived from the PARSED allowlist (not the raw env var) so this
+    // gate can never disagree with what actually ran: an allowlist that
+    // parses to nothing runs the full registry and must record as FULL
     val artifact =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").exists(_.trim.nonEmpty))
-        "BENCH_PARTIAL.json"
-      else "BENCH_FULL.json"
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(artifact),
       (line + "\n").getBytes("UTF-8"))

@@ -209,38 +209,11 @@ object Curation extends QueryModule {
     // sources independently).
     GraftQuery(
       "curate_shard_plan",
-      (s, d) => {
-        val w = Window.partitionBy(col("source"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            // floor of 1: an empty doc still occupies a slot, and a
-            // strictly increasing running sum keeps (source, cum_tokens)
-            // a TOTAL order — ties would let the two engines emit tied
-            // rows in different order and break the hash gate
-            greatest(lit(1L), expr("(length(text) + 3) div 4").cast("long"))
-              .as("n_tokens"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .select(col("doc_id"), col("source"), col("n_tokens"),
-            col("cum_tokens"),
-            expr("(cum_tokens - 1) div 2000").cast("long").as("shard_id"))
-          .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
-      },
-      Some("""
-        SELECT doc_id, source, n_tokens, cum_tokens,
-               (cum_tokens - 1) // 2000 AS shard_id
-        FROM (
-          SELECT doc_id, source, n_tokens,
-                 CAST(SUM(n_tokens) OVER (PARTITION BY source
-                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                   AS cum_tokens
-          FROM (SELECT doc_id, source,
-                       GREATEST(1, CAST((length(text) + 3) // 4 AS BIGINT))
-                         AS n_tokens
-                FROM documents) t0) t1
-        ORDER BY source, cum_tokens, doc_id
-      """)),
+      (s, d) =>
+        shardPlan(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokenEstimate.as("n_tokens"))),
+      Some(shardSql(s"""(SELECT doc_id, source, $tokenEstimateSql AS n_tokens
+                FROM documents) t0"""))),
 
     // ───── C4/Gopher-style quality gate: rule stack → keep/drop ─────
     // The decision layer real pretraining pipelines put on top of the
@@ -251,8 +224,9 @@ object Curation extends QueryModule {
     // speed, which is exactly why production filters are rule ladders
     // and not models for the first pass. Every ratio is a single IEEE
     // division of exact ints (cross-engine bit-exact); NULL ratios
-    // (empty/1-token docs) are all pre-caught by the length rule, so
-    // the CASE ladder never evaluates a NULL comparison differently
+    // (NULL-text/empty/1-token docs) are all pre-caught by the length
+    // rule's IS NULL arm, so the CASE ladder never evaluates a NULL
+    // comparison differently
     // across engines. Thresholds are tuned to the synthetic corpus so
     // every rule fires (DegenerateInputSpec covers the empty corpus);
     // production values are corpus-specific knobs by nature.
@@ -274,14 +248,18 @@ object Curation extends QueryModule {
 
     // ───── the whole curation pipeline, one oracle-matched query ─────
     // gate → exact dedup → shard plan: what a user actually runs. The
-    // stages reuse the SAME rule ladder / canonical-min / shard-window
-    // definitions as their standalone queries (shared helpers, so the
-    // composed and standalone results can't drift), and the chain stays
+    // rule ladder and the shard-window definition are SHARED with their
+    // standalone queries (withGateReason/gateCtes, shardPlan/shardSql —
+    // both engines' sides), so composed and standalone results can't
+    // drift there; the two-line canonical-min dedup mirrors
+    // dedup_exact's min-doc_id-per-md5(text) contract. The chain stays
     // bit-exact end to end: the manifest the Spark engine emits for a
     // corpus is byte-identical to the oracle's. Plan shape: one narrow
-    // gate projection, one shuffle on the body hash (dedup), one
+    // gate projection, one shuffle on the body HASH (dedup), one
     // shuffle on the source (shard window) — nothing quadratic, no
-    // corpus broadcast, exactly the standalone operators back to back.
+    // corpus broadcast, and document bodies never leave the scan
+    // stage: only (doc_id, source, text_hash, n_tokens, reason) is
+    // persisted and shuffled.
     GraftQuery(
       "curate_pipeline_e2e",
       (s, d) => {
@@ -297,53 +275,76 @@ object Curation extends QueryModule {
         val gated = graft.Materialize.stage(
           withGateReason(Tables.documents(s, d)
               .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
-            .select(col("doc_id"), col("source"), col("text"), col("reason")))
+            .select(col("doc_id"), col("source"),
+              md5(col("text")).as("text_hash"),
+              tokenEstimate.as("n_tokens"), col("reason")))
         val survivors = gated
           .filter(col("reason") === "keep")
           .withColumn("canon_id", min(col("doc_id")).over(
-            Window.partitionBy(md5(col("text")))))
+            Window.partitionBy(col("text_hash"))))
           .filter(col("doc_id") === col("canon_id"))
-        val w = Window.partitionBy(col("source"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        survivors
-          .select(col("doc_id"), col("source"),
-            greatest(lit(1L), expr("(length(text) + 3) div 4").cast("long"))
-              .as("n_tokens"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .select(col("doc_id"), col("source"), col("n_tokens"),
-            col("cum_tokens"),
-            expr("(cum_tokens - 1) div 2000").cast("long").as("shard_id"))
-          .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+        shardPlan(survivors.select(col("doc_id"), col("source"),
+          col("n_tokens")))
       },
       Some(s"""
         WITH $gateCtes,
         kept AS (
-          SELECT d.doc_id, d.text, d.source
+          SELECT d.doc_id, d.source, MD5(d.text) AS text_hash,
+                 $tokenEstimateSql AS n_tokens
           FROM documents d JOIN g ON d.doc_id = g.doc_id
           WHERE g.reason = 'keep'),
         canon AS (
-          SELECT doc_id, source, text FROM (
-            SELECT doc_id, source, text,
-                   MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canon_id
+          SELECT doc_id, source, n_tokens FROM (
+            SELECT doc_id, source, n_tokens,
+                   MIN(doc_id) OVER (PARTITION BY text_hash) AS canon_id
             FROM kept) c
-          WHERE doc_id = canon_id),
-        tok AS (
-          SELECT doc_id, source,
-                 GREATEST(1, CAST((length(text) + 3) // 4 AS BIGINT)) AS n_tokens
-          FROM canon),
-        sh AS (
+          WHERE doc_id = canon_id)
+        ${shardSql("canon")}
+      """))
+  )
+
+  /** Token estimate: ceil(chars/4) floored at 1 — the floor means an
+    * empty doc still occupies a slot, and a strictly increasing running
+    * sum keeps (source, cum_tokens) a TOTAL order (ties would let the
+    * two engines emit tied rows in different order and break the hash
+    * gate). Shared by `curate_shard_plan` and `curate_pipeline_e2e`.
+    */
+  private def tokenEstimate =
+    greatest(lit(1L), expr("(length(text) + 3) div 4").cast("long"))
+
+  private val tokenEstimateSql =
+    "GREATEST(1, CAST((length(text) + 3) // 4 AS BIGINT))"
+
+  /** Shard assignment over (doc_id, source, n_tokens): per-source
+    * md5-deterministic order, running token sum, ~2000-token shards.
+    * Shared by `curate_shard_plan` and `curate_pipeline_e2e` (with
+    * [[shardSql]] as its DuckDB twin) so the manifests can't drift.
+    */
+  private def shardPlan(toks: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    toks
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"),
+        expr("(cum_tokens - 1) div 2000").cast("long").as("shard_id"))
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
+  /** DuckDB twin of [[shardPlan]]; `tokSrc` must yield
+    * (doc_id, source, n_tokens).
+    */
+  private def shardSql(tokSrc: String): String = s"""
+        SELECT doc_id, source, n_tokens, cum_tokens,
+               (cum_tokens - 1) // 2000 AS shard_id
+        FROM (
           SELECT doc_id, source, n_tokens,
                  CAST(SUM(n_tokens) OVER (PARTITION BY source
                    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS cum_tokens
-          FROM tok)
-        SELECT doc_id, source, n_tokens, cum_tokens,
-               (cum_tokens - 1) // 2000 AS shard_id
-        FROM sh
-        ORDER BY source, cum_tokens, doc_id
-      """))
-  )
+          FROM $tokSrc) t1
+        ORDER BY source, cum_tokens, doc_id"""
 
 
   /** The quality-gate rule ladder as added columns (`n_tokens`, `swr`,
@@ -374,7 +375,11 @@ object Curation extends QueryModule {
           .otherwise((size(col("bg")) - size(array_distinct(col("bg"))))
             .cast("double") / size(col("bg"))))
       .withColumn("reason",
-        when(col("n_tokens") < 20, "too_short")
+        // isNull arm: a NULL text yields NULL n_tokens (not 0), which
+        // would skip every comparison and fall through to "keep" —
+        // junk must land in too_short, and the ratio rules below then
+        // never see a NULL the length rule didn't already catch
+        when(col("n_tokens").isNull || col("n_tokens") < 20, "too_short")
           .when(col("swr") < 0.02, "low_stopword")
           .when(col("ar") < 0.81, "low_alpha")
           .when(col("dup_bg") > 0.08, "repetitive")
@@ -411,7 +416,7 @@ object Curation extends QueryModule {
           FROM m),
         g AS (
           SELECT doc_id, n_tokens, swr, ar, dup_bg,
-                 CASE WHEN n_tokens < 20 THEN 'too_short'
+                 CASE WHEN n_tokens IS NULL OR n_tokens < 20 THEN 'too_short'
                       WHEN swr < 0.02 THEN 'low_stopword'
                       WHEN ar < 0.81 THEN 'low_alpha'
                       WHEN dup_bg > 0.08 THEN 'repetitive'

@@ -120,9 +120,12 @@ object SnapshotStore {
       .collect { case versionPat(n) => n.toLong }
     val cutoff = committed.sorted.takeRight(retain).min
     f.listStatus(new Path(dir))
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{8,}"))
-      .map(_.getPath)
-      .filter(_.getName.drop(1).toLong < cutoff)
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case versionPat(n) => Some(s.getPath -> n.toLong)
+        case _             => None
+      })
+      .collect { case (p, v) if v < cutoff => p }
       .foreach(p => f.delete(p, true))
   }
 }

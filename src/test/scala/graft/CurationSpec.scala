@@ -136,6 +136,22 @@ class CurationSpec extends SparkSpec {
       "manifest must keep the canonical dupe + the unique doc only")
   }
 
+  test("curate_quality_gate drops NULL-text docs as too_short, never keeps them") {
+    import org.apache.spark.sql.functions.lit
+    val d = scratchDir("gate_null")
+    Seq((1L, Option.empty[String]), (2L, Some("tiny")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(0L))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("curate_quality_gate")(spark, d)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    // NULL n_tokens must hit the length rule's IS NULL arm — a fall-
+    // through would mislabel junk as 'keep'
+    assert(rows(1L) === "too_short")
+    assert(rows(2L) === "too_short")
+  }
+
   test("curate_domain_mix cap floors at 1 when sources outnumber docs/2") {
     import org.apache.spark.sql.functions.lit
     val d = scratchDir("mix_floor")
