@@ -225,6 +225,52 @@ object Advanced extends QueryModule {
     // single-stage plan shuffled the ~400-register sketch state per
     // (flag, partkey) group through the distinct pipeline — here sketch
     // state exists only at the 3-row flag granularity.
+    // ───── approximate quantiles (positional sketch, self-validating) ─────
+    // Same gate pattern as agg_approx_distinct: sketch values are
+    // engine-specific (Spark runs a KLL-style positional sketch, DuckDB
+    // t-digest), so each engine validates ITS OWN estimator against its
+    // own exact median — the bit-exact columns are the exact median
+    // (row_number formulation, integer math) and the boolean. accuracy
+    // 10000 bounds rank error at ~n/10000, far inside the 5% gate.
+    GraftQuery(
+      "agg_approx_quantile",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val exact = Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy(col("o_orderstatus"))))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("o_orderstatus"), col("o_totalprice").as("exact_med"))
+        val approx = Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(expr("percentile_approx(o_totalprice, 0.5, 10000)").as("apx"))
+        exact.join(approx, Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("exact_med"),
+            (abs(col("apx") - col("exact_med"))
+              <= lit(0.05) * col("exact_med")).as("estimate_within_5pct"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT o_orderstatus, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+          FROM orders),
+        e AS (
+          SELECT o_orderstatus, o_totalprice AS exact_med
+          FROM r WHERE rn = (cnt + 1) // 2),
+        a AS (
+          SELECT o_orderstatus, approx_quantile(o_totalprice, 0.5) AS apx
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, exact_med,
+               ABS(apx - exact_med) <= 0.05 * exact_med AS estimate_within_5pct
+        FROM e JOIN a USING (o_orderstatus)
+        ORDER BY o_orderstatus
+      """)),
+
     GraftQuery(
       "agg_approx_distinct",
       (s, d) =>

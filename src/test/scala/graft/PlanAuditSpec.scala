@@ -137,6 +137,38 @@ class PlanAuditSpec extends SparkSpec {
       finalPlan.contains("AQEShuffleRead"), finalPlan)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // Spark injects a bloom filter built from the selective (dim) side
+    // into the fact-side scan for shuffle joins — rows that can't match
+    // die before the exchange. The application-side threshold (10 GB
+    // default) targets real clusters; lower it so the optimization is
+    // exercised (and thereby pinned) at test scale.
+    // injection targets SHUFFLE joins (for a broadcast join the filter
+    // would be redundant), so auto-broadcast must be off at this scale
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val prevB = spark.conf.get(bcast)
+    spark.conf.set(key, "0")
+    spark.conf.set(bcast, "-1")
+    spark.catalog.clearCache()
+    try {
+      val o = Tables.orders(spark, sfTiny)
+        .filter(col("o_orderstatus") === "F")
+      val li = Tables.lineitem(spark, sfTiny)
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") &&
+        plan.contains("bloom_filter_agg"), plan)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(bcast, prevB)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("dedup_ngram_jaccard collapses the join output map-side (partial agg)") {
     // the Σ df² posting-list join output must be partially aggregated
     // BEFORE the (doc_a, doc_b) shuffle — losing the partial agg would
