@@ -1,26 +1,44 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Versioned keyed snapshot on plain parquet: the minimal table-format
-  * core (versioned data dirs + an append-only commit log) that makes a
-  * continuously-upserted lake table safe without a heavyweight format.
+  * core (hash-bucketed versioned data dirs + an append-only commit log)
+  * that makes a continuously-upserted lake table safe without a
+  * heavyweight format.
   *
   * Layout:
   * {{{
-  *   dir/v00000007/        parquet data for version 7
-  *   dir/_commits/v00000007   empty marker, created AFTER the data dir
+  *   dir/v00000007/_bucket=3/   parquet for bucket 3, rewritten at v7
+  *   dir/v00000007/_manifest    bucket -> owning version, written pre-marker
+  *   dir/_commits/v00000007     empty marker, created AFTER data + manifest
   * }}}
   *
-  * Readers resolve max(committed version) and read only that dir, so a
-  * writer crashing mid-write leaves an orphan data dir that is simply
-  * never visible — no mutable pointer file, no rename-atomicity
-  * assumption (S3A-safe: markers are create-once, never renamed or
-  * overwritten). A RETRIED version commit (same version number, e.g. a
-  * replayed foreachBatch) short-circuits on the existing marker, which
-  * is what turns streaming's at-least-once batch delivery into an
-  * exactly-once snapshot.
+  * Rows are hash-partitioned on the key into a fixed number of buckets
+  * (`spark.graft.snapshot.buckets`, pinned at first commit). A version
+  * rewrites ONLY the buckets its delta touches — upsert IO is
+  * O(delta + touched buckets), not O(table), which is what makes
+  * continuous CDC viable on a 100 TB snapshot. Untouched buckets keep
+  * serving from the older version dir that last wrote them; the
+  * per-version `_manifest` records, for every bucket, which version dir
+  * holds its current rows, and readers union exactly those leaf dirs.
+  *
+  * Crash safety is unchanged from the unbucketed design: readers
+  * resolve max(committed version) from the EMPTY create-once markers,
+  * so a writer crashing mid-data or mid-manifest leaves an orphan dir
+  * that is never visible — no mutable pointer file, no rename anywhere
+  * (S3A-safe), and markers stay content-free so a torn marker write
+  * cannot corrupt head resolution. A RETRIED version commit (same
+  * version number, e.g. a replayed foreachBatch) short-circuits on the
+  * existing marker, which is what turns streaming's at-least-once batch
+  * delivery into an exactly-once snapshot.
+  *
+  * Sizing: a bucket's data is table_size / numBuckets and each touched
+  * bucket is rewritten by one task, so pick the bucket count so that
+  * quotient is a sane task size (the knob is per-table, pinned in the
+  * first version's manifest; re-bucketing is a full rewrite by design).
   *
   * Single-writer contract: one writer per snapshot dir (a streaming
   * query IS single-writer per checkpoint). Concurrent writers would race
@@ -29,7 +47,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotStore {
 
-  private def fs(spark: SparkSession, dir: String) =
+  /** Which version dir currently owns each bucket's rows. */
+  final case class Manifest(numBuckets: Int, buckets: Map[Int, Long])
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def versionName(v: Long): String = f"v$v%08d"
@@ -39,7 +60,27 @@ object SnapshotStore {
   private def markerPath(dir: String, v: Long): Path =
     new Path(s"$dir/_commits/${versionName(v)}")
 
+  private def manifestPath(dir: String, v: Long): Path =
+    new Path(s"${versionDir(dir, v)}/_manifest")
+
+  private def bucketDirName(b: Int): String = s"_bucket=$b"
+
+  private def bucketExpr(key: String, numBuckets: Int): Column =
+    pmod(hash(col(key)), lit(numBuckets))
+
   private val versionPat = "v(\\d{8,})".r
+
+  private def confBuckets(spark: SparkSession): Int = {
+    val raw = spark.conf.get("spark.graft.snapshot.buckets", "16")
+    val n =
+      try raw.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.snapshot.buckets must be an int, got '$raw'")
+      }
+    require(n >= 1, s"spark.graft.snapshot.buckets must be >= 1, got $n")
+    n
+  }
 
   /** Highest committed version, if any commit exists. */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
@@ -52,9 +93,43 @@ object SnapshotStore {
       .reduceOption(_ max _)
   }
 
-  /** The current snapshot contents (None before the first commit). */
+  /** The head manifest (None before the first commit). */
+  def manifest(spark: SparkSession, dir: String): Option[Manifest] =
+    latestVersion(spark, dir).map(readManifest(fs(spark, dir), dir, _))
+
+  private def readManifest(f: FileSystem, dir: String, v: Long): Manifest = {
+    val in = f.open(manifestPath(dir, v))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val n = lines.head.stripPrefix("buckets=").toInt
+    Manifest(n, lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(b, ver) = l.split(",")
+      b.toInt -> ver.toLong
+    }.toMap)
+  }
+
+  private def writeManifest(f: FileSystem, dir: String, v: Long,
+                            m: Manifest): Unit = {
+    val out = f.create(manifestPath(dir, v), false)
+    try out.write(
+      (s"buckets=${m.numBuckets}" +:
+        m.buckets.toSeq.sortBy(_._1).map { case (b, ver) => s"$b,$ver" })
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The current snapshot contents (None before the first commit):
+    * the union of every bucket's owning leaf dir per the head manifest.
+    */
   def read(spark: SparkSession, dir: String): Option[DataFrame] =
-    latestVersion(spark, dir).map(v => spark.read.parquet(versionDir(dir, v)))
+    latestVersion(spark, dir).map { v =>
+      val m = readManifest(fs(spark, dir), dir, v)
+      val paths = m.buckets.toSeq.sortBy(_._1).map { case (b, ver) =>
+        s"${versionDir(dir, ver)}/${bucketDirName(b)}"
+      }
+      spark.read.parquet(paths: _*)
+    }
 
   /** Merge `delta` into the snapshot as `version` (idempotent: a version
     * already committed is a no-op, so at-least-once callers get an
@@ -63,8 +138,15 @@ object SnapshotStore {
     * `seqCol` per key wins, with an md5-of-row tiebreak on equal seq so
     * replays pick the SAME winner (deterministic snapshot contents);
     * pass a delta already unique on `key` to skip that pass.
-    * After committing, data dirs older than the `retain` most recent
-    * committed versions are deleted (their markers stay, so version
+    *
+    * Only the key-hash buckets the delta touches are read back, merged,
+    * and rewritten; every other bucket's files are untouched on disk and
+    * carried forward by manifest reference. The one driver-side action
+    * is collecting the distinct touched bucket ids (<= numBuckets ints).
+    *
+    * After committing, bucket dirs no retained manifest references are
+    * deleted; a version dir survives as long as ANY retained version
+    * still reads one of its buckets (markers stay forever, so version
     * history remains auditable).
     *
     * Replay vs collision: at-least-once streaming can only replay the
@@ -89,43 +171,90 @@ object SnapshotStore {
         "checkpoint driving this writer was reset against a live snapshot " +
         "dir (single-writer, monotone-version contract)")
 
+    val head = latest.map(readManifest(f, dir, _))
+    val numBuckets = head.map(_.numBuckets).getOrElse(confBuckets(spark))
+
     val deltaLatest = seqCol match {
       case Some(seq) =>
         import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.{col, md5, row_number, struct, to_json}
+        import org.apache.spark.sql.functions.{md5, row_number, struct, to_json}
         delta.withColumn("_rn", row_number().over(
             Window.partitionBy(col(key))
               .orderBy(col(seq).desc, md5(to_json(struct(delta.columns.map(col): _*))))))
           .filter(col("_rn") === 1).drop("_rn")
       case None => delta
     }
-    val merged = read(spark, dir) match {
-      case Some(base) => Layout.upsert(base, deltaLatest, key)
-      case None       => deltaLatest
-    }
-    merged.write.mode("overwrite").parquet(versionDir(dir, version))
-    f.mkdirs(new Path(s"$dir/_commits"))
-    f.create(markerPath(dir, version), false).close() // create-once: commit
-    pruneData(spark, dir, retain)
+
+    // Stage the bucket-tagged delta once: it feeds both the touched-set
+    // collect and the merge write (otherwise the delta source recomputes).
+    val tagged = deltaLatest
+      .withColumn("_bucket", bucketExpr(key, numBuckets)).persist()
+    try {
+      val touched = tagged.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val baseTouched = head.flatMap { m =>
+        val paths = m.buckets.collect { case (b, ver) if touched(b) =>
+          s"${versionDir(dir, ver)}/${bucketDirName(b)}"
+        }.toSeq
+        if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+      }
+      val merged = baseTouched match {
+        case Some(base) => Layout.upsert(base, tagged.drop("_bucket"), key)
+        case None       => tagged.drop("_bucket")
+      }
+      // One task per touched bucket: each rewritten bucket lands as a
+      // single file of size ~table/numBuckets (size the bucket count so
+      // that is a sane task; Layout.compaction handles finer sizing).
+      merged.withColumn("_bucket", bucketExpr(key, numBuckets))
+        .repartition(touched.size max 1, col("_bucket"))
+        .write.partitionBy("_bucket")
+        .mode("overwrite").parquet(versionDir(dir, version))
+      writeManifest(f, dir, version, Manifest(numBuckets,
+        head.map(_.buckets).getOrElse(Map.empty) ++
+          touched.map(_ -> version)))
+      f.mkdirs(new Path(s"$dir/_commits"))
+      f.create(markerPath(dir, version), false).close() // create-once: commit
+      pruneData(spark, dir, retain)
+    } finally tagged.unpersist()
   }
 
-  /** Delete data dirs of committed versions older than the `retain`
-    * newest. Uncommitted orphan dirs (crash leftovers) older than the
-    * retention horizon are removed too.
+  /** Delete bucket dirs that none of the `retain` newest committed
+    * manifests reference, then any version dir left empty. Uncommitted
+    * orphan dirs (crash leftovers) older than the retention horizon are
+    * removed whole.
     */
   private def pruneData(spark: SparkSession, dir: String, retain: Int): Unit = {
     val f = fs(spark, dir)
     val commits = new Path(s"$dir/_commits")
     val committed = f.listStatus(commits).map(_.getPath.getName)
       .collect { case versionPat(n) => n.toLong }
-    val cutoff = committed.sorted.takeRight(retain).min
+    val retained = committed.sorted.takeRight(retain)
+    val cutoff = retained.min
+    // (owning version, bucket) pairs some retained manifest still reads
+    // NB: .toSeq before the swap — mapping the Map directly would re-key
+    // on the version and collapse every bucket it owns into one entry
+    val referenced: Set[(Long, Int)] = retained.flatMap { v =>
+      readManifest(f, dir, v).buckets.toSeq.map { case (b, ver) => (ver, b) }
+    }.toSet
     f.listStatus(new Path(dir))
       .filter(_.isDirectory)
       .flatMap(s => s.getPath.getName match {
         case versionPat(n) => Some(s.getPath -> n.toLong)
         case _             => None
       })
-      .collect { case (p, v) if v < cutoff => p }
-      .foreach(p => f.delete(p, true))
+      .foreach { case (p, v) =>
+        if (v < cutoff) {
+          if (!committed.contains(v)) f.delete(p, true) // invisible orphan
+          else {
+            f.listStatus(p).foreach { st =>
+              val name = st.getPath.getName
+              val keep = name.startsWith("_bucket=") &&
+                referenced((v, name.stripPrefix("_bucket=").toInt))
+              if (!keep) f.delete(st.getPath, true)
+            }
+            if (f.listStatus(p).isEmpty) f.delete(p, true)
+          }
+        }
+      }
   }
 }

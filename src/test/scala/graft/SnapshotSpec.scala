@@ -106,11 +106,13 @@ class SnapshotSpec extends SparkSpec {
     assert(snapshot(snap) == Map(1L -> (1L, "a")))
   }
 
-  test("retention prunes old data dirs but keeps the commit log") {
+  test("retention prunes bucket dirs no retained version references") {
     val snap = scratchDir("snap_retain") + "/tbl"
+    // the SAME key every version => the same bucket rewritten 3 times:
+    // once retained = {v1, v2}, nothing references v0's data any more
     (0L to 2L).foreach { v =>
       SnapshotStore.upsertVersion(spark,
-        Seq((v, v, s"v$v")).toDF("k", "seq", "v"), "k", None, snap, v,
+        Seq((7L, v, s"v$v")).toDF("k", "seq", "v"), "k", None, snap, v,
         retain = 2)
     }
     val root = new org.apache.hadoop.fs.Path(snap)
@@ -122,8 +124,79 @@ class SnapshotSpec extends SparkSpec {
     // all three commit markers survive (auditable history)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$snap/_commits"))
       .length == 3)
-    // the snapshot accumulated all three keys
-    assert(snapshot(snap).keySet == Set(0L, 1L, 2L))
+    assert(snapshot(snap) == Map(7L -> (2L, "v2")))
+  }
+
+  /** md5 of every data file directly under `dir`, keyed by file name. */
+  private def fileDigests(dir: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val bytes = try in.readAllBytes() finally in.close()
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      st.getPath.getName -> md.map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  test("an upsert rewrites only touched buckets; untouched files are byte-identical") {
+    val snap = scratchDir("snap_bytes") + "/tbl"
+    spark.conf.set("spark.graft.snapshot.buckets", "4")
+    try {
+      SnapshotStore.upsertVersion(spark,
+        (0L until 20L).map(k => (k, 0L, s"a$k")).toDF("k", "seq", "v"),
+        "k", Some("seq"), snap, 0L)
+      // bucket assignment is pmod(hash(key), n) — recompute it the same way
+      val b0 = Seq(0L).toDF("k")
+        .select(pmod(hash(col("k")), lit(4))).head.getInt(0)
+      val m0 = SnapshotStore.manifest(spark, snap).get
+      val untouched = m0.buckets.keySet.find(_ != b0).get
+      val untouchedDir =
+        s"${SnapshotStore.versionDir(snap, 0L)}/_bucket=$untouched"
+      val before = fileDigests(untouchedDir)
+      assert(before.nonEmpty)
+
+      SnapshotStore.upsertVersion(spark,
+        Seq((0L, 1L, "upd")).toDF("k", "seq", "v"), "k", Some("seq"),
+        snap, 1L)
+
+      // the untouched bucket still serves v0's files, byte for byte
+      assert(fileDigests(untouchedDir) == before)
+      val m1 = SnapshotStore.manifest(spark, snap).get
+      assert(m1.buckets(b0) == 1L)
+      assert(m1.buckets(untouched) == 0L)
+      val got = snapshot(snap)
+      assert(got(0L) == (1L, "upd"))
+      assert(got.size == 20 && got(7L) == (0L, "a7"))
+    } finally spark.conf.unset("spark.graft.snapshot.buckets")
+  }
+
+  test("a version dir survives pruning while a retained manifest references it") {
+    val snap = scratchDir("snap_refkeep") + "/tbl"
+    spark.conf.set("spark.graft.snapshot.buckets", "4")
+    try {
+      SnapshotStore.upsertVersion(spark,
+        (0L until 20L).map(k => (k, 0L, s"a$k")).toDF("k", "seq", "v"),
+        "k", None, snap, 0L, retain = 2)
+      // v1 and v2 rewrite ONLY key 0's bucket; v0 still owns the rest
+      (1L to 2L).foreach { v =>
+        SnapshotStore.upsertVersion(spark,
+          Seq((0L, v, s"u$v")).toDF("k", "seq", "v"), "k", None, snap, v,
+          retain = 2)
+      }
+      val b0 = Seq(0L).toDF("k")
+        .select(pmod(hash(col("k")), lit(4))).head.getInt(0)
+      val root = new org.apache.hadoop.fs.Path(snap)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // v0 is below the retention horizon but still referenced => kept
+      val v0 = new org.apache.hadoop.fs.Path(
+        SnapshotStore.versionDir(snap, 0L))
+      assert(fs.exists(v0), "referenced v0 dir must survive pruning")
+      // ...except key 0's bucket, which v2 now owns: pruned from v0
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$v0/_bucket=$b0")))
+      val got = snapshot(snap)
+      assert(got.size == 20 && got(0L) == (2L, "u2") && got(1L) == (0L, "a1"))
+    } finally spark.conf.unset("spark.graft.snapshot.buckets")
   }
 
   test("snapshot store runs unchanged on a non-default FileSystem scheme (graftfs:)") {
