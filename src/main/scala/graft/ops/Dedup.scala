@@ -124,26 +124,31 @@ object Dedup extends QueryModule {
     * execution modes — signatures computed online match the batch ones
     * exactly). `par`: optional repartition before the md5 work.
     */
-  private[graft] def bandSignatures(docs: DataFrame, par: Option[Int] = None): DataFrame = {
+  private[graft] def bandSignatures(docs: DataFrame, par: Option[Int] = None,
+                                    carry: Seq[String] = Nil): DataFrame = {
+    // `carry` columns ride along unchanged (e.g. the event-time column a
+    // bounded stream needs downstream — projections preserve watermark
+    // metadata as long as the column itself survives)
+    val c = carry.map(col)
     val shingled = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id") +: c :+ split(col("text"), " ").as("toks"): _*)
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), array_distinct(expr(
+      .select(col("doc_id") +: c :+ array_distinct(expr(
         "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"
-      )).as("shingles"))
+      )).as("shingles"): _*)
     // spread the md5 work over all cores (batch path; a stream inherits
     // its source partitioning)
     val spread = par.fold(shingled)(shingled.repartition)
     spread
-      .select(col("doc_id"), expr("transform(shingles, s -> md5(s))").as("hs"))
-      .select(col("doc_id"), expr("""
+      .select(col("doc_id") +: c :+ expr("transform(shingles, s -> md5(s))").as("hs"): _*)
+      .select(col("doc_id") +: c :+ expr("""
         transform(sequence(0, 15), i ->
           array_min(transform(hs, h ->
-            concat(substring(h, 2*i + 1, 32), substring(h, 1, 2*i)))))""").as("mhs"))
-      .select(col("doc_id"), col("mhs"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .select(col("doc_id"), col("band"),
-        expr("array_join(slice(mhs, band*4 + 1, 4), '')").as("band_sig"))
+            concat(substring(h, 2*i + 1, 32), substring(h, 1, 2*i)))))""").as("mhs"): _*)
+      .select(col("doc_id") +: c :+ col("mhs") :+
+        explode(expr("sequence(0, 3)")).as("band"): _*)
+      .select(col("doc_id") +: c :+ col("band") :+
+        expr("array_join(slice(mhs, band*4 + 1, 4), '')").as("band_sig"): _*)
   }
 
   private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {

@@ -128,13 +128,11 @@ object StreamingPipeline {
     * Append mode a second stateful aggregation cannot follow this one in
     * the same query).
     *
-    * Scale/state bound: state is one long per DISTINCT band signature
-    * inside the retention horizon. A production deployment bounds it the
-    * same way the exact streaming dedup is bounded — key the state by a
-    * time bucket (prefix the band key with the watermark-truncated
-    * period) or evict via GroupStateTimeout; unbounded here because the
-    * test harness drives NoTimeout (and dedup-against-all-history is a
-    * legitimate configuration for a bounded corpus).
+    * Scale/state bound: state is one long per DISTINCT band signature —
+    * EVER, because this variant deduplicates against all history, which
+    * is only a legitimate configuration for a bounded corpus. The 100 TB
+    * deployment is `nearDupLinksBounded`, whose state is
+    * O(band signatures inside the watermark horizon).
     */
   def nearDupLinks(docs: DataFrame): org.apache.spark.sql.Dataset[BandLink] = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -163,6 +161,58 @@ object StreamingPipeline {
       .groupByKey((r: Row) => r.getAs[String]("band_key"))(Encoders.STRING)
       .flatMapGroupsWithState[BandCanon, BandLink](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** `nearDupLinks` with state bounded by an event-time horizon — the
+    * production configuration for an unbounded stream. `docs` must carry
+    * (doc_id, text, ts); a band signature's canon entry is evicted once
+    * the watermark passes `last arrival + horizon`, so state is O(band
+    * signatures inside the horizon), exactly how the windowed aggregates
+    * and the interval join bound theirs. A near-dup arriving beyond the
+    * horizon of its original therefore starts a fresh canonical — the
+    * deliberate trade (dedup-within-horizon) every watermarked streaming
+    * dedup makes; corpus-wide transitivity belongs to the batch
+    * `dedup_minhash` + connected-components pass over the sink.
+    */
+  def nearDupLinksBounded(docs: DataFrame, horizonMinutes: Long)
+      : org.apache.spark.sql.Dataset[BandLink] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[BandCanon]
+    implicit val outEnc   = Encoders.product[BandLink]
+    val horizonMs = horizonMinutes * 60L * 1000L
+
+    def update(key: String, rows: Iterator[Row],
+        state: GroupState[BandCanon]): Iterator[BandLink] = {
+      if (state.hasTimedOut) {
+        state.remove() // watermark passed the horizon: drop the canon
+        Iterator.empty
+      } else {
+        val rs = rows.toArray
+        val ids = rs.map(_.getAs[Long]("doc_id"))
+        val prev = state.getOption.map(_.canonDoc)
+        val canon = (prev ++ ids).min
+        state.update(BandCanon(canon))
+        // timeout must sit strictly above the current watermark or Spark
+        // rejects it (a fully-late band key's horizon already passed)
+        val maxTsMs = rs.map(_.getAs[java.sql.Timestamp]("ts").getTime).max
+        state.setTimeoutTimestamp(
+          math.max(maxTsMs + horizonMs, state.getCurrentWatermarkMs() + 1))
+        val retro = prev.filter(_ > canon).map(p => BandLink(p, canon))
+        ids.iterator.map(id => BandLink(id, canon)) ++ retro.iterator
+      }
+    }
+
+    graft.ops.Dedup
+      .bandSignatures(docs.withWatermark("ts", s"$horizonMinutes minutes"),
+        carry = Seq("ts"))
+      // keep `ts` ITSELF: projecting it away (even to unix_micros) strips
+      // the event-time tag EventTimeTimeout requires on its input
+      .select(col("doc_id"), col("ts"),
+        concat_ws(":", col("band"), col("band_sig")).as("band_key"))
+      .groupByKey((r: Row) => r.getAs[String]("band_key"))(Encoders.STRING)
+      .flatMapGroupsWithState[BandCanon, BandLink](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
   /** Stream-static dimension enrichment: each micro-batch joins the

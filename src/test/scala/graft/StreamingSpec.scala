@@ -192,4 +192,54 @@ class StreamingSpec extends SparkSpec {
         "the earlier provisional canon is demoted via the retro link")
     } finally q.stop()
   }
+
+  test("bounded NEAR-dup evicts band state beyond the watermark horizon") {
+    val mem = MemoryStream[(Long, String, Long)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text", "ts_us")
+      .select($"doc_id", $"text", timestamp_micros($"ts_us").as("ts"))
+    val q = StreamingPipeline.nearDupLinksBounded(docs, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("near_dups_bounded")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+        "sleepy cats watch from the old wooden fence near the river bank at dawn"
+      val minute = 60L * 1000000L
+      val hour = 60L * minute
+      val t0   = 86400L * 1000000L // day 1: epoch-0 rows sit AT the initial watermark
+      mem.addData(
+        (1L, base, t0),
+        (2L, "completely different text about spark structured streaming " +
+          "state stores and watermarks for bounded aggregation memory", t0))
+      q.processAllAvailable()
+      // inside the horizon: the cross-batch near-dup still collapses
+      mem.addData((7L, base.replace("dawn", "dusk"), t0 + 10 * minute))
+      q.processAllAvailable()
+      val stateInHorizon = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateInHorizon > 0)
+
+      // jump 10 hours: the watermark passes every earlier band's
+      // last-arrival + horizon, so their canon entries are evicted
+      mem.addData((9L, "advancing the event clock with an unrelated " +
+        "document about shard manifests and bucket pruning", t0 + 10 * hour))
+      q.processAllAvailable()
+      // a near-dup of doc 1 arriving BEYOND the horizon finds no state
+      // and becomes its own canonical — dedup-within-horizon by design
+      mem.addData((51L, base.replace("dawn", "noon"), t0 + 10 * hour + minute))
+      q.processAllAvailable()
+
+      val reps = spark.table("near_dups_bounded").groupBy($"doc_id")
+        .agg(min($"canon_doc").as("rep")).as[(Long, Long)].collect().toMap
+      assert(reps(7L) === 1L, "in-horizon near-dup collapses onto the canonical")
+      assert(reps(51L) === 51L,
+        "beyond-horizon arrival must NOT link to evicted state")
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark-passed band state must be evicted")
+      val stateFinal = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      assert(stateFinal < stateInHorizon + 8, // docs 9+51 bands at most
+        s"state must stay O(horizon): $stateFinal vs in-horizon $stateInHorizon")
+    } finally q.stop()
+  }
 }
