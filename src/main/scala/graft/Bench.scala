@@ -92,6 +92,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // a typo'd name must fail loudly, not silently drop that query from
+    // the artifact (mirrors Verify's allowlist check)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
+    }
     val spark = GraftSession.get()
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)

@@ -163,12 +163,23 @@ object EventsPipeline {
           val dst = new Path(archBase, p.getName)
           if (fs.exists(dst)) {
             // On object stores rename is copy-then-delete (S3A); a crash
-            // between the halves leaves the file at BOTH paths. The
-            // archive path is scoped by run date, so an existing dst for
-            // this source can only be a previous attempt's surviving
-            // copy: finish its delete half instead of failing the run.
-            if (!fs.delete(p, false))
-              sys.error(s"archive: could not remove already-archived $p")
+            // between the halves leaves the file at BOTH paths, so an
+            // existing dst is USUALLY a previous attempt's surviving
+            // copy — but a same-named landing file RE-DELIVERED under
+            // the same run date carries different bytes, and deleting it
+            // would lose the only raw copy. Disambiguate by length:
+            // equal => finish the crashed rename's delete half;
+            // different => archive the new bytes under a unique suffix.
+            if (fs.getFileStatus(p).getLen == fs.getFileStatus(dst).getLen) {
+              if (!fs.delete(p, false))
+                sys.error(s"archive: could not remove already-archived $p")
+            } else {
+              val alt = Iterator.from(1)
+                .map(i => new Path(archBase, s"${p.getName}.redelivered$i"))
+                .find(!fs.exists(_)).get
+              if (!fs.rename(p, alt))
+                sys.error(s"archive: rename failed for redelivered $p")
+            }
           } else if (!fs.rename(p, dst))
             sys.error(s"archive: rename failed for $p")
           archived += 1

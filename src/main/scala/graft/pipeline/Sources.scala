@@ -31,19 +31,33 @@ object Sources extends QueryModule {
     val tmpDir = new java.io.File(sys.props("java.io.tmpdir"))
     val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmpDir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      // a root's mtime only tracks DIRECT-child churn, so scratch()
-      // explicitly touches the root on every allocation — a day-stale
-      // root can then only be a crashed run's leftover
+      // mtime alone is not enough: a sibling JVM mid-way through a
+      // single >24h query never re-touches its root, so each root holds
+      // a `_pid` liveness marker — only a stale root whose owner process
+      // is provably gone is swept
       if (f.getName.startsWith("graft_") && f.isDirectory
-          && f.lastModified() < dayAgo)
+          && f.lastModified() < dayAgo && !ownerAlive(f))
         org.apache.commons.io.FileUtils.deleteQuietly(f)
     }
     val root = new java.io.File(
       tmpDir, s"graft_${java.util.UUID.randomUUID().toString.take(8)}")
+    root.mkdirs()
+    java.nio.file.Files.write(root.toPath.resolve("_pid"),
+      ProcessHandle.current().pid().toString.getBytes("UTF-8"))
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(root)))
     root
   }
+
+  /** True iff the root's `_pid` marker names a live process. A missing
+    * or unreadable marker means a crashed/legacy run: not alive.
+    */
+  private def ownerAlive(root: java.io.File): Boolean =
+    try {
+      val pid = new String(java.nio.file.Files.readAllBytes(
+        root.toPath.resolve("_pid")), "UTF-8").trim.toLong
+      ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   private[pipeline] def scratch(d: String, tag: String): String = {
     // keep the root's mtime live: writes land in nested subdirs, which

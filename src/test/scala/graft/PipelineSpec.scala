@@ -181,6 +181,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("a same-named file RE-DELIVERED under one run date keeps both raw copies") {
+    // dst-exists is usually a crashed rename's surviving copy (equal
+    // bytes => finish the delete half), but a re-delivered file carries
+    // DIFFERENT bytes — deleting it would lose the only raw copy. The
+    // length check must divert it to a uniquely-suffixed archive name.
+    val landing = scratchDir("pipe_redeliver_l")
+    val sink    = scratchDir("pipe_redeliver_s") + "/sink"
+    val archive = scratchDir("pipe_redeliver_a")
+    writeCsv(landing, "e.csv", Seq("1,86400000000,10,click,1.0"))
+    val r1 = EventsPipeline.run(spark, landing, sink, archive, "2026-08-12")
+    assert(r1.filesArchived === 1)
+
+    // same name, same run date, different (longer) content
+    writeCsv(landing, "e.csv", Seq(
+      "2,172800000000,11,view,2.0",
+      "3,259200000000,12,click,3.0"))
+    val r2 = EventsPipeline.run(spark, landing, sink, archive, "2026-08-12")
+    assert(r2.rowsAppended === 2)
+    assert(r2.filesArchived === 1)
+    assert(!Files.exists(Paths.get(landing, "e.csv")), "landing drained")
+    // BOTH raw copies retained: the original and the re-delivery
+    assert(Files.exists(Paths.get(archive, "2026-08-12", "e.csv")))
+    assert(Files.exists(Paths.get(archive, "2026-08-12", "e.csv.redelivered1")))
+    assert(spark.read.parquet(sink).count() === 3)
+  }
+
   test("typed() casts strings and nulls unparseable values (P1 semantics)") {
     import spark.implicits._
     val df = Seq(
