@@ -134,13 +134,13 @@ object Bench {
         val (c0, g0, r0, w0) = listener.drainedSnap()
         val t0 = System.nanoTime()
         val ok =
-          try { materialize(fn(spark, sfDir)); true }
+          // scoped: each rep starts from a cold plan (release even on error)
+          try { Materialize.scoped(materialize(fn(spark, sfDir))); true }
           catch { case e: Throwable =>
             if (!errors.exists(_._1 == name))
               errors ::= (name -> e.getClass.getSimpleName)
             false
           }
-          finally Materialize.releaseAll()
         val wall = (System.nanoTime() - t0) / 1e9
         val (c1, g1, r1, w1) = listener.drainedSnap()
         if (ok) Some(Rep(wall, (c1 - c0) / 1e9, (g1 - g0) / 1e3,

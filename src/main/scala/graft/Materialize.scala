@@ -22,9 +22,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Modes (`spark.graft.materialize`):
   *  - `persist` (default): `persist(StorageLevel.MEMORY_AND_DISK)`;
-  *    staged frames are tracked so runners can `releaseAll()` between
-  *    queries (Spark's CacheManager holds a reference, so un-released
-  *    cache entries would otherwise accumulate across a 68-query run).
+  *    staged frames are tracked per `scoped {}` bracket so runners
+  *    release each query's cache as it finishes (Spark's CacheManager
+  *    holds a reference, so un-released cache entries would otherwise
+  *    accumulate across an 85-query run), and releasing one query never
+  *    touches a concurrent query's staged frames.
   *  - `checkpoint`: reliable `checkpoint()` to `spark.checkpoint.dir`
   *    (HDFS/object store on a cluster) — survives executor loss with no
   *    recompute; the right choice for very deep iterative lineage.
@@ -33,17 +35,51 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize {
 
-  private val staged = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private val ckptFiles =
-    new java.util.concurrent.ConcurrentLinkedQueue[(org.apache.spark.sql.SparkSession, String)]()
+  /** One query's staged materializations. Staging is tracked per scope
+    * so releasing one query's frames cannot touch a CONCURRENT query's
+    * live cache — operators call `stage` without a token, and the scope
+    * is resolved from the calling thread (all staging happens at
+    * plan-construction time on the query's driver thread).
+    */
+  final class Scope private[Materialize] () {
+    private[Materialize] val staged =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private[Materialize] val ckptFiles =
+      new java.util.concurrent.ConcurrentLinkedQueue[(org.apache.spark.sql.SparkSession, String)]()
+  }
+
+  /** Fallback scope for callers outside any `scoped` bracket — the
+    * original process-global, single-threaded-runner behavior.
+    */
+  private val globalScope = new Scope
+  private val current = ThreadLocal.withInitial[Scope](() => globalScope)
+
+  /** Run `body` with a fresh staging scope bound to this thread, then
+    * release everything it staged (cache entries unpersisted, reliable
+    * checkpoint files deleted) — even on exception. Nesting restores the
+    * outer scope. This is the bracket Verify/Bench wrap each query in;
+    * concurrent runners get per-query isolation for free by each
+    * wrapping their own thread's work.
+    */
+  def scoped[T](body: => T): T = {
+    val prev = current.get()
+    val s = new Scope
+    current.set(s)
+    try body
+    finally {
+      current.set(prev)
+      release(s)
+    }
+  }
 
   private def checkpointTracked(df: DataFrame): DataFrame = {
     val out = df.checkpoint()
     // reliable checkpoint files are NOT cleaned by the ContextCleaner
     // unless spark.cleaner.referenceTracking.cleanCheckpoints is set;
-    // track them so releaseAll() honors the same "one query's
+    // track them so release honors the same "one query's
     // materialization never outlives it" contract as persist mode
-    out.rdd.getCheckpointFile.foreach(f => ckptFiles.add((df.sparkSession, f)))
+    out.rdd.getCheckpointFile.foreach(f =>
+      current.get().ckptFiles.add((df.sparkSession, f)))
     out
   }
 
@@ -54,7 +90,7 @@ object Materialize {
       case "local"      => df.localCheckpoint()
       case _ =>
         df.persist(StorageLevel.MEMORY_AND_DISK)
-        staged.add(df)
+        current.get().staged.add(df)
         df
     }
 
@@ -91,34 +127,31 @@ object Materialize {
       case _ =>
         val cut = df.sparkSession.createDataFrame(df.rdd, df.schema)
         cut.persist(StorageLevel.MEMORY_AND_DISK)
-        staged.add(cut)
+        current.get().staged.add(cut)
         cut
     }
 
-  /** Release every persisted frame staged since the last call. Runners
-    * (Verify, Bench) call this after materializing each query so one
-    * query's cache never occupies memory during the next. `blocking =
-    * false`: block cleanup proceeds async while the next query starts.
-    *
-    * CONTRACT: the staging queues are process-global, so release is
-    * strictly run-one-query-then-release — the single-threaded loop
-    * Verify/Bench use. Callers running queries CONCURRENTLY must not use
-    * `releaseAll()` (it would unpersist another in-flight query's staged
-    * frames and delete its live checkpoint files); concurrent execution
-    * needs a per-query scope token, which no current caller requires.
+  /** Release every frame staged in the CALLING THREAD's current scope
+    * (the process-global fallback scope outside any `scoped` bracket —
+    * the original single-threaded-runner contract). Prefer `scoped {}`,
+    * which releases automatically and isolates concurrent queries.
+    * `blocking = false`: block cleanup proceeds async while the next
+    * query starts.
     */
-  def releaseAll(): Unit = {
-    var df = staged.poll()
+  def releaseAll(): Unit = release(current.get())
+
+  private def release(s: Scope): Unit = {
+    var df = s.staged.poll()
     while (df != null) {
       df.unpersist(blocking = false)
-      df = staged.poll()
+      df = s.staged.poll()
     }
-    var ck = ckptFiles.poll()
+    var ck = s.ckptFiles.poll()
     while (ck != null) {
       val (spark, file) = ck
       val p = new org.apache.hadoop.fs.Path(file)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      ck = ckptFiles.poll()
+      ck = s.ckptFiles.poll()
     }
   }
 }

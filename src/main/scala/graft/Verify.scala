@@ -31,12 +31,14 @@ object Verify {
       // repartition(1), not coalesce(1): coalesce folds upstream and would
       // run the whole query plan on one task; repartition keeps the plan
       // parallel and only the final write is single-file
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // scoped: one query's staged cache never outlives it
+      try Materialize.scoped {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally Materialize.releaseAll() // one query's cache never outlives it
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
