@@ -177,18 +177,46 @@ object Advanced extends QueryModule {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
       """)),
 
-    // ───── exact median per group via one window pass ─────
+    // ───── exact median per group via two-pass bucketed selection ─────
+    // A row_number window partitioned by the 3-value status column would
+    // sort each status's ENTIRE row set in one task — a 3-straggler plan
+    // with unbounded per-task spill at scale. Instead: pass 1 counts
+    // rows per (status, price-range bucket) — a partial-agg shuffle to a
+    // metadata-scale frame — and locates the bucket holding each median
+    // rank via a cumulative sum (window over ~buckets rows, not data).
+    // Pass 2 sorts ONLY the rows of those target buckets (joined via
+    // broadcast of the tiny marker frame), so per-task state is bounded
+    // by bucket width, never group size. Exact same selection as the
+    // oracle's full row_number formulation: local rank + preceding-
+    // bucket offset IS the global rank. The scale sibling for sloppier
+    // needs is agg_approx_quantile.
     GraftQuery(
       "agg_median_manual",
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderstatus"))
-          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-        Tables.orders(s, d)
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(
+        val o = Tables.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"),
+            floor(col("o_totalprice") / 1000).cast("long").as("bkt"))
+        val counts = o.groupBy(col("o_orderstatus"), col("bkt"))
+          .agg(count(lit(1)).as("c"))
+        val marked = counts
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("o_orderstatus")).orderBy(col("bkt"))))
+          .withColumn("n", sum(col("c")).over(
             Window.partitionBy(col("o_orderstatus"))))
-          .filter(col("rn") === expr("(cnt + 1) div 2") ||
-                  col("rn") === expr("(cnt + 2) div 2"))
+          .withColumn("lo", col("cum") - col("c") + 1)
+          .withColumn("k1", expr("(n + 1) div 2"))
+          .withColumn("k2", expr("(n + 2) div 2"))
+          .filter(col("k1").between(col("lo"), col("cum")) ||
+                  col("k2").between(col("lo"), col("cum")))
+          .select(col("o_orderstatus").as("st"), col("bkt").as("tbkt"),
+            (col("lo") - 1).as("offset"), col("k1"), col("k2"))
+        o.join(broadcast(marked),
+            col("o_orderstatus") === col("st") && col("bkt") === col("tbkt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("o_orderstatus"), col("bkt"))
+              .orderBy(col("o_totalprice").asc, col("o_orderkey").asc))
+            + col("offset"))
+          .filter(col("rn") === col("k1") || col("rn") === col("k2"))
           .groupBy(col("o_orderstatus"))
           .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
             / count(lit(1))).as("median_price"))

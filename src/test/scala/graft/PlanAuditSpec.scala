@@ -49,6 +49,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("WindowGroupLimit.*Final".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("agg_median_manual: no whole-group single-task sort on the data path") {
+    // the exact median must come from the two-pass bucketed selection:
+    // the window that touches TABLE rows partitions by (status, bkt) —
+    // per-task state bounded by bucket width — never by status alone,
+    // which would sort each status's entire row set in one task
+    val plan = SparkEntry.queries("agg_median_manual")(spark, sfTiny)
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, plan.toString)
+    val dataWindows = windows.filter(_.toString.contains("row_number"))
+    assert(dataWindows.nonEmpty, plan.toString)
+    dataWindows.foreach { w =>
+      val parts = w.partitionSpec.map(_.sql).mkString(",")
+      assert(parts.contains("bkt"),
+        s"row_number window must partition by the range bucket, got: $parts")
+    }
+  }
+
   test("ref_sort_full keeps its global sort (bench regression guard)") {
     val plan = SparkEntry.queries("ref_sort_full")(spark, sfTiny)
       .queryExecution.sparkPlan.toString
