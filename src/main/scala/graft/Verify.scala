@@ -16,7 +16,8 @@ object Verify {
     // knobs that parameterize a Spark plan while the DuckDB oracle pins
     // the default: verifying with one set would guarantee a false
     // hash-mismatch, so refuse to produce the artifact at all
-    Seq("spark.graft.semantic.tau", "spark.graft.tfidf.minDf").foreach { k =>
+    Seq("spark.graft.semantic.tau", "spark.graft.tfidf.minDf",
+        "spark.graft.ann.bucketCap").foreach { k =>
       require(spark.conf.getOption(k).forall(_.trim.isEmpty),
         s"$k is set, but its oracle pins the default — unset it for verification")
     }

@@ -71,6 +71,17 @@ object Similarity extends QueryModule {
     * aggregate folds left-to-right, so the sum associates exactly like
     * the oracle's generate_series fold — bit-identical doubles.
     */
+  /** Test/measurement hook: signatures frame (vec_id, sig, ...). */
+  private[graft] def sigTest(s: SparkSession, d: String): DataFrame =
+    normed(s, d).withColumn("sig", expr(lshSigExpr))
+
+  /** Default per-(band, bucket) probe cap — the Σ bucket² bound knob.
+    * 4 bands × 64 probes = up to 256 exact-cosine re-ranks per vector,
+    * ample for a top-1 ANN; interpolated into the oracle so both
+    * engines cap by the identical rank rule.
+    */
+  private[graft] val defaultBucketCap = 64
+
   private lazy val lshSigExpr: String =
     (0 until 16).map { j =>
       val signs = (0 until 64)
@@ -157,11 +168,34 @@ object Similarity extends QueryModule {
 
     // ───── LSH ANN: banded sign-projection buckets → exact re-rank ─────
     // 16-bit signature in 4 bands of 4 bits; vectors sharing any band are
-    // candidates (~23% of all pairs at sf0.01); candidates are re-ranked
-    // by exact cosine and each query keeps its top-1.
+    // candidates; candidates are re-ranked by exact cosine and each query
+    // keeps its top-1.
+    //
+    // Candidate work is conf-BOUNDED: with only 16 possible buckets per
+    // band, uncapped candidates grow as Σ bucket² ≈ n²/16 per band (the
+    // measured 7.2× wall at 10× data). The probe side of the band join is
+    // therefore capped to the `bucketCap` lowest vec_ids per (band,
+    // bucket) — row_number ≤ k, which Spark plans as WindowGroupLimit
+    // per-partition heaps, no full bucket sort — so each vector scores at
+    // most bands × bucketCap candidates and total candidate volume is
+    // ≤ bands × n × bucketCap: LINEAR in n. The querying (va) side stays
+    // uncapped, so every vector still probes its buckets and keeps a
+    // top-1 whenever any capped member shares a band. The cap is
+    // oracle-twinned (same rank rule both engines), so the hash gate
+    // holds even where it binds; `spark.graft.ann.bucketCap` overrides
+    // (Verify pins the default).
     GraftQuery(
       "sim_ann_lsh",
       (s, d) => {
+        val capRaw = s.conf.get("spark.graft.ann.bucketCap", "").trim
+        val cap =
+          if (capRaw.isEmpty) defaultBucketCap
+          else {
+            val c = capRaw.toIntOption.getOrElse(sys.error(
+              s"spark.graft.ann.bucketCap must be a positive int, got '$capRaw'"))
+            require(c >= 2, s"spark.graft.ann.bucketCap must be >= 2, got $c")
+            c
+          }
         // Signatures are 1024 md5 evaluations per row and feed the band
         // explode plus both re-rank join sides: distribute the signature
         // work across all cores (the raw scan may be 1–2 file splits),
@@ -179,7 +213,11 @@ object Similarity extends QueryModule {
             expr("substring(sig, (b-1)*4 + 1, 4)").as("band_sig"))
         val ba = bands.select(col("vec_id").as("va"), col("b"), col("band_sig"))
         val bb = bands.select(col("vec_id").as("vb"),
-          col("b").as("b2"), col("band_sig").as("band_sig2"))
+            col("b").as("b2"), col("band_sig").as("band_sig2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("b2"), col("band_sig2"))
+              .orderBy(col("vb").asc)))
+          .filter(col("rn") <= cap).drop("rn")
         val cand = ba.join(bb,
             col("b") === col("b2") && col("band_sig") === col("band_sig2") &&
               col("va") =!= col("vb"))
@@ -213,9 +251,16 @@ object Similarity extends QueryModule {
         bands AS (
           SELECT vec_id, b, substr(s, (b-1)*4 + 1, 4) AS bs
           FROM sig CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS b) g),
+        bands_capped AS (
+          SELECT vec_id, b, bs FROM (
+            SELECT vec_id, b, bs,
+                   ROW_NUMBER() OVER (PARTITION BY b, bs
+                                      ORDER BY vec_id ASC) AS rn
+            FROM bands) t
+          WHERE rn <= $defaultBucketCap),
         cand AS (
           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-          FROM bands a JOIN bands b
+          FROM bands a JOIN bands_capped b
             ON a.b = b.b AND a.bs = b.bs AND a.vec_id <> b.vec_id),
         scored AS (
           SELECT va, vb,
