@@ -309,10 +309,10 @@ object Curation extends QueryModule {
     * two engines emit tied rows in different order and break the hash
     * gate). Shared by `curate_shard_plan` and `curate_pipeline_e2e`.
     */
-  private def tokenEstimate =
+  private[graft] def tokenEstimate =
     greatest(lit(1L), expr("(length(text) + 3) div 4").cast("long"))
 
-  private val tokenEstimateSql =
+  private[graft] val tokenEstimateSql =
     "GREATEST(1, CAST((length(text) + 3) // 4 AS BIGINT))"
 
   /** Shard assignment over (doc_id, source, n_tokens): per-source
@@ -320,7 +320,7 @@ object Curation extends QueryModule {
     * Shared by `curate_shard_plan` and `curate_pipeline_e2e` (with
     * [[shardSql]] as its DuckDB twin) so the manifests can't drift.
     */
-  private def shardPlan(toks: org.apache.spark.sql.DataFrame) = {
+  private[graft] def shardPlan(toks: org.apache.spark.sql.DataFrame) = {
     val w = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     toks
@@ -334,7 +334,7 @@ object Curation extends QueryModule {
   /** DuckDB twin of [[shardPlan]]; `tokSrc` must yield
     * (doc_id, source, n_tokens).
     */
-  private def shardSql(tokSrc: String): String = s"""
+  private[graft] def shardSql(tokSrc: String): String = s"""
         SELECT doc_id, source, n_tokens, cum_tokens,
                (cum_tokens - 1) // 2000 AS shard_id
         FROM (

@@ -86,6 +86,18 @@ object Layout extends QueryModule {
     base.join(delta.select(col(key)), Seq(key), "left_anti")
       .unionByName(delta)
 
+  /** Materialize a shard manifest as a physical layout: one parquet
+    * file per (source, shard_id) leaf dir. Repartitioning on exactly
+    * the partition keys sends each shard's rows to one task, so each
+    * leaf dir holds a single data file — the unit a training data
+    * loader streams. One shuffle; at 100 TB the shard size knob (in
+    * the manifest) bounds both task state and file size.
+    */
+  def shardedWrite(shards: DataFrame, outDir: String): Unit =
+    shards.repartition(col("source"), col("shard_id"))
+      .write.mode("overwrite").partitionBy("source", "shard_id")
+      .parquet(outDir)
+
   private val jsonlSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -157,6 +169,46 @@ object Layout extends QueryModule {
         FROM lineitem
         WHERE l_orderkey BETWEEN 500 AND 800
         ORDER BY l_orderkey, l_partkey, l_linenumber
+      """)),
+
+    // ───── shard-plan-driven sharded write + layout-proving read-back ─────
+    // curate_shard_plan's manifest made PHYSICAL: documents (with their
+    // bodies) land as one parquet file per (source, shard_id). The
+    // read-back re-derives the per-shard manifest THROUGH the layout —
+    // partition-column values come from directory names, so the oracle
+    // match proves the dirs encode exactly the planned assignment, and
+    // the token/char sums prove every body rode into its planned shard.
+    GraftQuery(
+      "sink_sharded_write",
+      (s, d) => {
+        val tmp = Sources.scratch(d, "sharded_")
+        val plan = graft.ops.Curation.shardPlan(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            graft.ops.Curation.tokenEstimate.as("n_tokens")))
+        shardedWrite(
+          plan.select(col("doc_id"), col("source"), col("n_tokens"),
+              col("shard_id"))
+            .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+              Seq("doc_id")),
+          tmp)
+        s.read.parquet(tmp)
+          .groupBy(col("source"), col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("shard_tokens"),
+            sum(length(col("text")).cast("long")).as("shard_chars"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("source"), col("shard_id"))
+      },
+      Some(s"""
+        WITH plan AS (${graft.ops.Curation.shardSql(
+          s"(SELECT doc_id, source, ${graft.ops.Curation.tokenEstimateSql} AS n_tokens FROM documents) t0")})
+        SELECT p.source, p.shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(p.n_tokens) AS BIGINT) AS shard_tokens,
+               CAST(SUM(length(d.text)) AS BIGINT) AS shard_chars,
+               MIN(p.doc_id) AS min_doc, MAX(p.doc_id) AS max_doc
+        FROM plan p JOIN documents d ON p.doc_id = d.doc_id
+        GROUP BY p.source, p.shard_id
+        ORDER BY p.source, p.shard_id
       """)),
 
     // ───── copy-on-write SCD-1 merge: updates win, inserts append ─────
