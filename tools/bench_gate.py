@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Bench regression gate: compare two bench artifacts and label each wall
+regression REAL (cpu/shuffle moved with it) or ENVIRONMENTAL (identical
+work profile, different host conditions — the round-3/4 driver-outlier
+pattern, where a loaded host doubled wall times while per-query shuffle
+bytes and cpu stayed flat).
+
+usage: bench_gate.py OLD.json NEW.json [--wall-thresh 1.3] [--attr-band 0.3]
+
+Accepts either the full one-line Bench output (BENCH_FULL.json) or a
+driver BENCH_r{N}.json wrapper (the embedded line is recovered from its
+captured tail when the head survived truncation).
+
+exit 0: no REAL regressions; exit 1: at least one; exit 2: unusable input.
+"""
+import json
+import re
+import sys
+
+
+def load_artifact(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return d
+    # driver wrapper: the bench line lives in the captured output tail
+    tail = d.get("tail", "")
+    m = re.search(r'\{"metric":.*?"sf":"[^"]*"\}', tail)
+    if m:
+        return json.loads(m.group(0))
+    print(f"error: {path} holds no parseable bench line "
+          "(driver tail truncated its head) — compare the committed "
+          "BENCH_FULL.json artifacts instead", file=sys.stderr)
+    sys.exit(2)
+
+
+def ratio(new, old):
+    return new / old if old > 0 else float("inf")
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: float(a.split("=")[1])
+            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+    if len(args) != 2:
+        print(__doc__)
+        sys.exit(2)
+    wall_thresh = opts.get("--wall-thresh", 1.3)
+    band = opts.get("--attr-band", 0.3)
+
+    old, new = load_artifact(args[0]), load_artifact(args[1])
+    oq, nq = old["queries"], new["queries"]
+    om, nm = old.get("metrics", {}), new.get("metrics", {})
+    oload, nload = old.get("loadavg"), new.get("loadavg")
+
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    real, environmental, improved = [], [], []
+
+    for name in sorted(set(oq) & set(nq)):
+        ow, nw = oq[name], nq[name]
+        if ow < 0 or nw < 0:
+            real.append((name, ow, nw, "errored run (wall = -1)"))
+            continue
+        if ow < 0.05 and nw < 0.05:
+            continue  # sub-50ms noise floor
+        r = ratio(nw, ow)
+        if r <= wall_thresh:
+            if r < 1 / wall_thresh and ow >= 0.5:
+                improved.append((name, ow, nw, r))
+            continue
+        omx, nmx = om.get(name), nm.get(name)
+        if not omx or not nmx:
+            real.append((name, ow, nw,
+                         f"wall x{r:.2f}, unattributable (missing metrics)"))
+            continue
+        cpu_r = ratio(nmx.get("cpu", 0), omx.get("cpu", 0)) \
+            if omx.get("cpu", 0) >= 0.5 else 1.0  # sub-0.5s cpu: noise
+        sw_r = ratio(nmx.get("sw_mb", 0), omx.get("sw_mb", 0)) \
+            if omx.get("sw_mb", 0) >= 0.5 else 1.0
+        profile_flat = abs(cpu_r - 1) <= band and abs(sw_r - 1) <= band
+        detail = (f"wall x{r:.2f} ({ow:.2f}s -> {nw:.2f}s), "
+                  f"cpu x{cpu_r:.2f}, shuffle-write x{sw_r:.2f}, "
+                  f"loadavg {oload} -> {nload}")
+        (environmental if profile_flat else real).append((name, ow, nw, detail))
+
+    tot_o = sum(v for v in oq.values() if v >= 0)
+    tot_n = sum(v for v in nq.values() if v >= 0)
+    print(f"total wall: {tot_o:.1f}s ({len(oq)} queries) -> "
+          f"{tot_n:.1f}s ({len(nq)} queries)")
+    if added:
+        print(f"added: {', '.join(added)}")
+    if removed:
+        print(f"removed: {', '.join(removed)}")
+    for name, _, _, d in environmental:
+        print(f"ENVIRONMENTAL {name}: {d}")
+    for name, ow, nw, r in improved:
+        print(f"improved {name}: {ow:.2f}s -> {nw:.2f}s (x{r:.2f})")
+    for name, _, _, d in real:
+        print(f"REAL {name}: {d}")
+    if real:
+        print(f"== {len(real)} real regression(s) ==")
+        sys.exit(1)
+    print("== no real regressions ==")
+
+
+if __name__ == "__main__":
+    main()
