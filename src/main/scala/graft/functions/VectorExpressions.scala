@@ -97,5 +97,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NfcNormalize(children.head)
       }))
     ext.injectOptimizerRule(_ => LevenshteinLengthGuard)
+    DialectShims.register(ext)
   }
 }

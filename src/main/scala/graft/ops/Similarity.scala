@@ -277,6 +277,112 @@ object Similarity extends QueryModule {
           FROM scored) t
         WHERE rn = 1
         ORDER BY vec_id
+      """)),
+
+    // ───── IVF ANN: coarse quantizer cells → exact search within cell ────
+    // The inverted-file pattern (Jégou et al., "Product Quantization for
+    // Nearest Neighbor Search", TPAMI 2011 — the IVF part): assign every
+    // vector to its nearest of K coarse centroids, then search only the
+    // query's own cell. Here the centroids are K SEED VECTORS chosen by
+    // md5(vec_id) order — deterministic and oracle-twinnable, unlike
+    // k-means (a learned codebook drops in by swapping the `seeds` frame;
+    // every plan shape downstream is unchanged).
+    //
+    // Scale shape (100 TB): seeds are O(K) rows → broadcast; assignment
+    // is a NARROW map (n × K dot products, no shuffle — the crossJoin is
+    // broadcast, so it whole-stage-codegens into the scan); the only
+    // shuffle is the per-cell self-join on `cell`, whose pair blowup is
+    // bounded by the largest cell (Σ cell² ≈ n²/K for balanced cells —
+    // pick K ∝ n / targetCellSize; skewed cells would get the same
+    // salting/cap treatment as the LSH buckets). Single-probe: a vector
+    // whose true NN lands in a neighboring cell is missed — the standard
+    // IVF recall/nprobe tradeoff; SimilaritySpec pins measured recall
+    // vs the brute-force baseline.
+    GraftQuery(
+      "sim_ann_ivf",
+      (s, d) => {
+        val kRaw = s.conf.get("spark.graft.ann.ivfCells", "").trim
+        val k =
+          if (kRaw.isEmpty) defaultIvfCells
+          else {
+            val c = kRaw.toIntOption.getOrElse(sys.error(
+              s"spark.graft.ann.ivfCells must be a positive int, got '$kRaw'"))
+            require(c >= 1, s"spark.graft.ann.ivfCells must be >= 1, got $c")
+            c
+          }
+        val e = Materialize.stageEager(
+          normed(s, d).repartition(s.sparkContext.defaultParallelism,
+            col("vec_id")))
+        // K deterministic seed "centroids": lowest md5(vec_id) order
+        val seeds = e
+          .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+          .limit(k)
+          .select(col("vec_id").as("sid"), col("embedding").as("semb"),
+            col("nrm").as("snrm"))
+        // nearest-seed assignment: broadcast K seeds, argmax cosine
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c").desc, col("sid").asc)
+        val assign = e.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("sid"),
+            (expr("vec_dot(embedding, semb)") / (col("nrm") * col("snrm")))
+              .as("c"))
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("sid").as("cell"))
+        // exact search within the cell
+        val cells = e.join(assign, "vec_id")
+        val a = cells.select(col("vec_id").as("va"), col("cell"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = cells.select(col("vec_id").as("vb"), col("cell").as("cell2"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("va"))
+          .orderBy(col("cosine").desc, col("vb").asc)
+        a.join(b, col("cell") === col("cell2") && col("va") =!= col("vb"))
+          .select(col("va"), col("vb"), cosine("ea", "eb", "na", "nb"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("va").as("vec_id"), col("vb").as("ann_id"), col("cosine"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH $normedSql,
+        seeds AS (
+          SELECT vec_id AS sid, embedding AS semb, nrm AS snrm
+          FROM e ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+          LIMIT $defaultIvfCells),
+        assign AS (
+          SELECT vec_id, sid AS cell FROM (
+            SELECT e.vec_id, s.sid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     (list_reduce(list_transform(generate_series(1, 64),
+                        i -> e.embedding[i]::DOUBLE * s.semb[i]::DOUBLE),
+                        (x, y) -> x + y) / (e.nrm * s.snrm)) DESC,
+                     s.sid ASC) AS rn
+            FROM e CROSS JOIN seeds s) t
+          WHERE rn = 1),
+        cells AS (
+          SELECT e.vec_id, e.embedding, e.nrm, assign.cell
+          FROM e JOIN assign ON e.vec_id = assign.vec_id),
+        scored AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+        SELECT va AS vec_id, vb AS ann_id, cosine FROM (
+          SELECT va, vb, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY va
+                                    ORDER BY cosine DESC, vb ASC) AS rn
+          FROM scored) t
+        WHERE rn = 1
+        ORDER BY vec_id
       """))
   )
+
+  /** Default IVF cell count. At corpus scale pick K ∝ n/targetCellSize
+    * (e.g. 4k-row cells); 16 cells over the sf0.001 fixture's 500
+    * vectors ≈ 31-row cells — the same ratio.
+    */
+  private[graft] val defaultIvfCells = 16
 }

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions.col
 class PlanAuditSpec extends SparkSpec {
 
   // Queries that intentionally use a broadcast nested-loop / cross join:
-  // a broadcast 1-row scalar (watermark, corpus size, query vector). The
-  // build side is provably tiny in each.
+  // a broadcast 1-row scalar (watermark, corpus size, query vector), or
+  // sim_ann_ivf's K-row seed-centroid frame (every IVF assignment scores
+  // each row against all K centroids; K is conf-bounded, not data-sized).
+  // The build side is provably tiny in each.
   private val allowNestedLoop = Set(
     "ref_watermark_filter", "text_tfidf", "sim_topk_cosine",
-    "curate_domain_mix")
+    "curate_domain_mix", "sim_ann_ivf")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
@@ -113,15 +115,18 @@ class PlanAuditSpec extends SparkSpec {
     val corpusQueries = Seq(
       "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
       "dedup_levenshtein", "dedup_embedding_nn", "dedup_semantic",
-      "dedup_substring", "sim_ann_lsh", "sim_knn_per_label",
+      "dedup_substring", "sim_ann_lsh", "sim_knn_per_label", "sim_ann_ivf",
       "curate_contamination", "curate_domain_mix", "text_tfidf",
       "text_repetition")
     // text_tfidf and curate_domain_mix legitimately broadcast ONE side:
-    // a 1-row corpus-size aggregate (a scalar, not corpus-sized). Every
-    // other corpus-derived join must be hint-free — no
-    // BroadcastHashJoin, and no exchange beyond the single scalar one.
+    // a 1-row corpus-size aggregate (a scalar, not corpus-sized);
+    // sim_ann_ivf broadcasts its K-row seed-centroid frame (bounded by
+    // the ivfCells conf, not by corpus size). Every other corpus-derived
+    // join must be hint-free — no BroadcastHashJoin, and no exchange
+    // beyond the single bounded one.
     val allowedExchanges = Map(
-      "text_tfidf" -> 1, "curate_domain_mix" -> 1).withDefaultValue(0)
+      "text_tfidf" -> 1, "curate_domain_mix" -> 1,
+      "sim_ann_ivf" -> 1).withDefaultValue(0)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // frames cached by EARLIER tests embed physical plans built under the

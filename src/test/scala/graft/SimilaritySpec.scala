@@ -111,4 +111,52 @@ class SimilaritySpec extends SparkSpec {
     // deterministic here (md5 hyperplanes), bound it loosely
     assert(recall > 0.35, s"recall@1 degraded: $recall")
   }
+
+  test("sim_ann_ivf: near-dups share a cell and pick each other") {
+    // K=16 on an 8-vector fixture would make every vector its own seed
+    // (self-cosine 1.0 ⇒ all cells singleton ⇒ empty result): the
+    // degenerate K ≥ n regime. Pin K=2 so cells actually group.
+    spark.conf.set("spark.graft.ann.ivfCells", "2")
+    try {
+      val ann = SparkEntry.queries("sim_ann_ivf")(spark, dir)
+        .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
+      // cos(v0, v1) ≈ 0.9998 ⇒ same argmax seed ⇒ same cell ⇒ mutual NN
+      assert(ann.get(0L).contains(1L))
+      assert(ann.get(1L).contains(0L))
+    } finally spark.conf.unset("spark.graft.ann.ivfCells")
+  }
+
+  test("sim_ann_ivf recall@1 vs brute force on driver testdata") {
+    val ann = SparkEntry.queries("sim_ann_ivf")(spark, sfTiny)
+      .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
+    val exact = bruteForceNN(sfTiny)
+    val hits = exact.count { case (v, nn) => ann.get(v).contains(nn) }
+    val recall = hits.toDouble / exact.size
+    // single-probe IVF: recall = P(query and its NN share a nearest
+    // seed). Near-dup pairs (cos ≈ 1) essentially always do; random
+    // pairs land together ~1/K. The driver corpus mixes both, so bound
+    // loosely and record the measured value in the failure message.
+    assert(recall > 0.2, s"recall@1 degraded: $recall")
+  }
+
+  /** Exact top-1 neighbor per vector (brute force) for recall baselines. */
+  private def bruteForceNN(d: String): Map[Long, Long] = {
+    val e = Tables.embeddings(spark, d).select(
+      col("vec_id"), col("embedding"),
+      expr("""sqrt(aggregate(transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              CAST(0 AS DOUBLE), (acc, v) -> acc + v))""").as("nrm"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("va")).orderBy(col("cos").desc, col("vb").asc)
+    a.join(b, col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        (expr("""aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                 CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+          / (col("na") * col("nb"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("va", "vb").as[(Long, Long)].collect().toMap
+  }
 }
