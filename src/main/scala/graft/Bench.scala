@@ -80,7 +80,7 @@ object Bench {
     */
   private val varianceProne = Set(
     "dedup_clusters", "dedup_minhash", "dedup_simhash",
-    "dedup_ngram_jaccard", "sim_ann_lsh")
+    "dedup_ngram_jaccard", "sim_ann_lsh", "sim_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
