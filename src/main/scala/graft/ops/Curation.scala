@@ -215,6 +215,73 @@ object Curation extends QueryModule {
       Some(shardSql(s"""(SELECT doc_id, source, $tokenEstimateSql AS n_tokens
                 FROM documents) t0"""))),
 
+    // ───── sequence packing: concat-and-chunk into context windows ─────
+    // The GPT-style pretraining step downstream of sharding: documents
+    // are concatenated per source in the md5-deterministic order and the
+    // token stream is cut every `packLen` tokens; each doc maps to the
+    // training sequences it lands in (first sequence, offset inside it,
+    // last sequence — a doc may straddle window boundaries, unlike shard
+    // planning, which never splits a doc). Everything derives from the
+    // per-source running token sum.
+    //
+    // Scale shape (100 TB): a single `Window.partitionBy(source)` prefix
+    // sum would serialize each source's billions of docs into ONE task —
+    // the straggler shape this engine rejects elsewhere. The sum is
+    // therefore computed as a TWO-LEVEL distributed scan (the textbook
+    // parallel-prefix decomposition): docs bucket by their md5 key's
+    // first 2 hex chars (256 ordered ranges per source), within-bucket
+    // prefix sums run in parallel tasks, and each bucket adds a global
+    // offset from a 256-rows-per-source total table (broadcast — bounded
+    // by 256 × sources, never corpus-sized). The bucket id is a PREFIX
+    // of the ordering key, so bucket-major order IS md5 order and the
+    // two-level sum equals the single-window sum exactly — the DuckDB
+    // oracle computes the plain window, pinning that equality per row.
+    GraftQuery(
+      "curate_pack_sequences",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokenEstimate.as("n_tokens"),
+            md5(col("doc_id").cast("string")).as("k"))
+          .withColumn("bkt", expr("conv(substring(k, 1, 2), 16, 10)").cast("int"))
+        val wIn = Window.partitionBy(col("source"), col("bkt"))
+          .orderBy(col("k"), col("doc_id"))
+        val within = toks.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+        val wBkt = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        val offsets = within.groupBy(col("source"), col("bkt"))
+          .agg(sum(col("n_tokens")).as("tot"))
+          .withColumn("off", sum(col("tot")).over(wBkt) - col("tot"))
+          .select(col("source").as("src2"), col("bkt").as("bkt2"), col("off"))
+        within
+          .join(broadcast(offsets),
+            col("source") === col("src2") && col("bkt") === col("bkt2"))
+          .withColumn("cum", (col("off") + col("cum_in")).cast("long"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            expr(s"(cum - n_tokens) div $packLen").cast("long").as("seq_first"),
+            expr(s"(cum - n_tokens) % $packLen").cast("long").as("seq_off"),
+            expr(s"(cum - 1) div $packLen").cast("long").as("seq_last"),
+            col("cum"))
+          .orderBy(col("source"), col("cum"), col("doc_id"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source, $tokenEstimateSql AS n_tokens,
+                 MD5(CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum
+          FROM toks)
+        SELECT doc_id, source, n_tokens,
+               (cum - n_tokens) // $packLen AS seq_first,
+               (cum - n_tokens) % $packLen AS seq_off,
+               (cum - 1) // $packLen AS seq_last,
+               cum
+        FROM c ORDER BY source, cum, doc_id
+      """)),
+
     // ───── C4/Gopher-style quality gate: rule stack → keep/drop ─────
     // The decision layer real pretraining pipelines put on top of the
     // quality primitives: a fixed rule ladder (length, stopword ratio,
@@ -314,6 +381,11 @@ object Curation extends QueryModule {
 
   private[graft] val tokenEstimateSql =
     "GREATEST(1, CAST((length(text) + 3) // 4 AS BIGINT))"
+
+  /** Context-window length for `curate_pack_sequences` (tokens per
+    * training sequence). A plan literal on both engines.
+    */
+  private[graft] val packLen = 512
 
   /** Shard assignment over (doc_id, source, n_tokens): per-source
     * md5-deterministic order, running token sum, ~2000-token shards.

@@ -165,4 +165,32 @@ class CurationSpec extends SparkSpec {
     assert(rows.sorted.toSeq === Seq(0L, 1L, 2L, 3L),
       "no corpus is ever silently emptied by the cap")
   }
+
+  test("curate_pack_sequences: contiguous token stream, valid straddles") {
+    val rows = SparkEntry.queries("curate_pack_sequences")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("seq_first"), r.getAs[Long]("seq_off"),
+        r.getAs[Long]("seq_last"), r.getAs[Long]("cum")))
+    assert(rows.nonEmpty)
+    val L = 512L
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      // rows arrive ordered by cum within source; the stream is gapless:
+      // each doc starts exactly where the previous ended
+      var expectStart = 0L
+      ds.sortBy(_._6).foreach { case (_, n, sf, off, sl, cum) =>
+        val start = cum - n
+        assert(start == expectStart, s"$src: gap at token $expectStart")
+        expectStart = cum
+        assert(sf == start / L && off == start % L, s"$src: window math")
+        assert(sl == (cum - 1) / L, s"$src: last window math")
+        assert(sl >= sf && off >= 0 && off < L)
+        // straddle count implied by size: tokens past the first window
+        assert(sl - sf == (off + n - 1) / L, s"$src: straddle count")
+      }
+    }
+    // the two-level scan must actually straddle: at least one doc spans
+    // a window boundary on the driver corpus (packLen << doc sizes sum)
+    assert(rows.exists(r => r._5 > r._3), "no doc straddles — packLen too big?")
+  }
 }
