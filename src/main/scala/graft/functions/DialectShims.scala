@@ -40,7 +40,7 @@ object DialectShims {
     * the corpus uses; unknown codes fail loudly rather than silently
     * emitting wrong formats.
     */
-  private[functions] def strftimeToJdk(fmt: String): String = {
+  private[graft] def strftimeToJdk(fmt: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < fmt.length) {

@@ -224,44 +224,22 @@ object Curation extends QueryModule {
     // planning, which never splits a doc). Everything derives from the
     // per-source running token sum.
     //
-    // Scale shape (100 TB): a single `Window.partitionBy(source)` prefix
-    // sum would serialize each source's billions of docs into ONE task —
-    // the straggler shape this engine rejects elsewhere. The sum is
-    // therefore computed as a TWO-LEVEL distributed scan (the textbook
-    // parallel-prefix decomposition): docs bucket by their md5 key's
-    // first 2 hex chars (256 ordered ranges per source), within-bucket
-    // prefix sums run in parallel tasks, and each bucket adds a global
-    // offset from a 256-rows-per-source total table (broadcast — bounded
-    // by 256 × sources, never corpus-sized). The bucket id is a PREFIX
-    // of the ordering key, so bucket-major order IS md5 order and the
-    // two-level sum equals the single-window sum exactly — the DuckDB
-    // oracle computes the plain window, pinning that equality per row.
+    // Scale shape (100 TB): the per-source running sum is the shared
+    // two-level distributed scan (`sourcePrefixSum` — see its scaladoc;
+    // also the engine under curate_shard_plan), so no source ever
+    // serializes into a single task and the result still equals the
+    // plain window sum the DuckDB oracle computes, row for row.
     GraftQuery(
       "curate_pack_sequences",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), tokenEstimate.as("n_tokens"),
-            md5(col("doc_id").cast("string")).as("k"))
-          .withColumn("bkt", expr("conv(substring(k, 1, 2), 16, 10)").cast("int"))
-        val wIn = Window.partitionBy(col("source"), col("bkt"))
-          .orderBy(col("k"), col("doc_id"))
-        val within = toks.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
-        val wBkt = Window.partitionBy(col("source")).orderBy(col("bkt"))
-        val offsets = within.groupBy(col("source"), col("bkt"))
-          .agg(sum(col("n_tokens")).as("tot"))
-          .withColumn("off", sum(col("tot")).over(wBkt) - col("tot"))
-          .select(col("source").as("src2"), col("bkt").as("bkt2"), col("off"))
-        within
-          .join(broadcast(offsets),
-            col("source") === col("src2") && col("bkt") === col("bkt2"))
-          .withColumn("cum", (col("off") + col("cum_in")).cast("long"))
+      (s, d) =>
+        sourcePrefixSum(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokenEstimate.as("n_tokens")))
           .select(col("doc_id"), col("source"), col("n_tokens"),
             expr(s"(cum - n_tokens) div $packLen").cast("long").as("seq_first"),
             expr(s"(cum - n_tokens) % $packLen").cast("long").as("seq_off"),
             expr(s"(cum - 1) div $packLen").cast("long").as("seq_last"),
             col("cum"))
-          .orderBy(col("source"), col("cum"), col("doc_id"))
-      },
+          .orderBy(col("source"), col("cum"), col("doc_id")),
       Some(s"""
         WITH toks AS (
           SELECT doc_id, source, $tokenEstimateSql AS n_tokens,
@@ -387,21 +365,54 @@ object Curation extends QueryModule {
     */
   private[graft] val packLen = 512
 
+  /** Per-source running token sum in md5(doc_id) order, as a TWO-LEVEL
+    * distributed scan (the textbook parallel-prefix decomposition): a
+    * single `Window.partitionBy(source)` would serialize each source's
+    * entire row set into one task — the straggler shape this engine
+    * rejects elsewhere. Instead docs bucket by their md5 key's first
+    * 2 hex chars (256 ordered ranges per source), within-bucket prefix
+    * sums run in parallel tasks, and each bucket adds a global offset
+    * from a 256-rows-per-source totals table (broadcast — bounded by
+    * 256 × sources, never corpus-sized). The bucket id is a PREFIX of
+    * the ordering key, so bucket-major order IS md5 order and the
+    * two-level sum equals the single-window sum exactly — every
+    * consumer's DuckDB oracle computes the plain window, pinning that
+    * equality per row. Shared by `curate_shard_plan`,
+    * `curate_pack_sequences`, and `curate_pipeline_e2e`.
+    *
+    * Input: (doc_id, source, n_tokens, …); output adds `cum` (strictly
+    * increasing per source because n_tokens ≥ 1).
+    */
+  private[graft] def sourcePrefixSum(toks: org.apache.spark.sql.DataFrame) = {
+    val keyed = toks
+      .withColumn("k", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", expr("conv(substring(k, 1, 2), 16, 10)").cast("int"))
+    val wIn = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("k"), col("doc_id"))
+    val within = keyed.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    val wBkt = Window.partitionBy(col("source")).orderBy(col("bkt"))
+    val offsets = within.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("off", sum(col("tot")).over(wBkt) - col("tot"))
+      .select(col("source").as("src2"), col("bkt").as("bkt2"), col("off"))
+    within
+      .join(broadcast(offsets),
+        col("source") === col("src2") && col("bkt") === col("bkt2"))
+      .withColumn("cum", (col("off") + col("cum_in")).cast("long"))
+      .drop("k", "bkt", "cum_in", "src2", "bkt2", "off", "tot")
+  }
+
   /** Shard assignment over (doc_id, source, n_tokens): per-source
     * md5-deterministic order, running token sum, ~2000-token shards.
     * Shared by `curate_shard_plan` and `curate_pipeline_e2e` (with
     * [[shardSql]] as its DuckDB twin) so the manifests can't drift.
     */
-  private[graft] def shardPlan(toks: org.apache.spark.sql.DataFrame) = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    toks
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  private[graft] def shardPlan(toks: org.apache.spark.sql.DataFrame) =
+    sourcePrefixSum(toks)
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("cum_tokens"),
-        expr("(cum_tokens - 1) div 2000").cast("long").as("shard_id"))
+        col("cum").as("cum_tokens"),
+        expr("(cum - 1) div 2000").cast("long").as("shard_id"))
       .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
-  }
 
   /** DuckDB twin of [[shardPlan]]; `tokSrc` must yield
     * (doc_id, source, n_tokens).
