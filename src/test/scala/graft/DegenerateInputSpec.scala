@@ -39,12 +39,12 @@ class DegenerateInputSpec extends SparkSpec {
     "text_repetition",
     "curate_stratified_sample", "curate_token_budget", "curate_contamination",
     "curate_domain_mix", "curate_shard_plan", "curate_quality_gate",
-    "curate_pipeline_e2e",
+    "curate_pipeline_e2e", "curate_pack_sequences",
     "mm_binary_meta", "mm_decode_features", "mm_frame_sample", "mm_modality_stats")
 
   private val embQueries = Seq(
     "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",
-    "sim_ann_lsh", "sim_topk_cosine")
+    "sim_ann_lsh", "sim_ann_ivf", "sim_topk_cosine")
 
   for (name <- docQueries ++ embQueries)
     test(s"$name returns an empty result on an empty table, never throws") {
