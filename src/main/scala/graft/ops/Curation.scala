@@ -435,7 +435,7 @@ object Curation extends QueryModule {
     * composed `curate_pipeline_e2e` so the two can never disagree. See
     * the gate query's comment for the cross-engine determinism rules.
     */
-  private def withGateReason(df: org.apache.spark.sql.DataFrame) =
+  private[graft] def withGateReason(df: org.apache.spark.sql.DataFrame) =
     df
       .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))

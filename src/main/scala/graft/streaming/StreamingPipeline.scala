@@ -264,6 +264,25 @@ object StreamingPipeline {
         col("view_id"), col("view_ts"))
   }
 
+  /** Streaming curation: the BATCH quality-gate rule ladder applied to
+    * a document stream. The ladder (`Curation.withGateReason`) is pure
+    * per-row projection, so the exact same code runs in both modes —
+    * one rule definition, two execution modes, identical verdicts
+    * (StreamingSpec pins stream/batch agreement row-for-row). Kept docs
+    * are then exact-deduped on their body hash with
+    * `dropDuplicatesWithinWatermark`, so dedup state is O(watermark
+    * horizon), matching the bounded-state posture of the near-dup and
+    * interval-join paths. Input needs (doc_id, text, source, ts).
+    */
+  def curatedDocs(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    graft.ops.Curation.withGateReason(docs)
+      .filter(col("reason") === "keep")
+      .withColumn("body_md5", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("body_md5")
+      .select(col("doc_id"), col("source"), col("ts"), col("n_tokens"),
+        col("body_md5"))
+
   /** Continuous upsert into a `SnapshotStore` table: each micro-batch
     * merges on `key` (highest `seqCol` wins within a batch), committed
     * as snapshot version = batchId. foreachBatch delivery is

@@ -242,4 +242,50 @@ class StreamingSpec extends SparkSpec {
         s"state must stay O(horizon): $stateFinal vs in-horizon $stateInHorizon")
     } finally q.stop()
   }
+
+  test("streaming curation: batch rule ladder verdicts, bounded dedup") {
+    val good = "the ancient forest canopy shelters countless species while " +
+      "rivers carve deep valleys through granite mountains and glaciers " +
+      "retreat slowly revealing fertile ground beneath"
+    val hour = 3600L * 1000000L
+    val mem = MemoryStream[(Long, String, String, Long)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text", "source", "ts_us")
+      .select($"doc_id", $"text", $"source",
+        timestamp_micros($"ts_us").as("ts"))
+    val q = StreamingPipeline.curatedDocs(docs)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      // base event times a day past epoch 0: Spark's INITIAL watermark
+      // is 0, and an event AT the watermark is already "late"
+      val day = 24L * hour
+      mem.addData(
+        (1L, good, "web", day),
+        (2L, "aaa bbb", "web", day + 1))     // too_short → dropped
+      q.processAllAvailable()
+      // a LATER micro-batch inside the horizon: doc 1's state dedupes it
+      // (within one batch the surviving duplicate is arbitrary, so the
+      // cross-batch guarantee is the one worth pinning)
+      mem.addData((3L, good, "web", day + 2))
+      q.processAllAvailable()
+      mem.addData((4L, good + " extended with several additional tokens",
+        "web", day + 3 * hour))
+      q.processAllAvailable()
+      val kept = spark.table("curated").select($"doc_id").as[Long]
+        .collect().toSet
+      assert(kept.contains(1L), "good doc must pass the gate")
+      assert(!kept.contains(2L), "junk must be dropped by the gate")
+      assert(!kept.contains(3L), "in-horizon duplicate body must collapse")
+
+      // one rule definition, two modes: the BATCH gate on the same rows
+      // returns the same verdicts the stream acted on
+      val batch = graft.ops.Curation.withGateReason(
+        Seq((1L, good), (2L, "aaa bbb"), (3L, good))
+          .toDF("doc_id", "text"))
+        .select($"doc_id", $"reason").as[(Long, String)].collect().toMap
+      assert(batch(1L) === "keep")
+      assert(batch(2L) === "too_short")
+      assert(batch(3L) === "keep") // the STREAM's dedup, not the gate, drops it
+    } finally q.stop()
+  }
 }
