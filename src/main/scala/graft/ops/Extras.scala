@@ -167,6 +167,63 @@ object Extras extends QueryModule {
         LIMIT 20
       """)),
 
+    // ───── corpus-frequency familiarity: a rule-ladder quality signal ─────
+    // The fraction of a document's distinct bigrams that appear in the
+    // corpus-wide top-1000 by document frequency — the cheap stand-in
+    // for LM-perplexity scoring that real pretraining filters use for a
+    // first pass (unusual-bigram-heavy docs are boilerplate/garble
+    // candidates). All-rational math (count ratios, no logs), so the
+    // oracle hash-matches bit-for-bit; the top-1000 boundary tie-breaks
+    // by (doc_freq DESC, shingle ASC) on both engines.
+    //
+    // Scale shape: one shuffle to doc-frequency-count the shingle frame
+    // (already staged once for all consumers), a TakeOrdered top-1000
+    // (per-partition heaps), then a broadcast of those ≤1000 rows into
+    // a per-doc membership count — the probe side never re-shuffles
+    // beyond the doc_id agg. Docs with <2 tokens carry no bigrams and
+    // are absent by definition (both engines derive from the same
+    // shingle set).
+    GraftQuery(
+      "text_bigram_familiarity",
+      (s, d) => {
+        val sh = Dedup.shingles(s, d)
+        val top = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("doc_freq"))
+          .orderBy(col("doc_freq").desc, col("shingle").asc)
+          .limit(1000)
+          .select(col("shingle").as("fam"))
+        sh.join(broadcast(top), col("shingle") === col("fam"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), count(col("fam")).as("n_familiar"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_familiar"),
+            (col("n_familiar").cast("double") / col("n_bigrams"))
+              .as("fam_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH shingles AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, UNNEST(list_transform(
+              generate_series(1, len(string_split(text, ' ')) - 1),
+              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+            )) AS shingle
+            FROM documents)
+          GROUP BY doc_id, shingle),
+        top AS (
+          SELECT shingle AS fam FROM (
+            SELECT shingle, COUNT(*) AS doc_freq
+            FROM shingles GROUP BY shingle
+            ORDER BY doc_freq DESC, shingle ASC
+            LIMIT 1000) t)
+        SELECT s.doc_id,
+               COUNT(*) AS n_bigrams,
+               COUNT(top.fam) AS n_familiar,
+               CAST(COUNT(top.fam) AS DOUBLE) / COUNT(*) AS fam_ratio
+        FROM shingles s LEFT JOIN top ON s.shingle = top.fam
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+      """)),
+
     // ───── frame-based moving aggregate (3-row decimal-exact average) ─────
     GraftQuery(
       "win_moving_avg",
