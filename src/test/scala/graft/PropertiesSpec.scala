@@ -76,4 +76,28 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("two-level prefix scan equals the single-window sum on random data") {
+    // Curation.sourcePrefixSum decomposes the per-source running sum
+    // into 256 bucketed windows + a broadcast offset table; its whole
+    // correctness claim is exact equality with the naive window. Pin it
+    // on random (doc_id, source, n_tokens) frames, including collisions
+    // in source and sparse/degenerate bucket occupancy.
+    val rowGen = Gen.zip(
+      Gen.chooseNum(0L, 5000L),                       // doc_id (dups dropped)
+      Gen.oneOf("a", "b", "c"),                       // source
+      Gen.chooseNum(1L, 97L))                         // n_tokens >= 1
+    forSamples(Gen.nonEmptyListOf(rowGen), n = 6) { rows =>
+      val df = rows.distinctBy(_._1).toDF("doc_id", "source", "n_tokens")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      val naive = df.withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"cum".cast("long")).as[(Long, Long)]
+        .collect().toMap
+      val scanned = ops.Curation.sourcePrefixSum(df)
+        .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+      assert(scanned === naive)
+    }
+  }
 }
