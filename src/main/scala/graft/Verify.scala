@@ -17,7 +17,8 @@ object Verify {
     // the default: verifying with one set would guarantee a false
     // hash-mismatch, so refuse to produce the artifact at all
     Seq("spark.graft.semantic.tau", "spark.graft.tfidf.minDf",
-        "spark.graft.ann.bucketCap", "spark.graft.ann.ivfCells").foreach { k =>
+        "spark.graft.ann.bucketCap", "spark.graft.ann.ivfCells",
+        "spark.graft.ann.nprobe").foreach { k =>
       require(spark.conf.getOption(k).forall(_.trim.isEmpty),
         s"$k is set, but its oracle pins the default — unset it for verification")
     }

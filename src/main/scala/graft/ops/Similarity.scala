@@ -319,7 +319,21 @@ object Similarity extends QueryModule {
           .limit(k)
           .select(col("vec_id").as("sid"), col("embedding").as("semb"),
             col("nrm").as("snrm"))
-        // nearest-seed assignment: broadcast K seeds, argmax cosine
+        // multiprobe width: the query side searches its `nprobe` nearest
+        // cells (corpus side always lives in its primary cell, so the
+        // index is probed, never duplicated). Default 1 = single-probe,
+        // the oracle-pinned plan; raising it trades nprobe× search work
+        // for recall on boundary vectors — the standard IVF knob.
+        val npRaw = s.conf.get("spark.graft.ann.nprobe", "").trim
+        val nprobe =
+          if (npRaw.isEmpty) 1
+          else {
+            val p = npRaw.toIntOption.getOrElse(sys.error(
+              s"spark.graft.ann.nprobe must be a positive int, got '$npRaw'"))
+            require(p >= 1, s"spark.graft.ann.nprobe must be >= 1, got $p")
+            p
+          }
+        // nearest-seed assignment: broadcast K seeds, top-nprobe cosine
         val aw = Window.partitionBy(col("vec_id"))
           .orderBy(col("c").desc, col("sid").asc)
         val assign = e.crossJoin(broadcast(seeds))
@@ -327,14 +341,15 @@ object Similarity extends QueryModule {
             (expr("vec_dot(embedding, semb)") / (col("nrm") * col("snrm")))
               .as("c"))
           .withColumn("rn", row_number().over(aw))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("sid").as("cell"))
-        // exact search within the cell
-        val cells = e.join(assign, "vec_id")
-        val a = cells.select(col("vec_id").as("va"), col("cell"),
-          col("embedding").as("ea"), col("nrm").as("na"))
-        val b = cells.select(col("vec_id").as("vb"), col("cell").as("cell2"),
-          col("embedding").as("eb"), col("nrm").as("nb"))
+          .filter(col("rn") <= nprobe)
+          .select(col("vec_id"), col("sid").as("cell"), col("rn"))
+        // exact search: query probes its cells; corpus sits in its primary
+        val a = e.join(assign.drop("rn"), "vec_id")
+          .select(col("vec_id").as("va"), col("cell"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.join(assign.filter(col("rn") === 1).drop("rn"), "vec_id")
+          .select(col("vec_id").as("vb"), col("cell").as("cell2"),
+            col("embedding").as("eb"), col("nrm").as("nb"))
         val w = Window.partitionBy(col("va"))
           .orderBy(col("cosine").desc, col("vb").asc)
         a.join(b, col("cell") === col("cell2") && col("va") =!= col("vb"))

@@ -139,6 +139,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"recall@1 degraded: $recall")
   }
 
+  test("sim_ann_ivf multiprobe: nprobe=2 recall >= single-probe recall") {
+    val exact = bruteForceNN(sfTiny)
+    def recall(): Double = {
+      val ann = SparkEntry.queries("sim_ann_ivf")(spark, sfTiny)
+        .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
+      exact.count { case (v, nn) => ann.get(v).contains(nn) }.toDouble / exact.size
+    }
+    val single = recall()
+    spark.conf.set("spark.graft.ann.nprobe", "2")
+    try {
+      val multi = recall()
+      // probing a second cell can only ADD candidates for the query side
+      assert(multi >= single,
+        s"nprobe=2 recall $multi must not regress single-probe $single")
+    } finally spark.conf.unset("spark.graft.ann.nprobe")
+  }
+
   /** Exact top-1 neighbor per vector (brute force) for recall baselines. */
   private def bruteForceNN(d: String): Map[Long, Long] = {
     val e = Tables.embeddings(spark, d).select(
