@@ -38,6 +38,15 @@ object TextAnalysis extends QueryModule {
   private[ops] def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
+  /** Content-domain keyword profiles for `text_domain_classifier`
+    * (disjoint lists; tuned to the synthetic corpus lexicon the same
+    * way the `stop` profiles are).
+    */
+  private[ops] val domains = Map(
+    "relational" -> Seq("table", "join", "key", "merge", "sort", "group", "agg"),
+    "streaming"  -> Seq("stream", "batch", "window", "filter"),
+    "vector"     -> Seq("vector", "hash", "column", "scan"))
+
   override def queries: Seq[GraftQuery] = Seq(
 
     // ───── whitespace + regex + BPE-ish token counting ─────
@@ -125,6 +134,51 @@ object TextAnalysis extends QueryModule {
                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
                     WHEN s_fr >= s_zh THEN 'fr'
                     ELSE 'zh' END = lang AS is_match
+        FROM scored ORDER BY doc_id
+      """)),
+
+    // ───── rule-based content-domain tagging (feeds domain mixing) ─────
+    // The content-derived domain signal `curate_domain_mix` would consume
+    // in production (where `source` is unreliable or absent): keyword-hit
+    // counts per domain profile, argmax with a fixed priority order for
+    // ties, 'unknown' when no profile fires. Same scoring semantics and
+    // scale shape as text_lang_id — one narrow codegen'd projection,
+    // zero shuffles beyond the output sort; profiles are plan literals
+    // (at production scale a learned classifier replaces the lists, the
+    // dataflow is unchanged).
+    GraftQuery(
+      "text_domain_classifier",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+        val withScores = domains.foldLeft(scored) { case (df, (dom, words)) =>
+          df.withColumn(s"s_$dom",
+            expr(s"size(filter(toks, t -> t IN ${inList(words)}))").cast("long"))
+        }
+        withScores
+          .withColumn("pred_domain",
+            when(col("s_relational") === 0 && col("s_streaming") === 0 &&
+                 col("s_vector") === 0, "unknown")
+              .when(col("s_relational") >= col("s_streaming") &&
+                    col("s_relational") >= col("s_vector"), "relational")
+              .when(col("s_streaming") >= col("s_vector"), "streaming")
+              .otherwise("vector"))
+          .select(col("doc_id"), col("s_relational"), col("s_streaming"),
+            col("s_vector"), col("pred_domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(domains("relational"))})) AS BIGINT) AS s_relational,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(domains("streaming"))})) AS BIGINT) AS s_streaming,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(domains("vector"))})) AS BIGINT) AS s_vector
+          FROM documents)
+        SELECT doc_id, s_relational, s_streaming, s_vector,
+               CASE WHEN s_relational = 0 AND s_streaming = 0 AND s_vector = 0 THEN 'unknown'
+                    WHEN s_relational >= s_streaming AND s_relational >= s_vector THEN 'relational'
+                    WHEN s_streaming >= s_vector THEN 'streaming'
+                    ELSE 'vector' END AS pred_domain
         FROM scored ORDER BY doc_id
       """)),
 

@@ -36,7 +36,7 @@ class DegenerateInputSpec extends SparkSpec {
     "dedup_levenshtein", "dedup_clusters", "dedup_substring",
     "text_token_stats", "text_lang_id", "text_quality", "text_tfidf",
     "text_fingerprint", "text_ngram_top", "text_pii_scrub", "text_normalize",
-    "text_repetition", "text_bigram_familiarity",
+    "text_repetition", "text_bigram_familiarity", "text_domain_classifier",
     "curate_stratified_sample", "curate_token_budget", "curate_contamination",
     "curate_domain_mix", "curate_shard_plan", "curate_quality_gate",
     "curate_pipeline_e2e", "curate_pack_sequences",
