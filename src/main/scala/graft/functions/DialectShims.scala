@@ -58,11 +58,16 @@ object DialectShims {
           case other => sys.error(s"strftime: unsupported %-code '%$other'")
         }
         i += 2
+      } else if (c.isLetter) {
+        // JDK patterns treat bare letters as pattern letters; quote each
+        // RUN of consecutive letters as one section — per-letter quoting
+        // would emit 'a''b', which the JDK parser reads as an escaped
+        // quote ("a'b"), silently corrupting adjacent literal letters
+        val start = i
+        while (i < fmt.length && fmt.charAt(i).isLetter) i += 1
+        sb.append('\'').append(fmt.substring(start, i)).append('\'')
       } else {
-        // JDK patterns treat bare letters as pattern letters; quote runs
-        // of anything alphabetic, pass punctuation through
-        if (c.isLetter) sb.append('\'').append(c).append('\'')
-        else sb.append(c)
+        sb.append(c)
         i += 1
       }
     }

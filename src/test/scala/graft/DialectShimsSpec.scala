@@ -50,7 +50,12 @@ class DialectShimsSpec extends SparkSpec {
     assert(one("strftime(DATE '1997-03-15', '%Y-%m')") == "1997-03")
     assert(one("strftime(TIMESTAMP '1997-03-15 13:45:09Z', '%Y-%m-%dT%H:%M:%S')") ==
       "1997-03-15T13:45:09")
-    assert(functions.DialectShims.strftimeToJdk("%Y wk%d") == "yyyy 'w''k'dd")
+    // letter runs quote as ONE section; per-letter quoting would render
+    // the JDK escaped-quote "1997 w'k15" (DuckDB renders "1997 wk15")
+    assert(functions.DialectShims.strftimeToJdk("%Y wk%d") == "yyyy 'wk'dd")
+    assert(one("strftime(DATE '1997-03-15', '%Y wk%d')") == "1997 wk15")
+    assert(one("strftime(DATE '1997-03-15', '%Y day %j of yr')") ==
+      "1997 day 074 of yr")
     intercept[RuntimeException](functions.DialectShims.strftimeToJdk("%q"))
   }
 

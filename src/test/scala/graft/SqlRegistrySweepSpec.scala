@@ -56,19 +56,51 @@ class SqlRegistrySweepSpec extends SparkSpec {
     // to group 1 (and errors when the pattern has no groups)
     s = s.replaceAll("(?i)regexp_extract_all\\(([^()]+)\\)",
       "regexp_extract_all($1, 0)")
-    for ((from, to) <- renames)
-      s = s.replaceAll(s"(?i)\\b$from\\b", to)
-    s = s.replace("//", " div ")
-    s = s.replaceAll("(?i)::VARCHAR", "::STRING")
-    s = s.replaceAll("(?i)\\bAS VARCHAR\\b", "AS STRING")
-    s = s.replaceAll("(?i)\\bapprox_quantile\\b", "approx_percentile")
+    // passes whose patterns legitimately SPAN a string literal (the
+    // date_diff unit, the regexp 'g' flag) must see the full text
     s = s.replaceAll("(?i)DATE_DIFF\\('day',", "DATE_DIFF(DAY,")
     // DuckDB regexp_replace needs 'g' for replace-all; Spark always does
     s = s.replaceAll(",\\s*'g'\\)", ")")
-    // IGNORE NULLS inside the call parens → Spark's boolean argument
-    s = s.replaceAll("(?i) IGNORE NULLS\\)", ", true)")
+    // purely textual rewrites run OUTSIDE string literals only: a '://'
+    // inside a URL literal, or a literal containing a function name
+    // ('please encode this'), must come through the bridge untouched
+    s = mapOutsideLiterals(s) { seg =>
+      var t = seg
+      for ((from, to) <- renames)
+        t = t.replaceAll(s"(?i)\\b$from\\b", to)
+      t = t.replace("//", " div ")
+      t = t.replaceAll("(?i)::VARCHAR", "::STRING")
+      t = t.replaceAll("(?i)\\bAS VARCHAR\\b", "AS STRING")
+      t = t.replaceAll("(?i)\\bapprox_quantile\\b", "approx_percentile")
+      // IGNORE NULLS inside the call parens → Spark's boolean argument
+      t.replaceAll("(?i) IGNORE NULLS\\)", ", true)")
+    }
     s = rewriteBrackets(s)
     s
+  }
+
+  /** Apply `f` to the non-literal segments of `s` only (the same quote
+    * toggling as `rewriteBrackets`, so both passes agree on what is a
+    * string literal; SQL's '' escape scans as two adjacent literals,
+    * which segments identically).
+    */
+  private def mapOutsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var segStart = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        if (inStr) out.append(s.substring(segStart, i + 1)) // literal incl. close quote
+        else out.append(f(s.substring(segStart, i))).append('\'')
+        segStart = i + 1
+        inStr = !inStr
+      }
+      i += 1
+    }
+    out.append(
+      if (inStr) s.substring(segStart) else f(s.substring(segStart)))
+    out.toString
   }
 
   private val sqlKeywords: Set[String] = Set(
@@ -248,6 +280,15 @@ class SqlRegistrySweepSpec extends SparkSpec {
     assert(dialectExceptions.size * 10 <= oracleBacked.size,
       s"dialect exceptions (${dialectExceptions.size}) must stay under 10% " +
         s"of oracle-backed queries (${oracleBacked.size})")
+  }
+
+  test("text-level bridge rewrites never touch string literals") {
+    assert(toSparkSql("SELECT encode(x) AS a, 'please encode//this' AS b FROM t")
+      == "SELECT duck_encode(x) AS a, 'please encode//this' AS b FROM t")
+    assert(toSparkSql("SELECT 'http://x' AS u, n // 2 AS h FROM t")
+      == "SELECT 'http://x' AS u, n  div  2 AS h FROM t")
+    assert(toSparkSql("SELECT 'a::VARCHAR unnest' AS s FROM t")
+      == "SELECT 'a::VARCHAR unnest' AS s FROM t")
   }
 
   test("bracket scanner: 1-based index, slice, literal, regex-class safety") {
