@@ -86,6 +86,23 @@ object Layout extends QueryModule {
     base.join(delta.select(col(key)), Seq(key), "left_anti")
       .unionByName(delta)
 
+  /** CDC merge: `upsert` generalized to deltas that carry an op column
+    * (`'u'` upsert / `'d'` delete — the Debezium-style row-op a real CDC
+    * feed replicates from a transactional source like the reference's
+    * Postgres sink, postgres/init.sql:1-17). Base rows whose key appears
+    * in the delta — under EITHER op — are dropped by the same single
+    * anti-join; only the non-delete delta rows come back in, so a
+    * tombstone removes its key and an upsert replaces it, at identical
+    * plan shape and cost to the delete-less `upsert`. The op column does
+    * not survive into the merged output. Delete rows for absent keys
+    * no-op (anti-join matches nothing), which is what makes a replayed
+    * delete batch harmless.
+    */
+  def applyCdc(base: DataFrame, delta: DataFrame, key: String,
+               opCol: String): DataFrame =
+    base.join(delta.select(col(key)), Seq(key), "left_anti")
+      .unionByName(delta.filter(col(opCol) =!= lit("d")).drop(opCol))
+
   /** Materialize a shard manifest as a physical layout: one parquet
     * file per (source, shard_id) leaf dir. Repartitioning on exactly
     * the partition keys sends each shard's rows to one task, so each
@@ -254,6 +271,65 @@ object Layout extends QueryModule {
         FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
         UNION ALL
         SELECT * FROM delta
+        ORDER BY o_orderkey
+      """)),
+
+    // ───── CDC merge with tombstones: updates win, deletes remove ─────
+    // Same deterministic delta recipe as sink_upsert_merge, plus every
+    // 151st key arrives as a DELETE op. Update keys exclude the delete
+    // keys so each key's fate is a function of the key alone (both
+    // engines must agree without order-of-application semantics). The
+    // merged snapshot round-trips through parquet; deleted keys must be
+    // absent in the read-back.
+    GraftQuery(
+      "sink_upsert_delete",
+      (s, d) => {
+        val tmp  = Sources.scratch(d, "cdc_merge_")
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"))
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0 &&
+            pmod(col("o_orderkey"), lit(151)) =!= 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+          .withColumn("_op", lit("u"))
+        val deletes = base
+          .filter(pmod(col("o_orderkey"), lit(151)) === 0)
+          .withColumn("_op", lit("d"))
+        val inserts = base
+          .filter(pmod(col("o_orderkey"), lit(193)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("_op", lit("u"))
+        applyCdc(base, updates.unionByName(deletes).unionByName(inserts),
+            "o_orderkey", "_op")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderpriority
+          FROM orders),
+        upd AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 o_totalprice + 100000.0 AS o_totalprice, o_orderpriority
+          FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey % 151 <> 0),
+        del AS (
+          SELECT o_orderkey FROM base WHERE o_orderkey % 151 = 0),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                 'N' AS o_orderstatus, o_totalprice, o_orderpriority
+          FROM base WHERE o_orderkey % 193 = 0),
+        touched AS (
+          SELECT o_orderkey FROM upd UNION ALL SELECT o_orderkey FROM del
+          UNION ALL SELECT o_orderkey FROM ins)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
         ORDER BY o_orderkey
       """))
   )

@@ -139,6 +139,15 @@ object SnapshotStore {
     * replays pick the SAME winner (deterministic snapshot contents);
     * pass a delta already unique on `key` to skip that pass.
     *
+    * With `opCol` set, the delta is a CDC feed: rows with op `'d'` are
+    * tombstones that REMOVE their key from the snapshot, anything else
+    * upserts (`Layout.applyCdc`). The per-key seq winner decides the
+    * key's fate, so an update and a later delete in one batch deletes,
+    * and vice versa. Tombstones cost the same as upserts — the key's
+    * bucket merges and rewrites; nothing else moves — and the op column
+    * never reaches disk. Deleting a key absent from the snapshot no-ops,
+    * so replayed or duplicated delete batches are harmless.
+    *
     * Only the key-hash buckets the delta touches are read back, merged,
     * and rewritten; every other bucket's files are untouched on disk and
     * carried forward by manifest reference. The one driver-side action
@@ -161,7 +170,7 @@ object SnapshotStore {
     */
   def upsertVersion(spark: SparkSession, delta: DataFrame, key: String,
                     seqCol: Option[String], dir: String, version: Long,
-                    retain: Int = 2): Unit = {
+                    retain: Int = 2, opCol: Option[String] = None): Unit = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val f = fs(spark, dir)
     val latest = latestVersion(spark, dir)
@@ -198,9 +207,14 @@ object SnapshotStore {
         }.toSeq
         if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
       }
-      val merged = baseTouched match {
-        case Some(base) => Layout.upsert(base, tagged.drop("_bucket"), key)
-        case None       => tagged.drop("_bucket")
+      val deltaData = tagged.drop("_bucket")
+      val merged = (baseTouched, opCol) match {
+        case (Some(base), Some(op)) => Layout.applyCdc(base, deltaData, key, op)
+        case (Some(base), None)     => Layout.upsert(base, deltaData, key)
+        // first commit / all-new buckets: tombstones for never-seen keys
+        // are no-ops, so a CDC delta just drops its delete rows
+        case (None, Some(op)) => deltaData.filter(col(op) =!= lit("d")).drop(op)
+        case (None, None)     => deltaData
       }
       // One task per touched bucket: each rewritten bucket lands as a
       // single file of size ~table/numBuckets (size the bucket count so
@@ -209,6 +223,20 @@ object SnapshotStore {
         .repartition(touched.size max 1, col("_bucket"))
         .write.partitionBy("_bucket")
         .mode("overwrite").parquet(versionDir(dir, version))
+      // A bucket whose merge DELETED every row writes no partition dir
+      // (partitionBy skips empty groups). The manifest must still own it
+      // at this version — pointing at the old dir would resurrect the
+      // deleted rows — so land a zero-row, schema-bearing parquet dir
+      // for each (Catalyst folds limit(0) to an empty relation; the
+      // write is a footer-only file). Listing the written dirs is
+      // filesystem metadata, no recompute.
+      val written = f.listStatus(new Path(versionDir(dir, version)))
+        .map(_.getPath.getName).filter(_.startsWith("_bucket="))
+        .map(_.stripPrefix("_bucket=").toInt).toSet
+      (touched -- written).foreach { b =>
+        merged.limit(0).write.mode("overwrite")
+          .parquet(s"${versionDir(dir, version)}/${bucketDirName(b)}")
+      }
       writeManifest(f, dir, version, Manifest(numBuckets,
         head.map(_.buckets).getOrElse(Map.empty) ++
           touched.map(_ -> version)))

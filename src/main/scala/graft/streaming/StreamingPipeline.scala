@@ -289,7 +289,11 @@ object StreamingPipeline {
     * at-least-once; the store's version markers make replays no-ops, so
     * the SNAPSHOT is exactly-once — the streaming sibling of
     * `sink_upsert_merge`, and the pattern that turns a CDC stream into
-    * a queryable lake table.
+    * a queryable lake table. With `opCol` set the stream is a full CDC
+    * feed: rows with op `'d'` are tombstones that delete their key from
+    * the snapshot (streaming sibling of `sink_upsert_delete`) — replays
+    * of a delete-carrying batch stay no-ops via the version marker, so
+    * exactly-once holds for removals too.
     */
   def runIncrementalUpsert(
       spark: SparkSession,
@@ -297,13 +301,15 @@ object StreamingPipeline {
       key: String,
       seqCol: Option[String],
       snapshotDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      opCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.pipeline.SnapshotStore.upsertVersion(
-          batch.sparkSession, batch, key, seqCol, snapshotDir, batchId)
+          batch.sparkSession, batch, key, seqCol, snapshotDir, batchId,
+          opCol = opCol)
       }
       .start()
 

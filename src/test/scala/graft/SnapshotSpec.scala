@@ -247,6 +247,115 @@ class SnapshotSpec extends SparkSpec {
     assert(snapshot(snap) == model)
   }
 
+  test("CDC tombstones delete keys from the snapshot, exactly once") {
+    val snap = scratchDir("snap_del") + "/tbl"
+    def up(rows: Seq[(Long, Long, String, String)], v: Long): Unit =
+      SnapshotStore.upsertVersion(spark,
+        rows.toDF("k", "seq", "v", "op"), "k", Some("seq"), snap, v,
+        opCol = Some("op"))
+
+    up(Seq((1L, 1L, "a", "u"), (2L, 1L, "b", "u"), (3L, 1L, "c", "u")), 0L)
+    // one batch mixing a delete (key 2) with an update (key 3)
+    up(Seq((2L, 2L, "", "d"), (3L, 2L, "c2", "u")), 1L)
+    assert(snapshot(snap) == Map(1L -> (1L, "a"), 3L -> (2L, "c2")))
+
+    // at-least-once replay of the delete batch: marker no-ops it
+    up(Seq((2L, 2L, "", "d"), (3L, 2L, "c2", "u")), 1L)
+    assert(snapshot(snap) == Map(1L -> (1L, "a"), 3L -> (2L, "c2")))
+
+    // delete then reinsert in a later batch: the key comes back
+    up(Seq((2L, 3L, "back", "u")), 2L)
+    assert(snapshot(snap)(2L) == (3L, "back"))
+
+    // within one batch the seq winner decides the key's fate:
+    // upsert then higher-seq delete => deleted ...
+    up(Seq((4L, 1L, "x", "u"), (4L, 2L, "", "d")), 3L)
+    assert(!snapshot(snap).contains(4L))
+    // ... delete then higher-seq upsert => alive
+    up(Seq((5L, 1L, "", "d"), (5L, 2L, "y", "u")), 4L)
+    assert(snapshot(snap)(5L) == (2L, "y"))
+
+    // tombstone for a never-seen key no-ops (replay-safe deletes)
+    up(Seq((99L, 1L, "", "d")), 5L)
+    assert(!snapshot(snap).contains(99L))
+  }
+
+  test("a delete-only delta rewrites only its bucket; an emptied bucket reads as zero rows") {
+    val snap = scratchDir("snap_del_bytes") + "/tbl"
+    spark.conf.set("spark.graft.snapshot.buckets", "4")
+    try {
+      SnapshotStore.upsertVersion(spark,
+        (0L until 20L).map(k => (k, 0L, s"a$k", "u")).toDF("k", "seq", "v", "op"),
+        "k", Some("seq"), snap, 0L, opCol = Some("op"))
+      val bucketOf = (0L until 20L).toDF("k")
+        .select(col("k"), pmod(hash(col("k")), lit(4)).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val b0 = bucketOf(0L)
+      val untouched = (0 until 4).find(_ != b0).get
+      val untouchedDir =
+        s"${SnapshotStore.versionDir(snap, 0L)}/_bucket=$untouched"
+      val before = fileDigests(untouchedDir)
+      assert(before.nonEmpty)
+
+      // delete EVERY key living in bucket b0: the bucket is emptied, so
+      // the version must land a zero-row schema-bearing dir for it — a
+      // manifest still pointing at v0 would resurrect the deleted rows
+      val doomed = (0L until 20L).filter(k => bucketOf(k) == b0)
+      assert(doomed.size > 1, "test premise: several keys share bucket 0")
+      SnapshotStore.upsertVersion(spark,
+        doomed.map(k => (k, 1L, "", "d")).toDF("k", "seq", "v", "op"),
+        "k", Some("seq"), snap, 1L, opCol = Some("op"))
+
+      // untouched buckets still serve v0's files byte for byte
+      assert(fileDigests(untouchedDir) == before)
+      val m1 = SnapshotStore.manifest(spark, snap).get
+      assert(m1.buckets(b0) == 1L)
+      assert(m1.buckets(untouched) == 0L)
+      // the snapshot READS (the emptied bucket contributes zero rows)
+      val got = snapshot(snap)
+      assert(got.size == 20 - doomed.size)
+      assert(doomed.forall(k => !got.contains(k)))
+    } finally spark.conf.unset("spark.graft.snapshot.buckets")
+  }
+
+  test("streaming CDC upsert with deletes is exactly-once end-to-end") {
+    val landing = scratchDir("cdc_landing")
+    val snap    = scratchDir("cdc_store") + "/tbl"
+    val ckpt    = scratchDir("cdc_ckpt") + "/cp"
+    val cdcSchema = StructType(csvSchema.fields :+ StructField("op", StringType))
+    def writeCdc(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(landing, name),
+        ("k,seq,v,op" +: rows).mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = StreamingPipeline.runIncrementalUpsert(
+      spark,
+      spark.readStream.option("header", "true").schema(cdcSchema)
+        .csv(s"$landing/*.csv"),
+      key = "k", seqCol = Some("seq"), snap, ckpt,
+      opCol = Some("op")).awaitTermination()
+
+    writeCdc("b1.csv", Seq("1,1,a,u", "2,1,b,u", "3,1,c,u"))
+    run()
+    assert(snapshot(snap) ==
+      Map(1L -> (1L, "a"), 2L -> (1L, "b"), 3L -> (1L, "c")))
+
+    // batch 1: delete key 2, update key 3, insert key 4
+    writeCdc("b2.csv", Seq("2,2,,d", "3,2,c2,u", "4,1,d4,u"))
+    run()
+    assert(snapshot(snap) ==
+      Map(1L -> (1L, "a"), 3L -> (2L, "c2"), 4L -> (1L, "d4")))
+
+    // at-least-once replay of the committed delete batch: marker no-ops
+    // it even if the replayed contents try to resurrect the key
+    SnapshotStore.upsertVersion(spark,
+      Seq((2L, 9L, "ZOMBIE", "u")).toDF("k", "seq", "v", "op"),
+      "k", Some("seq"), snap, version = 1L, opCol = Some("op"))
+    assert(!snapshot(snap).contains(2L))
+
+    // restart with no new files: checkpoint replays nothing
+    run()
+    assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     val dim = Seq((10L, "alice"), (11L, "bob")).toDF("id", "name")
     val mem = MemoryStream[(Long, Long, Double)](spark)
