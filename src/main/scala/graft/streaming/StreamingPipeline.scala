@@ -36,7 +36,9 @@ final case class BandLink(doc_id: Long, canon_doc: Long)
   * memory is O(open windows × keys), not O(stream length). The dedup
   * state holds only event_ids inside the watermark horizon.
   */
-object StreamingPipeline {
+// Serializable: `canonLinks` is shared by both near-dup state functions,
+// so their closures capture this object and ship it to executors
+object StreamingPipeline extends Serializable {
 
   /** S1, streaming: schema'd CSV directory stream (same raw schema and
     * P1 cast projection as the batch path — one definition, two modes).
@@ -69,12 +71,20 @@ object StreamingPipeline {
     * (session membership depends on the previous event's time, not a
     * fixed grid). State per key is one `SessionState` (bounded); a
     * closed session is emitted as soon as a later event opens the next
-    * one. A production deployment would add a GroupStateTimeout to also
-    * flush sessions idle past the gap with no successor event.
+    * one, and a session whose user goes IDLE is flushed by an
+    * event-time timeout once the watermark passes `last event + gap` —
+    * without that arm the last session of every user is withheld
+    * forever and state is O(distinct users ever), the
+    * unbounded-population hole the other stateful paths
+    * (`nearDupLinksBounded`, the windowed aggs) already close. State
+    * is therefore O(users active inside gap + watermark), and the
+    * stream agrees with the batch `win_sessionize` split on every
+    * CLOSED session (StreamingSpec pins the parity).
     */
   def sessionized(
       typed: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-      gapMinutes: Long = 30): org.apache.spark.sql.Dataset[SessionSummary] = {
+      gapMinutes: Long = 30,
+      watermark: String = "1 hour"): org.apache.spark.sql.Dataset[SessionSummary] = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val stateEnc   = Encoders.product[SessionState]
@@ -83,32 +93,50 @@ object StreamingPipeline {
 
     def update(userId: Long, rows: Iterator[Row],
         state: GroupState[SessionState]): Iterator[SessionSummary] = {
-      var closed = List.empty[SessionSummary]
-      var cur = state.getOption
-      rows.toSeq.sortBy(r => r.getAs[Long]("ts_us")).foreach { r =>
-        val ts = r.getAs[Long]("ts_us")
-        cur match {
-          case Some(s) if ts - s.lastUs <= gapUs =>
-            // max(): a late within-gap event from an earlier micro-batch
-            // must not move the session's end backwards
-            cur = Some(s.copy(lastUs = math.max(s.lastUs, ts), n = s.n + 1))
-          case Some(s) =>
-            closed ::= SessionSummary(userId, s.startUs, s.lastUs, s.n)
-            cur = Some(SessionState(ts, ts, 1))
-          case None =>
-            cur = Some(SessionState(ts, ts, 1))
+      if (state.hasTimedOut) {
+        // watermark passed lastUs + gap with no successor event: the
+        // open session can never be extended — flush it, drop the state
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionSummary(userId, s.startUs, s.lastUs, s.n))
+      } else {
+        var closed = List.empty[SessionSummary]
+        var cur = state.getOption
+        rows.toSeq.sortBy(r => r.getAs[Long]("ts_us")).foreach { r =>
+          val ts = r.getAs[Long]("ts_us")
+          cur match {
+            case Some(s) if ts - s.lastUs <= gapUs =>
+              // max(): a late within-gap event from an earlier micro-batch
+              // must not move the session's end backwards
+              cur = Some(s.copy(lastUs = math.max(s.lastUs, ts), n = s.n + 1))
+            case Some(s) =>
+              closed ::= SessionSummary(userId, s.startUs, s.lastUs, s.n)
+              cur = Some(SessionState(ts, ts, 1))
+            case None =>
+              cur = Some(SessionState(ts, ts, 1))
+          }
         }
+        cur.foreach { s =>
+          state.update(s)
+          // timeout must sit strictly above the current watermark or
+          // Spark rejects it (a fully-late event's gap already passed)
+          state.setTimeoutTimestamp(math.max(
+            s.lastUs / 1000L + gapUs / 1000L,
+            state.getCurrentWatermarkMs() + 1))
+        }
+        closed.reverse.iterator
       }
-      cur.foreach(state.update)
-      closed.reverse.iterator
     }
 
-    // accept the pipeline's typed schema (ts timestamp) directly
+    // accept the pipeline's typed schema (ts timestamp) directly; keep
+    // `ts` ITSELF alongside the µs projection — EventTimeTimeout needs
+    // the event-time tag on its input, and unix_micros strips it
     typed
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, SessionSummary](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
   /** Streaming NEAR-dup detection (the streaming sibling of
@@ -134,6 +162,25 @@ object StreamingPipeline {
     * deployment is `nearDupLinksBounded`, whose state is
     * O(band signatures inside the watermark horizon).
     */
+  /** The one canon/retro-link state transition both near-dup variants
+    * share (bounded and unbounded MUST not drift — the retro-link
+    * subtlety lives here exactly once): fold the batch's ids into the
+    * stored band canon, link every id to the post-batch canon, and when
+    * a later arrival DEMOTES the stored canon (ids need not arrive
+    * ascending) also emit a retro link (oldCanon -> newCanon) so the
+    * earlier doc's link set reflects the new canonical; without it BOTH
+    * docs would look canonical and the pair would be silently missed.
+    */
+  private def canonLinks(ids: Array[Long],
+      state: org.apache.spark.sql.streaming.GroupState[BandCanon])
+      : Iterator[BandLink] = {
+    val prev = state.getOption.map(_.canonDoc)
+    val canon = (prev ++ ids).min
+    state.update(BandCanon(canon))
+    val retro = prev.filter(_ > canon).map(p => BandLink(p, canon))
+    ids.iterator.map(id => BandLink(id, canon)) ++ retro.iterator
+  }
+
   def nearDupLinks(docs: DataFrame): org.apache.spark.sql.Dataset[BandLink] = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -141,19 +188,8 @@ object StreamingPipeline {
     implicit val outEnc   = Encoders.product[BandLink]
 
     def update(key: String, rows: Iterator[Row],
-        state: GroupState[BandCanon]): Iterator[BandLink] = {
-      val ids = rows.map(_.getAs[Long]("doc_id")).toArray
-      val prev = state.getOption.map(_.canonDoc)
-      val canon = (prev ++ ids).min
-      state.update(BandCanon(canon))
-      // ids are NOT guaranteed to arrive ascending: when a later batch
-      // brings a lower id, the stored canon is demoted — emit a retro
-      // link (oldCanon -> newCanon) so the earlier doc's link set
-      // reflects the new canonical; without it BOTH docs would look
-      // canonical and the pair would be silently missed
-      val retro = prev.filter(_ > canon).map(p => BandLink(p, canon))
-      ids.iterator.map(id => BandLink(id, canon)) ++ retro.iterator
-    }
+        state: GroupState[BandCanon]): Iterator[BandLink] =
+      canonLinks(rows.map(_.getAs[Long]("doc_id")).toArray, state)
 
     graft.ops.Dedup.bandSignatures(docs)
       .select(col("doc_id"),
@@ -189,17 +225,13 @@ object StreamingPipeline {
         Iterator.empty
       } else {
         val rs = rows.toArray
-        val ids = rs.map(_.getAs[Long]("doc_id"))
-        val prev = state.getOption.map(_.canonDoc)
-        val canon = (prev ++ ids).min
-        state.update(BandCanon(canon))
+        val links = canonLinks(rs.map(_.getAs[Long]("doc_id")), state)
         // timeout must sit strictly above the current watermark or Spark
         // rejects it (a fully-late band key's horizon already passed)
         val maxTsMs = rs.map(_.getAs[java.sql.Timestamp]("ts").getTime).max
         state.setTimeoutTimestamp(
           math.max(maxTsMs + horizonMs, state.getCurrentWatermarkMs() + 1))
-        val retro = prev.filter(_ > canon).map(p => BandLink(p, canon))
-        ids.iterator.map(id => BandLink(id, canon)) ++ retro.iterator
+        links
       }
     }
 

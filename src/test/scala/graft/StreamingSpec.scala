@@ -71,19 +71,113 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       val min = 60L * 1000000L
+      val t0  = 86400L * 1000000L // clear of the epoch-0 initial watermark
       // user 1: three events in one session, then a 45-min gap opens a new
       // session — the first session closes and is emitted
       mem.addData(
-        (1L, 0L, 1L, "click", 1.0),
-        (2L, 5 * min, 1L, "view", 1.0),
-        (3L, 10 * min, 1L, "click", 1.0))
+        (1L, t0, 1L, "click", 1.0),
+        (2L, t0 + 5 * min, 1L, "view", 1.0),
+        (3L, t0 + 10 * min, 1L, "click", 1.0))
       q.processAllAvailable()
-      mem.addData((4L, 55 * min, 1L, "view", 1.0))
+      mem.addData((4L, t0 + 55 * min, 1L, "view", 1.0))
       q.processAllAvailable()
       val rows = spark.table("sessions")
         .select($"user_id", $"start_us", $"end_us", $"n_events")
         .as[(Long, Long, Long, Long)].collect()
-      assert(rows.toSet === Set((1L, 0L, 10 * min, 3L)))
+      assert(rows.toSet === Set((1L, t0, t0 + 10 * min, 3L)))
+    } finally q.stop()
+  }
+
+  test("an idle user's trailing session is flushed by the event-time timeout") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val typed = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val q = StreamingPipeline.sessionized(typed)
+      .writeStream.format("memory").queryName("idle_sessions")
+      .outputMode("append").start()
+    try {
+      val min = 60L * 1000000L
+      val t0  = 86400L * 1000000L // clear of the epoch-0 initial watermark
+      // user 1 goes idle after two events; no successor event EVER
+      mem.addData((1L, t0, 1L, "click", 1.0), (2L, t0 + 5 * min, 1L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").isEmpty,
+        "session still open inside gap+watermark: nothing to emit yet")
+      // another USER's traffic advances the watermark (3h - 1h wm = 2h)
+      // past user 1's lastUs + 30min gap => the timeout arm must emit
+      // user 1's session and evict the state, even though user 1 never
+      // sends another event
+      mem.addData((3L, t0 + 180 * min, 2L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((4L, t0 + 181 * min, 2L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("idle_sessions")
+        .select($"user_id", $"start_us", $"end_us", $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, t0, t0 + 5 * min, 2L)))
+      // the flush is once-only: more foreign traffic must not re-emit
+      mem.addData((5L, t0 + 182 * min, 2L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").count() === 1)
+    } finally q.stop()
+  }
+
+  test("streaming sessions agree with the batch win_sessionize split") {
+    // deterministic multi-user event set with within-gap and over-gap
+    // steps; a far-future sentinel user advances the watermark so every
+    // real session flushes, then the streamed sessions must equal the
+    // sessions derived from the batch win_sessionize recipe (lag + gap
+    // flag + running sum) over the same rows
+    val mu = 60L * 1000000L
+    val t0 = 86400L * 1000000L // clear of the epoch-0 initial watermark
+    val events = Seq(
+      (1L, 0L), (1L, 10 * mu), (1L, 20 * mu),     // u1 session A
+      (1L, 60 * mu), (1L, 65 * mu),               // u1 session B (40min gap)
+      (2L, 5 * mu), (2L, 50 * mu), (2L, 70 * mu), // u2: A | B (45min gap, 20min ok)
+      (3L, 15 * mu)                               // u3 single-event session
+    ).zipWithIndex.map { case ((u, ts), i) => (i.toLong + 1, t0 + ts, u) }
+    val sentinel = (99L, t0 + 2000 * mu, 999L)
+
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    val typed = mem.toDF().toDF("event_id", "ts_us", "user_id")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id")
+    val q = StreamingPipeline.sessionized(typed)
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode("append").start()
+    try {
+      events.grouped(3).foreach { batch =>
+        mem.addData(batch.map(e => (e._1, e._2, e._3)): _*)
+        q.processAllAvailable()
+      }
+      mem.addData(sentinel); q.processAllAvailable()
+      mem.addData((100L, t0 + 2001 * mu, 999L)); q.processAllAvailable()
+      val streamed = spark.table("parity_sessions")
+        .filter($"user_id" =!= 999L)
+        .select($"user_id", $"start_us", $"end_us", $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+      // batch sibling: the exact win_sessionize recipe, aggregated to
+      // (user, session) summaries
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy($"user_id")
+        .orderBy($"ts_us".asc, $"event_id".asc)
+      val gapUs = 30L * 60 * 1000000
+      val batchSessions = events.toDF("event_id", "ts_us", "user_id")
+        .withColumn("prev_ts", lag($"ts_us", 1).over(wOrd))
+        .withColumn("new_session",
+          when($"prev_ts".isNull || $"ts_us" - $"prev_ts" > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum($"new_session").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_seq")
+        .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+          count(lit(1)).as("n_events"))
+        .select($"user_id", $"start_us", $"end_us", $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+      assert(streamed === batchSessions)
     } finally q.stop()
   }
 
@@ -116,7 +210,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("clickview")
       .outputMode("append").start()
     try {
-      val min = 60L * 1000000L
+      val mu = 60L * 1000000L
       // base is one day past the epoch: rows AT epoch 0 would sit at
       // Spark's initial watermark and be dropped as late on entry to
       // the join state
@@ -126,9 +220,9 @@ class StreamingSpec extends SparkSpec {
       // state must hold it until the click side catches up
       q.processAllAvailable()
       clicks.addData(
-        (200L, t0 + 10 * min, 1L),  // 10 min after view 100 → match
-        (201L, t0 + 50 * min, 1L),  // 50 min after → outside the 30-min gap
-        (202L, t0 + 5 * min, 3L))   // user with no view → no match
+        (200L, t0 + 10 * mu, 1L),  // 10 min after view 100 → match
+        (201L, t0 + 50 * mu, 1L),  // 50 min after → outside the 30-min gap
+        (202L, t0 + 5 * mu, 3L))   // user with no view → no match
       q.processAllAvailable()
       val rows = spark.table("clickview")
         .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
