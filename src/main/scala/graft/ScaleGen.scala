@@ -34,15 +34,24 @@ import org.apache.spark.sql.functions._
   *    `sink_clustered_write`, `sink_upsert_merge`) measures against
   *    genuinely 10× relational volume, not 10×-hot keys.
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> [factor=10]
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> [factor=10] [skew]
   * (Pair with Bench's SPARK_GRAFT_BENCH_ONLY to run a family.)
+  *
+  * The optional `skew` flag deliberately BREAKS the balanced-cell
+  * embedding contract instead of preserving it: 70% of the replicated
+  * vectors are rewritten into one dominant cluster (unit direction 0
+  * plus small deterministic sinusoidal jitter), so a single IVF cell
+  * absorbs most of the corpus — the adversarial distribution for
+  * measuring that the `ivfCellCap` knob bounds candidate volume when
+  * clustering assumptions fail (SCALE.md's skew row).
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    val (src, out, factor) = args.toSeq match {
-      case Seq(s, o)    => (s, o, 10)
-      case Seq(s, o, f) => (s, o, f.toInt)
-      case _ => sys.error("usage: ScaleGen <srcSfDir> <outDir> [factor]")
+    val (src, out, factor, skew) = args.toSeq match {
+      case Seq(s, o)            => (s, o, 10, false)
+      case Seq(s, o, f)         => (s, o, f.toInt, false)
+      case Seq(s, o, f, "skew") => (s, o, f.toInt, true)
+      case _ => sys.error("usage: ScaleGen <srcSfDir> <outDir> [factor] [skew]")
     }
     val spark = GraftSession.get()
     val reps = spark.range(0, factor).select(col("id").cast("int").as("k"))
@@ -59,7 +68,7 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    Tables.embeddings(spark, src)
+    val scaledEmb = Tables.embeddings(spark, src)
       .crossJoin(broadcast(reps))
       .select(
         (col("vec_id") * factor + col("k")).as("vec_id"),
@@ -68,6 +77,20 @@ object ScaleGen {
             cast(x + sin(cast(vec_id * 131 + k * 17 + i AS DOUBLE)) * 0.05d AS FLOAT))"""))
           .as("embedding"),
         (col("label") + col("k") * 10000).as("label"))
+    val outEmb =
+      if (!skew) scaledEmb
+      else scaledEmb.select(
+        col("vec_id"),
+        // 70% of vectors collapse into ONE dominant cluster: unit
+        // direction 0 + jitter an order of magnitude below the spike,
+        // so their nearest seed is shared and one IVF cell goes hot
+        when(col("vec_id") % 10 < 7,
+          expr("""transform(embedding, (x, i) ->
+            cast((CASE WHEN i = 0 THEN 1.0d ELSE 0.0d END)
+              + sin(cast(vec_id * 131 + i AS DOUBLE)) * 0.02d AS FLOAT))"""))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+    outEmb
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

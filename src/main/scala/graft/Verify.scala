@@ -18,7 +18,8 @@ object Verify {
     // hash-mismatch, so refuse to produce the artifact at all
     Seq("spark.graft.semantic.tau", "spark.graft.tfidf.minDf",
         "spark.graft.ann.bucketCap", "spark.graft.ann.ivfCells",
-        "spark.graft.ann.nprobe").foreach { k =>
+        "spark.graft.ann.nprobe", "spark.graft.ann.ivfCellCap",
+        "spark.graft.ann.ivfKmeansIters").foreach { k =>
       require(spark.conf.getOption(k).forall(_.trim.isEmpty),
         s"$k is set, but its oracle pins the default — unset it for verification")
     }

@@ -93,6 +93,64 @@ object Similarity extends QueryModule {
           THEN '1' ELSE '0' END"""
     }.mkString("concat(", ", ", ")")
 
+  /** Lloyd's k-means (spherical variant: cosine assignment, centroids
+    * re-normalized — the production coarse quantizer for an IVF index,
+    * per Jégou et al. 2011) over `(vec_id, embedding, nrm)`. Init is the
+    * SAME md5-ordered seed set as the seed quantizer, so the learned
+    * codebook is a strict refinement of the oracle-pinned path; each
+    * round is
+    *   assign:   broadcast K centroids, narrow argmax-cosine map —
+    *             no shuffle, same shape as the query-time assignment;
+    *   recenter: posexplode to (cell, dim) partial sums — ONE shuffle of
+    *             n×dim skinny rows with map-side combine — then rebuild
+    *             the K arrays and re-normalize (the mean's direction is
+    *             the sum's direction, so summing suffices).
+    * Cells that lose every member keep their previous centroid (left
+    * join fallback) so K never shrinks. Plans are truncated per round
+    * (`stageIterative`) exactly like the CC loop. Double-sum partials
+    * make results run-stable only up to float association — this path
+    * is validated by measured recall against brute force
+    * (SimilaritySpec), not by the value-level DuckDB twin, which pins
+    * the seed quantizer.
+    */
+  private[graft] def kmeansCentroids(e: DataFrame, k: Int,
+                                     iters: Int): DataFrame = {
+    var cents = e
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id").as("sid"), col("embedding").as("semb"),
+        col("nrm").as("snrm"))
+    for (_ <- 0 until iters) {
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c").desc, col("sid").asc)
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("sid"),
+          (expr("vec_dot(embedding, semb)") / (col("nrm") * col("snrm")))
+            .as("c"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sid").as("cell"))
+      val recentered = e.join(assign, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("double")).as("sx"))
+        .groupBy(col("cell"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, sx))), s -> cast(s.sx AS FLOAT))")
+          .as("semb"))
+        .select(col("cell").as("sid"), col("semb"),
+          expr("sqrt(vec_dot(semb, semb))").as("snrm"))
+      cents = Materialize.stageIterative(
+        cents.select(col("sid"), col("semb").as("semb0"),
+            col("snrm").as("snrm0"))
+          .join(recentered, Seq("sid"), "left")
+          .select(col("sid"),
+            coalesce(col("semb"), col("semb0")).as("semb"),
+            coalesce(col("snrm"), col("snrm0")).as("snrm")))
+    }
+    cents
+  }
+
   /** Shared DuckDB CTE: embeddings with norms (dialect twin of `normed`). */
   private val normedSql = """
     e AS (
@@ -293,8 +351,17 @@ object Similarity extends QueryModule {
     // broadcast, so it whole-stage-codegens into the scan); the only
     // shuffle is the per-cell self-join on `cell`, whose pair blowup is
     // bounded by the largest cell (Σ cell² ≈ n²/K for balanced cells —
-    // pick K ∝ n / targetCellSize; skewed cells would get the same
-    // salting/cap treatment as the LSH buckets). Single-probe: a vector
+    // pick K ∝ n / targetCellSize). Real embedding distributions are
+    // CLUSTERED, so one hot cell can reintroduce the Σ cell² blowup the
+    // LSH path caps away — the corpus side of the cell join is therefore
+    // capped to the `ivfCellCap` lowest vec_ids per cell (row_number ≤
+    // cap => WindowGroupLimit per-partition heaps, no full sort), making
+    // candidate volume ≤ nprobe × n × cap: LINEAR in n no matter how
+    // skewed the cells. The QUERY side stays uncapped — every vector
+    // still probes and gets an answer whenever any capped member shares
+    // its cell. Oracle-twinned rank rule, so the hash gate holds where
+    // the cap binds; the default sits well above a balanced cell at test
+    // SF (binding only on pathological skew). Single-probe: a vector
     // whose true NN lands in a neighboring cell is missed — the standard
     // IVF recall/nprobe tradeoff; SimilaritySpec pins measured recall
     // vs the brute-force baseline.
@@ -313,12 +380,29 @@ object Similarity extends QueryModule {
         val e = Materialize.stageEager(
           normed(s, d).repartition(s.sparkContext.defaultParallelism,
             col("vec_id")))
-        // K deterministic seed "centroids": lowest md5(vec_id) order
-        val seeds = e
-          .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-          .limit(k)
-          .select(col("vec_id").as("sid"), col("embedding").as("semb"),
-            col("nrm").as("snrm"))
+        // coarse quantizer: K md5-ordered seed vectors by default (the
+        // oracle-pinned path); `spark.graft.ann.ivfKmeansIters` > 0
+        // swaps in a Lloyd's-k-means codebook learned from those same
+        // seeds — every plan shape downstream is unchanged, exactly the
+        // "swap the seeds frame" seam the scaladoc promises. Recall
+        // strictly improves at equal nprobe (SimilaritySpec measures).
+        val kmRaw = s.conf.get("spark.graft.ann.ivfKmeansIters", "").trim
+        val kmIters =
+          if (kmRaw.isEmpty) 0
+          else {
+            val i = kmRaw.toIntOption.getOrElse(sys.error(
+              s"spark.graft.ann.ivfKmeansIters must be a non-negative int, got '$kmRaw'"))
+            require(i >= 0,
+              s"spark.graft.ann.ivfKmeansIters must be >= 0, got $i")
+            i
+          }
+        val seeds =
+          if (kmIters > 0) kmeansCentroids(e, k, kmIters)
+          else e
+            .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+            .limit(k)
+            .select(col("vec_id").as("sid"), col("embedding").as("semb"),
+              col("nrm").as("snrm"))
         // multiprobe width: the query side searches its `nprobe` nearest
         // cells (corpus side always lives in its primary cell, so the
         // index is probed, never duplicated). Default 1 = single-probe,
@@ -343,6 +427,15 @@ object Similarity extends QueryModule {
           .withColumn("rn", row_number().over(aw))
           .filter(col("rn") <= nprobe)
           .select(col("vec_id"), col("sid").as("cell"), col("rn"))
+        val capRaw = s.conf.get("spark.graft.ann.ivfCellCap", "").trim
+        val cellCap =
+          if (capRaw.isEmpty) defaultIvfCellCap
+          else {
+            val c = capRaw.toIntOption.getOrElse(sys.error(
+              s"spark.graft.ann.ivfCellCap must be a positive int, got '$capRaw'"))
+            require(c >= 2, s"spark.graft.ann.ivfCellCap must be >= 2, got $c")
+            c
+          }
         // exact search: query probes its cells; corpus sits in its primary
         val a = e.join(assign.drop("rn"), "vec_id")
           .select(col("vec_id").as("va"), col("cell"),
@@ -350,6 +443,9 @@ object Similarity extends QueryModule {
         val b = e.join(assign.filter(col("rn") === 1).drop("rn"), "vec_id")
           .select(col("vec_id").as("vb"), col("cell").as("cell2"),
             col("embedding").as("eb"), col("nrm").as("nb"))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("cell2")).orderBy(col("vb").asc)))
+          .filter(col("crn") <= cellCap).drop("crn")
         val w = Window.partitionBy(col("va"))
           .orderBy(col("cosine").desc, col("vb").asc)
         a.join(b, col("cell") === col("cell2") && col("va") =!= col("vb"))
@@ -378,12 +474,19 @@ object Similarity extends QueryModule {
         cells AS (
           SELECT e.vec_id, e.embedding, e.nrm, assign.cell
           FROM e JOIN assign ON e.vec_id = assign.vec_id),
+        cells_capped AS (
+          SELECT vec_id, embedding, nrm, cell FROM (
+            SELECT vec_id, embedding, nrm, cell,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY vec_id ASC) AS crn
+            FROM cells) t
+          WHERE crn <= $defaultIvfCellCap),
         scored AS (
           SELECT a.vec_id AS va, b.vec_id AS vb,
                  list_reduce(list_transform(generate_series(1, 64),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
                    (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
-          FROM cells a JOIN cells b
+          FROM cells a JOIN cells_capped b
             ON a.cell = b.cell AND a.vec_id <> b.vec_id)
         SELECT va AS vec_id, vb AS ann_id, cosine FROM (
           SELECT va, vb, cosine,
@@ -400,4 +503,12 @@ object Similarity extends QueryModule {
     * vectors ≈ 31-row cells — the same ratio.
     */
   private[graft] val defaultIvfCells = 16
+
+  /** Default per-cell corpus cap for `sim_ann_ivf` — the Σ cell² bound
+    * knob for skewed embedding distributions. Sized several× the
+    * balanced cell at test SFs (≈ n/K rows), so it binds only when a
+    * dominant cluster collapses into one cell; at corpus scale set it
+    * to a small multiple of the target cell size.
+    */
+  private[graft] val defaultIvfCellCap = 2048
 }

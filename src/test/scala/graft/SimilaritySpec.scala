@@ -156,6 +156,66 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.nprobe")
   }
 
+  test("sim_ann_ivf learned k-means centroids beat the seed quantizer's recall") {
+    val exact = bruteForceNN(sfTiny)
+    def recall(): Double = {
+      val ann = SparkEntry.queries("sim_ann_ivf")(spark, sfTiny)
+        .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
+      exact.count { case (v, nn) => ann.get(v).contains(nn) }.toDouble / exact.size
+    }
+    val seed = recall()
+    spark.conf.set("spark.graft.ann.ivfKmeansIters", "5")
+    try {
+      val learned = recall()
+      info(f"recall@1 seed=$seed%.3f kmeans(5)=$learned%.3f (nprobe=1, K=16)")
+      // same K, same nprobe, same init vectors: Lloyd's rounds move the
+      // codebook toward the data's actual cluster structure, so the
+      // query and its true NN co-locate strictly more often
+      assert(learned > seed,
+        s"k-means recall $learned must strictly beat seed quantizer $seed")
+    } finally spark.conf.unset("spark.graft.ann.ivfKmeansIters")
+  }
+
+  test("sim_ann_ivf cell cap bounds candidate volume on a skewed corpus") {
+    // one dominant cluster: 40 vectors all within noise of axis 0, so
+    // (near-)all of them collapse into the same IVF cell — the skew that
+    // would reintroduce the Σ cell² blowup. With ivfCellCap=8 the corpus
+    // side of the cell join keeps only the 8 lowest vec_ids per cell, so
+    // across K=2 cells at most 16 distinct vectors can EVER be returned
+    // as a neighbor — while the uncapped query side still answers for
+    // every vector.
+    val d = scratchDir("sim_skew")
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map { i =>
+      val v = Array.tabulate(dim)(_ => (rnd.nextDouble() * 0.01).toFloat)
+      v(0) = 1.0f
+      (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    spark.conf.set("spark.graft.ann.ivfCells", "2")
+    try {
+      // uncapped baseline (default cap 2048 cannot bind on 40 rows):
+      // neighbors spread well beyond any 16-vector subset
+      val free = SparkEntry.queries("sim_ann_ivf")(spark, d)
+        .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
+      assert(free.size === 40)
+      assert(free.values.toSet.size > 16,
+        s"premise: uncapped neighbors spread wide, got ${free.values.toSet.size}")
+
+      spark.conf.set("spark.graft.ann.ivfCellCap", "8")
+      val capped = SparkEntry.queries("sim_ann_ivf")(spark, d)
+        .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
+      // query side uncapped: every vector still gets its top-1 …
+      assert(capped.size === 40)
+      // … but the searchable corpus is ≤ cap × cells vectors
+      assert(capped.values.toSet.size <= 16,
+        s"cell cap must bound the corpus side, got ${capped.values.toSet.size} distinct neighbors")
+    } finally {
+      spark.conf.unset("spark.graft.ann.ivfCells")
+      spark.conf.unset("spark.graft.ann.ivfCellCap")
+    }
+  }
+
   /** Exact top-1 neighbor per vector (brute force) for recall baselines. */
   private def bruteForceNN(d: String): Map[Long, Long] = {
     val e = Tables.embeddings(spark, d).select(
