@@ -167,8 +167,13 @@ object Bench {
       .mkString("{", ",", "}")
     val metrics = results.collect { case (k, (m, walls)) if m.wall >= 0 =>
       val base = s""""cpu":${r2(m.cpu)},"gc":${r2(m.gc)},"sr_mb":${r2(m.srMb)},"sw_mb":${r2(m.swMb)}"""
+      // min-of-reps wall: the least-contended observation of the same
+      // plan — what bench_gate adjudicates on when the rep spread says
+      // the median is hostage to host contention (self-adjudicating
+      // artifacts; no idle-host judge rerun needed)
       val w = if (walls.size > 1)
-        s""","walls":[${walls.map(r3).mkString(",")}]""" else ""
+        s""","wall_min":${r3(walls.min)},"walls":[${walls.map(r3).mkString(",")}]"""
+      else ""
       "\"" + k + "\":{" + base + w + "}"
     }.mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
