@@ -123,13 +123,42 @@ object SnapshotStore {
     * the union of every bucket's owning leaf dir per the head manifest.
     */
   def read(spark: SparkSession, dir: String): Option[DataFrame] =
-    latestVersion(spark, dir).map { v =>
-      val m = readManifest(fs(spark, dir), dir, v)
-      val paths = m.buckets.toSeq.sortBy(_._1).map { case (b, ver) =>
-        s"${versionDir(dir, ver)}/${bucketDirName(b)}"
-      }
-      spark.read.parquet(paths: _*)
+    latestVersion(spark, dir).map(readVersion(spark, dir, _))
+
+  /** All committed versions, ascending — the auditable history (markers
+    * are never pruned; DATA older than the retention window is).
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val commits = new Path(s"$dir/_commits")
+    val f = fs(spark, dir)
+    if (!f.exists(commits)) Seq.empty
+    else f.listStatus(commits).map(_.getPath.getName)
+      .collect { case versionPat(n) => n.toLong }.toSeq.sorted
+  }
+
+  /** The snapshot AS OF committed `version` (time travel): the union of
+    * every bucket's owning leaf dir per THAT version's manifest — the
+    * same plan shape as a head read, so an as-of query costs exactly a
+    * current query. Readable while the version sits inside the `retain`
+    * window; asking for a version whose data has been pruned fails on
+    * the missing leaf dirs (loudly — never a silent partial snapshot),
+    * and asking for a never-committed version fails here on the marker
+    * check, which also keeps crash-orphan dirs unreadable.
+    */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val f = fs(spark, dir)
+    require(f.exists(markerPath(dir, version)),
+      s"version $version was never committed in $dir " +
+        s"(committed: ${versions(spark, dir).mkString(", ")})")
+    require(f.exists(manifestPath(dir, version)),
+      s"version $version is outside the retention window: its manifest " +
+        "was pruned (raise `retain` on the writer to keep deeper history)")
+    val m = readManifest(f, dir, version)
+    val paths = m.buckets.toSeq.sortBy(_._1).map { case (b, ver) =>
+      s"${versionDir(dir, ver)}/${bucketDirName(b)}"
     }
+    spark.read.parquet(paths: _*)
+  }
 
   /** Merge `delta` into the snapshot as `version` (idempotent: a version
     * already committed is a no-op, so at-least-once callers get an

@@ -51,6 +51,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("WindowGroupLimit.*Final".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("ANN candidate caps plan WindowGroupLimit heaps (LSH buckets, IVF cells)") {
+    // both caps are written as row_number() <= k rank filters precisely
+    // so the optimizer plans per-partition group-limit heaps instead of
+    // fully sorting every bucket/cell — the shape that keeps the caps
+    // O(n log k) at corpus scale. Losing the pattern (e.g. a rewrite
+    // that hides the rank filter from the optimizer) would silently
+    // degrade to full sorts of the hottest buckets.
+    Seq("sim_ann_lsh", "sim_ann_ivf").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfTiny)
+        .queryExecution.sparkPlan.toString
+      assert("WindowGroupLimit".r.findFirstIn(plan).isDefined,
+        s"$name lost its WindowGroupLimit cap:\n$plan")
+    }
+  }
+
   test("agg_median_manual: no whole-group single-task sort on the data path") {
     // the exact median must come from the two-pass bucketed selection:
     // the window that touches TABLE rows partitions by (status, bkt) —

@@ -356,6 +356,47 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
   }
 
+  test("time travel: any retained version reads as-of; pruned versions fail loudly") {
+    val snap = scratchDir("snap_asof") + "/tbl"
+    def asOf(v: Long): Map[Long, (Long, String)] =
+      SnapshotStore.readVersion(spark, snap, v)
+        .select("k", "seq", "v").as[(Long, Long, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // v0: two keys; v1: update 2 + insert 3; v2: DELETE key 1
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "seq", "v"),
+      "k", None, snap, 0L, retain = 3)
+    SnapshotStore.upsertVersion(spark,
+      Seq((2L, 2L, "b2"), (3L, 1L, "c")).toDF("k", "seq", "v"),
+      "k", None, snap, 1L, retain = 3)
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, 3L, "", "d")).toDF("k", "seq", "v", "op"),
+      "k", None, snap, 2L, retain = 3, opCol = Some("op"))
+
+    assert(SnapshotStore.versions(spark, snap) == Seq(0L, 1L, 2L))
+    // each retained version reads exactly its historical contents —
+    // including key 1 BEFORE its deletion
+    assert(asOf(0L) == Map(1L -> (1L, "a"), 2L -> (1L, "b")))
+    assert(asOf(1L) == Map(1L -> (1L, "a"), 2L -> (2L, "b2"), 3L -> (1L, "c")))
+    assert(asOf(2L) == Map(2L -> (2L, "b2"), 3L -> (1L, "c")))
+    assert(snapshot(snap) == asOf(2L)) // head == latest as-of
+
+    // a never-committed version fails on the marker check
+    val e1 = intercept[IllegalArgumentException](asOf(7L))
+    assert(e1.getMessage.contains("never committed"))
+
+    // push v0 outside a retain=2 window: its manifest prunes, and the
+    // as-of read must refuse rather than serve a partial snapshot
+    SnapshotStore.upsertVersion(spark,
+      Seq((3L, 9L, "c2")).toDF("k", "seq", "v"), "k", None, snap, 3L,
+      retain = 2)
+    val e2 = intercept[IllegalArgumentException](asOf(0L))
+    assert(e2.getMessage.contains("retention window"))
+    // versions inside the window still read
+    assert(asOf(3L)(3L) == (9L, "c2"))
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     val dim = Seq((10L, "alice"), (11L, "bob")).toDF("id", "name")
     val mem = MemoryStream[(Long, Long, Double)](spark)
