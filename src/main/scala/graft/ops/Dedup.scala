@@ -181,8 +181,33 @@ object Dedup extends QueryModule {
       GROUP BY doc_id, shingle),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)"""
 
-  /** DuckDB twin of minhashPairs, ending in a `pairs` CTE. */
-  private lazy val minhashPairsSql = s"""
+  /** The (band, band_sig) → canonical corpus doc index — the persistent
+    * heart of incremental dedup. O(distinct band signatures) rows, one
+    * narrow groupBy off `bandSignatures`; maintained as a
+    * `SnapshotStore` table in production (append new batches' bands as
+    * they are accepted) so a landing batch probes it WITHOUT touching
+    * corpus text. DedupSpec proves a delta probed against the stored
+    * index finds exactly the candidates a fresh full-corpus run finds.
+    */
+  private[graft] def bandIndex(docs: DataFrame): DataFrame =
+    bandSignatures(docs)
+      .groupBy(col("band"), col("band_sig"))
+      .agg(min(col("doc_id")).as("canon_doc"))
+
+  /** Probe a stored band index with a new batch: per new doc, the
+    * lowest canonical corpus doc sharing any band — band-level
+    * candidates, to be exact-verified by the caller (or trusted at the
+    * LSH level for high-precision band widths).
+    */
+  private[graft] def probeBandIndex(delta: DataFrame,
+                                    index: DataFrame): DataFrame =
+    bandSignatures(delta)
+      .join(index, Seq("band", "band_sig"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("canon_doc")).as("dup_of"))
+
+  /** DuckDB twin of `bandSignatures` (shingles + per-doc band sigs). */
+  private lazy val minhashBandsSql = s"""
     $shinglesSql,
     mh AS (
       SELECT doc_id, i // 4 AS band, string_agg(mn, '' ORDER BY i) AS band_sig
@@ -193,7 +218,11 @@ object Dedup extends QueryModule {
         FROM shingles s
         CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS i) p
         GROUP BY s.doc_id, p.i)
-      GROUP BY doc_id, band),
+      GROUP BY doc_id, band)"""
+
+  /** DuckDB twin of minhashPairs, ending in a `pairs` CTE. */
+  private lazy val minhashPairsSql = s"""
+    $minhashBandsSql,
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM mh a JOIN mh b
@@ -316,6 +345,69 @@ object Dedup extends QueryModule {
         WITH $minhashPairsSql
         SELECT doc_a, doc_b, jaccard FROM pairs
         ORDER BY doc_a, doc_b
+      """)),
+
+    // ───── incremental dedup: new batch vs the already-indexed corpus ─────
+    // THE continuous-ingest pattern at 100 TB: re-running dedup_minhash
+    // over corpus+delta re-shingles and re-hashes the ENTIRE corpus for
+    // every arriving batch — O(corpus) work per batch is what makes
+    // naive dedup of a growing lake quadratic over its lifetime. The
+    // incremental shape is: the corpus's band signatures live in a
+    // persistent BAND INDEX (`bandIndex` → a `SnapshotStore` table,
+    // appended as batches are accepted — DedupSpec proves index reuse
+    // without corpus re-scan); a new batch shingles/hashes only ITSELF
+    // (O(delta) narrow work), probes the index by (band, band_sig)
+    // equi-join, and exact-verifies only the probed candidates. Here the
+    // delta is carved deterministically (doc_id % 4 = 0) from the same
+    // table so the whole flow stays value-level oracle-twinnable; the
+    // production wiring swaps `Tables.documents` for the index table and
+    // the landing batch. New-vs-new duplicates inside the batch are
+    // caught by the same band join (lower id wins, mirroring
+    // dedup_minhash's doc_a < doc_b); corpus docs are "already accepted"
+    // so they match at ANY id. Output: one row per verified duplication
+    // (new_doc, dup_of, jaccard).
+    GraftQuery(
+      "dedup_incremental",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val mh = Materialize.stageEager(bandSignatures(
+          Tables.documents(s, d), Some(s.sparkContext.defaultParallelism)))
+        val delta = mh.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+        // probe side: the corpus index (any id) ∪ earlier docs of the
+        // same batch (strictly lower id — each within-batch pair once)
+        val probed = mh.select(col("doc_id").as("doc_b"),
+          col("band").as("band2"), col("band_sig").as("band_sig2"))
+        val cand = delta.join(probed,
+            col("band") === col("band2") && col("band_sig") === col("band_sig2") &&
+              (pmod(col("doc_b"), lit(4)) =!= 0 || col("doc_b") < col("doc_a")))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        exactJaccard(cand, sh).filter(col("jaccard") >= 0.8)
+          .select(col("doc_a").as("new_doc"), col("doc_b").as("dup_of"),
+            col("jaccard"))
+          .orderBy(col("new_doc"), col("dup_of"))
+      },
+      Some(s"""
+        WITH $minhashBandsSql,
+        cand AS (
+          SELECT DISTINCT d.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM mh d JOIN mh c
+            ON d.band = c.band AND d.band_sig = c.band_sig
+          WHERE d.doc_id % 4 = 0
+            AND (c.doc_id % 4 <> 0 OR c.doc_id < d.doc_id)),
+        common AS (
+          SELECT doc_a, doc_b, count(*) AS c
+          FROM cand
+          JOIN shingles s1 ON s1.doc_id = cand.doc_a
+          JOIN shingles s2 ON s2.doc_id = cand.doc_b AND s1.shingle = s2.shingle
+          GROUP BY doc_a, doc_b)
+        SELECT doc_a AS new_doc, doc_b AS dup_of,
+               c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+        ORDER BY new_doc, dup_of
       """)),
 
     // ───── dedup clustering: connected components over near-dup pairs ─────

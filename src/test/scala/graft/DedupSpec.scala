@@ -58,6 +58,59 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => Set(p._1, p._2) == Set(0L, 3L)), "unrelated")
   }
 
+  test("dedup_incremental flags new docs against corpus and earlier batch peers") {
+    // %4 carve on the fixture: delta = {0, 4}, corpus = {1, 2, 3}.
+    // New doc 0 duplicates corpus docs 1 (exact) and 2 (near) — note
+    // dup_of may exceed new_doc for corpus matches (the corpus is
+    // "already accepted", id order is irrelevant); new doc 4 near-dups
+    // corpus doc 3; nothing pairs across the unrelated groups.
+    val rows = run("dedup_incremental")
+      .select("new_doc", "dup_of").as[(Long, Long)].collect().toSet
+    assert(rows === Set((0L, 1L), (0L, 2L), (4L, 3L)))
+  }
+
+  test("stored band index: probe without corpus re-scan; min-merge maintenance") {
+    import graft.pipeline.SnapshotStore
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = all.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .select("doc_id", "text")
+    val delta = all.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select("doc_id", "text")
+
+    // persist the corpus's band index as a snapshot-store table keyed by
+    // the band bucket — the probe below touches ONLY this table and the
+    // delta's own text (corpus text is not an input to the probe)
+    val store = scratchDir("band_idx") + "/idx"
+    val withKey = (f: DataFrame) =>
+      f.withColumn("band_key", concat_ws(":", col("band"), col("band_sig")))
+    SnapshotStore.upsertVersion(spark,
+      withKey(ops.Dedup.bandIndex(corpus)), "band_key", None, store, 0L)
+    val stored = SnapshotStore.read(spark, store).get
+
+    def probe(idx: DataFrame): Map[Long, Long] =
+      ops.Dedup.probeBandIndex(delta, idx.select("band", "band_sig", "canon_doc"))
+        .as[(Long, Long)].collect().toMap
+    val viaStore = probe(stored)
+    // identical to probing a freshly-computed index, and the expected
+    // band-level candidates: 0 collides with corpus canon 1, 4 with 3
+    assert(viaStore == probe(ops.Dedup.bandIndex(corpus)))
+    assert(viaStore == Map(0L -> 1L, 4L -> 3L))
+
+    // accept the batch: merge its bands into the index with MIN-canon
+    // semantics (plain last-write-wins would displace a lower corpus
+    // canon with a newer doc — the one way a band index must NOT be a
+    // vanilla SCD-1 table), then re-probe: doc 0 is now its own canon
+    val accepted = withKey(ops.Dedup.bandIndex(delta))
+      .join(stored.select(col("band_key"), col("canon_doc").as("old_canon")),
+        Seq("band_key"), "left")
+      .select(col("band"), col("band_sig"),
+        least(col("canon_doc"), coalesce(col("old_canon"), col("canon_doc")))
+          .as("canon_doc"), col("band_key"))
+    SnapshotStore.upsertVersion(spark, accepted, "band_key", None, store, 1L)
+    val after = probe(SnapshotStore.read(spark, store).get)
+    assert(after == Map(0L -> 0L, 4L -> 3L))
+  }
+
   test("dedup_minhash LSH output equals exact-Jaccard output on planted dups") {
     val exact = run("dedup_ngram_jaccard")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
