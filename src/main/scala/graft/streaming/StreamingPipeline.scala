@@ -345,6 +345,82 @@ object StreamingPipeline extends Serializable {
       }
       .start()
 
+  /** Continuous DEDUP-GATED ingest — the streaming deployment of
+    * `dedup_incremental`'s band-index pattern, wired end-to-end: each
+    * micro-batch of documents (doc_id, text, …)
+    *
+    *  1. shingles/hashes only ITSELF (O(batch) narrow work — corpus
+    *     text is never re-read),
+    *  2. probes the persistent band index (a `SnapshotStore` table) by
+    *     (band, band_sig): any collision with an accepted canon rejects
+    *     the doc; within the batch the lowest doc_id per bucket wins,
+    *  3. commits the surviving docs to the accepted store and MIN-merges
+    *     their bands into the index (min-canon, never last-write-wins —
+    *     a newer doc must not displace a lower accepted canon),
+    *
+    * both as snapshot version = batchId, so at-least-once foreachBatch
+    * delivery yields an exactly-once corpus AND index. The commit order
+    * (accepted first, index second) makes the crash window safe: a
+    * replay recomputes the same accept set from the same batch + the
+    * same index head, no-ops the accepted store on its marker, and
+    * completes the index commit. Rejection is band-level (no exact
+    * verify): with 4×16-hex-char bands a collision is a true near-dup
+    * to far beyond corpus-size-×-birthday odds — the high-precision
+    * regime where the LSH candidate IS the verdict; a deployment
+    * wanting exact-Jaccard confirmation fetches ONLY the collided
+    * docs' texts (O(collisions), not O(corpus)) before rejecting.
+    */
+  def runIncrementalDedup(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      acceptedDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try graft.Materialize.scoped {
+          // bands are consumed by the probe, the peer check, and the
+          // index merge — stage once
+          val bands = graft.Materialize.stage(
+            graft.ops.Dedup.bandSignatures(b)
+              .withColumn("band_key",
+                concat_ws(":", col("band"), col("band_sig"))))
+          val stored = graft.pipeline.SnapshotStore.read(s, indexDir)
+          val corpusHit = stored.fold(bands.select(col("doc_id")).limit(0)) {
+            idx => bands.join(idx.select(col("band_key")), "band_key")
+              .select(col("doc_id"))
+          }
+          val peerHit = bands.join(
+              bands.groupBy(col("band_key")).agg(min(col("doc_id")).as("bmin")),
+              "band_key")
+            .filter(col("bmin") < col("doc_id"))
+            .select(col("doc_id"))
+          val rejected = corpusHit.union(peerHit).distinct()
+          val accepted = b.join(rejected, Seq("doc_id"), "left_anti")
+          graft.pipeline.SnapshotStore.upsertVersion(
+            s, accepted, "doc_id", None, acceptedDir, batchId)
+          val newIdx = bands
+            .join(rejected, Seq("doc_id"), "left_anti")
+            .groupBy(col("band"), col("band_sig"), col("band_key"))
+            .agg(min(col("doc_id")).as("canon_doc"))
+          val merged = stored.fold(newIdx) { idx =>
+            newIdx.join(
+                idx.select(col("band_key"), col("canon_doc").as("old_canon")),
+                Seq("band_key"), "left")
+              .select(col("band"), col("band_sig"), col("band_key"),
+                least(col("canon_doc"),
+                  coalesce(col("old_canon"), col("canon_doc"))).as("canon_doc"))
+          }
+          graft.pipeline.SnapshotStore.upsertVersion(
+            s, merged, "band_key", None, indexDir, batchId)
+        } finally b.unpersist()
+      }
+      .start()
+
   /** The incremental ingest: CSV landing dir → typed → parquet sink,
     * exactly-once via checkpoint. Trigger.AvailableNow drains what
     * exists and stops — the batch-cadence deployment of a streaming

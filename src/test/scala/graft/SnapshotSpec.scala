@@ -397,6 +397,54 @@ class SnapshotSpec extends SparkSpec {
     assert(asOf(3L)(3L) == (9L, "c2"))
   }
 
+  test("streaming dedup-gated ingest: accepted corpus + band index, exactly-once") {
+    val landing = scratchDir("dd_landing")
+    val idx     = scratchDir("dd_index") + "/idx"
+    val acc     = scratchDir("dd_accepted") + "/docs"
+    val ckpt    = scratchDir("dd_ckpt") + "/cp"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val base = "spark makes big data small again with catalyst and tungsten " +
+      "query plans that scale across many executors without manual tuning"
+    val other = "completely different content about weather events in ohio " +
+      "and airport delay statistics gathered over several winters"
+    def writeDocs(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        ("doc_id\ttext" +: rows.map { case (id, t) => s"$id\t$t" })
+          .mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = StreamingPipeline.runIncrementalDedup(
+      spark,
+      spark.readStream.option("header", "true").option("sep", "\t")
+        .schema(docSchema).csv(s"$landing/*.csv"),
+      idx, acc, ckpt).awaitTermination()
+    def acceptedIds: Set[Long] =
+      SnapshotStore.read(spark, acc).get.select("doc_id")
+        .as[Long].collect().toSet
+
+    // batch 0: novel doc 10, exact dup 11 (within-batch lowest id wins)
+    writeDocs("b1.csv", Seq(10L -> base, 11L -> base))
+    run()
+    assert(acceptedIds === Set(10L))
+
+    // batch 1: 12 near-dups ACCEPTED doc 10 (cross-batch, via the
+    // stored index — corpus text never re-read), 13 is novel
+    writeDocs("b2.csv", Seq(
+      12L -> base.replace("manual", "hand"), 13L -> other))
+    run()
+    assert(acceptedIds === Set(10L, 13L))
+    // the index holds min canons: doc 10's full-sig buckets canon to 10
+    val canon = SnapshotStore.read(spark, idx).get
+      .agg(min(col("canon_doc"))).head.getLong(0)
+    assert(canon === 10L)
+
+    // restart with no new files: checkpoint replays nothing, both
+    // stores keep their heads (exactly-once across the pair)
+    run()
+    assert(SnapshotStore.latestVersion(spark, acc).contains(1L))
+    assert(SnapshotStore.latestVersion(spark, idx).contains(1L))
+    assert(acceptedIds === Set(10L, 13L))
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     val dim = Seq((10L, "alice"), (11L, "bob")).toDF("id", "name")
     val mem = MemoryStream[(Long, Long, Double)](spark)
