@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.{GraftQuery, QueryModule, Tables}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -77,6 +77,52 @@ object Layout extends QueryModule {
     df.repartitionByRange(numFiles, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(outDir)
+
+  /** Interleave the low 8 bits of `c` into the even bit positions (the
+    * classic bit-spread: 0b_abcd_efgh → 0b_a0b0c0d0_e0f0g0h0), the
+    * building block of a 2-D Z-value. Pure bitwise ops — codegen'd,
+    * no UDF.
+    */
+  private def spreadBits8(c: Column): Column = {
+    val x1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0F))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 2)).bitwiseAND(lit(0x3333))
+    x2.bitwiseOR(shiftleft(x2, 1)).bitwiseAND(lit(0x5555))
+  }
+
+  /** Write `df` Z-ORDER clustered on two numeric keys: each key is
+    * scaled to 8 bits against its min/max (one broadcast 1-row agg — the
+    * watermark-filter pattern; never a rank window, which would
+    * serialize the table through one task), the bits interleaved into a
+    * 16-bit Z-value, and rows range-partitioned + sorted on it. Files
+    * then own compact RECTANGLES of the (keyA, keyB) space instead of
+    * stripes of one key, so parquet min/max stats prune a 2-D box
+    * predicate on EITHER or BOTH keys — the multi-dimensional
+    * generalization of `clusteredWrite`, which clusters perfectly on
+    * one key and not at all on the second. (At 256×256 resolution the
+    * curve's rectangle edges are 1/256 of each domain; production
+    * implementations swap the linear scaling for rank-based boundaries
+    * when keys are heavily skewed — same Z math, different
+    * normalization.) The Z column is computed, used for layout, and
+    * dropped — it never reaches disk.
+    */
+  def zorderWrite(df: DataFrame, keyA: String, keyB: String, numFiles: Int,
+                  outDir: String): Unit = {
+    val mm = df.agg(
+      min(col(keyA)).as("a_min"), max(col(keyA)).as("a_max"),
+      min(col(keyB)).as("b_min"), max(col(keyB)).as("b_max"))
+    def scaled(k: String, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0)).otherwise(
+        ((col(k) - lo).cast("double") * 255.0 / (hi - lo).cast("double"))
+          .cast("int"))
+    val z = shiftleft(spreadBits8(scaled(keyA, col("a_min"), col("a_max"))), 1)
+      .bitwiseOR(spreadBits8(scaled(keyB, col("b_min"), col("b_max"))))
+    df.crossJoin(broadcast(mm))
+      .withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z", "a_min", "a_max", "b_min", "b_max")
+      .write.mode("overwrite").parquet(outDir)
+  }
 
   /** Copy-on-write upsert: rows of `base` whose key appears in `delta`
     * are replaced by the delta row; delta rows with new keys append.
@@ -185,6 +231,34 @@ object Layout extends QueryModule {
         SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem
         WHERE l_orderkey BETWEEN 500 AND 800
+        ORDER BY l_orderkey, l_partkey, l_linenumber
+      """)),
+
+    // ───── Z-order clustered write + 2-D box-pruned read-back ─────
+    // Files own rectangles of (l_orderkey, l_partkey) space (LayoutSpec
+    // proves the 2-D file geometry beats 1-D clustering for box
+    // predicates), and the box-filtered read-back must be
+    // value-identical to the source — layout changes, content never
+    // does.
+    GraftQuery(
+      "sink_zorder_write",
+      (s, d) => {
+        val tmp = Sources.scratch(d, "zorder_")
+        zorderWrite(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice")),
+          "l_orderkey", "l_partkey", numFiles = 8, tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_orderkey").between(500, 800) &&
+            col("l_partkey").between(100, 400))
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 500 AND 800
+          AND l_partkey BETWEEN 100 AND 400
         ORDER BY l_orderkey, l_partkey, l_linenumber
       """)),
 

@@ -52,6 +52,46 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderWrite: 2-D box predicates overlap fewer files than 1-D clustering") {
+    // file-level min/max boxes ARE what parquet stats pruning consults,
+    // so comparing overlap counts compares exactly what each layout
+    // lets a scan skip. 1-D clustering on l_orderkey is perfect for
+    // orderkey stripes but every file spans ~the full l_partkey domain,
+    // so a box tight in BOTH keys overlaps every file its orderkey
+    // stripe touches; Z-ordering gives files compact rectangles, so the
+    // same box overlaps fewer.
+    val cols = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val linDir = scratchDir("z_lin")
+    val zDir   = scratchDir("z_z")
+    Layout.clusteredWrite(cols, "l_orderkey", numFiles = 16, linDir)
+    Layout.zorderWrite(cols, "l_orderkey", "l_partkey", numFiles = 16, zDir)
+
+    def boxes(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("l_orderkey").as("alo"), max("l_orderkey").as("ahi"),
+          min("l_partkey").as("blo"), max("l_partkey").as("bhi"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // a box covering ~1/4 of each key domain
+    val (aLo, aHi, bLo, bHi) = {
+      val mm = cols.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head
+      val (a0, a1, b0, b1) =
+        (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      (a0, a0 + (a1 - a0) / 4, b0, b0 + (b1 - b0) / 4)
+    }
+    def overlapping(bs: Array[(Long, Long, Long, Long)]): Int =
+      bs.count { case (alo, ahi, blo, bhi) =>
+        alo <= aHi && ahi >= aLo && blo <= bHi && bhi >= bLo }
+    val lin = overlapping(boxes(linDir))
+    val z   = overlapping(boxes(zDir))
+    assert(boxes(zDir).length >= 8, "premise: a real multi-file layout")
+    assert(z < lin,
+      s"z-order must prune a 2-D box better than 1-D clustering: z=$z lin=$lin")
+  }
+
   test("shardedWrite lands exactly one file per shard dir, disjoint and complete") {
     val out = scratchDir("sharded")
     val docs = Tables.documents(spark, sfTiny)
