@@ -96,6 +96,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"nfc_normalize requires exactly 1 argument, got ${children.size}")
         NfcNormalize(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomFilterBuildAgg].getName, "bloom_build"),
+      (children: Seq[Expression]) => children match {
+        case Seq(k)       => new BloomFilterBuildAgg(k)
+        case Seq(k, b, h) => new BloomFilterBuildAgg(k, b, h)
+        case _ => throw new IllegalArgumentException(
+          s"bloom_build takes 1 or 3 arguments, got ${children.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_probe"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_probe"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"bloom_probe requires exactly 2 arguments, got ${children.size}")
+        BloomMightContain(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_candidates"),
+      new ExpressionInfo(classOf[MisraGriesCandidates].getName, "mg_candidates"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"mg_candidates requires exactly 2 arguments, got ${children.size}")
+        new MisraGriesCandidates(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => LevenshteinLengthGuard)
     DialectShims.register(ext)
   }

@@ -328,6 +328,85 @@ object Advanced extends QueryModule {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+      """)),
+
+    // ───── heavy hitters: Misra–Gries candidates + exact verify ─────
+    // One-pass bounded-memory frequent-tokens (graft.functions
+    // .MisraGriesCandidates, k=28 over 31 distinct tokens so eviction
+    // and the mergeable-summaries partial merge both genuinely
+    // exercise). The sketch's deterministic guarantee — every token
+    // with freq > n/(k+1) survives — makes it a CANDIDATE generator;
+    // the ≤k-entry candidate array broadcasts back for an exact count
+    // + exact integer-math threshold (cnt*(k+1) > n), so the output is
+    // bit-equal to the oracle's plain GROUP BY/HAVING. Communication:
+    // ≤k entries per partition up, ≤k keys broadcast down — no
+    // full-token shuffle reaches the exact pass but the candidates'.
+    GraftQuery(
+      "agg_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+        val cands = toks.agg(expr("mg_candidates(token, 28)").as("cands"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        toks.crossJoin(broadcast(cands))
+          .filter(array_contains(col("cands"), col("token")))
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 29 > col("total"))
+          .select(col("token"), col("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+          FROM documents),
+        tot AS (SELECT COUNT(*) AS total FROM toks)
+        SELECT token, COUNT(*) AS cnt
+        FROM toks GROUP BY token
+        HAVING COUNT(*) * 29 > (SELECT total FROM tot)
+        ORDER BY cnt DESC, token
+      """)),
+
+    // ───── conversion funnel: view → click → purchase, time-ordered ─────
+    // Stage timestamps derive sequentially (earliest view; earliest
+    // click strictly after it; earliest purchase strictly after that),
+    // so each stage is one keyed aggregation joined back on user_id —
+    // three shuffles on the same key, which AQE plans as one partition
+    // layout reused. No per-user event-list collect, no window over the
+    // whole event stream: per-task state is an aggregation buffer, so
+    // user count and event volume scale independently.
+    GraftQuery(
+      "win_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        s1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
+      },
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+               (SELECT COUNT(*) FROM s2) AS n_view_click,
+               (SELECT COUNT(*) FROM s3) AS n_full_funnel
       """))
   )
 }

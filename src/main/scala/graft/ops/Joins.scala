@@ -171,6 +171,51 @@ object Joins extends QueryModule {
           ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
+      """)),
+
+    // ───── bloom-pruned semi join (explicit runtime filter) ─────
+    // The build side's keys aggregate into a bloom filter
+    // (order-independent OR-merge partials; graft.functions
+    // .BloomFilterBuildAgg) delivered as a SCALAR SUBQUERY — the same
+    // mechanism Spark's engine-internal runtime row-level filtering
+    // uses: the subquery stage runs once and its one binary value lands
+    // as a literal in a filter DIRECTLY OVER THE FACT SCAN, before the
+    // semi-join exchange. (A crossJoin(broadcast(bloomFrame)) phrasing
+    // reads equivalently but Catalyst's PushDownLeftSemiAntiJoin then
+    // reorders the semi join BELOW the probe filter, un-pruning the
+    // exchange — SketchSpec pins the subquery phrasing's plan.) At
+    // 100 TB the fact shuffle carries ~selectivity × rows instead of
+    // all rows. False positives pass through to the exact semi join
+    // behind it, so the result is bit-identical to the plain semi join
+    // the oracle states; false negatives are impossible.
+    GraftQuery(
+      "join_bloom_prune",
+      (s, d) => {
+        val dim = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
+        val view = s"graft_bloom_dim_${math.abs(d.hashCode)}"
+        dim.createOrReplaceTempView(view)
+        val li = Tables.lineitem(s, d)
+        val pruned = li.filter(expr(
+          s"bloom_probe((SELECT bloom_build(o_orderkey, 1048576, 6) FROM $view), l_orderkey)"))
+        pruned.join(dim, pruned("l_orderkey") === dim("o_orderkey"),
+            "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice"), 2).as("gross"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
       """))
   )
 }

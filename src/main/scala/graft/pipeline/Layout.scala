@@ -127,10 +127,18 @@ object Layout extends QueryModule {
   /** Copy-on-write upsert: rows of `base` whose key appears in `delta`
     * are replaced by the delta row; delta rows with new keys append.
     * One anti-join on the key + one union — no driver-side state.
+    *
+    * `evolve=true` permits ADDITIVE schema drift between the sides:
+    * columns present on only one side come back null on the other
+    * (surviving base rows null-fill a delta-introduced column; delta
+    * rows null-fill a column they stopped carrying). Off by default —
+    * silent null-filling would otherwise mask a typo'd column name in
+    * a well-formed delta.
     */
-  def upsert(base: DataFrame, delta: DataFrame, key: String): DataFrame =
+  def upsert(base: DataFrame, delta: DataFrame, key: String,
+             evolve: Boolean = false): DataFrame =
     base.join(delta.select(col(key)), Seq(key), "left_anti")
-      .unionByName(delta)
+      .unionByName(delta, allowMissingColumns = evolve)
 
   /** CDC merge: `upsert` generalized to deltas that carry an op column
     * (`'u'` upsert / `'d'` delete — the Debezium-style row-op a real CDC
@@ -145,9 +153,10 @@ object Layout extends QueryModule {
     * delete batch harmless.
     */
   def applyCdc(base: DataFrame, delta: DataFrame, key: String,
-               opCol: String): DataFrame =
+               opCol: String, evolve: Boolean = false): DataFrame =
     base.join(delta.select(col(key)), Seq(key), "left_anti")
-      .unionByName(delta.filter(col(opCol) =!= lit("d")).drop(opCol))
+      .unionByName(delta.filter(col(opCol) =!= lit("d")).drop(opCol),
+        allowMissingColumns = evolve)
 
   /** Materialize a shard manifest as a physical layout: one parquet
     * file per (source, shard_id) leaf dir. Repartitioning on exactly
@@ -404,6 +413,45 @@ object Layout extends QueryModule {
         FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
         UNION ALL SELECT * FROM upd
         UNION ALL SELECT * FROM ins
+        ORDER BY o_orderkey
+      """)),
+
+    // ───── additive schema evolution through the versioned store ─────
+    // v1 commits the base table; v2 upserts a delta that CARRIES A NEW
+    // COLUMN (evolve=true). The head read must null-fill the column on
+    // every row the delta didn't touch — including whole buckets the
+    // delta never rewrote, which still serve v1 files and are
+    // reconciled by the reader's parquet schema merge. The oracle is
+    // the plain relational statement of that contract.
+    GraftQuery(
+      "sink_upsert_evolve",
+      (s, d) => {
+        val tmp  = Sources.scratch(d, "evolve_")
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority"))
+        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, tmp, 1L)
+        val delta = base
+          .filter(pmod(col("o_orderkey"), lit(89)) === 0)
+          .withColumn("o_orderstatus", lit("E"))
+          .withColumn("o_risk_score",
+            pmod(col("o_orderkey"), lit(7)).cast("int"))
+        SnapshotStore.upsertVersion(s, delta, "o_orderkey", None, tmp, 2L,
+          evolve = true)
+        SnapshotStore.read(s, tmp).get.orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+          FROM orders),
+        delta AS (
+          SELECT o_orderkey, o_custkey, 'E' AS o_orderstatus,
+                 o_orderpriority, CAST(o_orderkey % 7 AS INTEGER) AS o_risk_score
+          FROM base WHERE o_orderkey % 89 = 0)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               CAST(NULL AS INTEGER) AS o_risk_score
+        FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        UNION ALL SELECT * FROM delta
         ORDER BY o_orderkey
       """))
   )

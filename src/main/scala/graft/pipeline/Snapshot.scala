@@ -157,7 +157,13 @@ object SnapshotStore {
     val paths = m.buckets.toSeq.sortBy(_._1).map { case (b, ver) =>
       s"${versionDir(dir, ver)}/${bucketDirName(b)}"
     }
-    spark.read.parquet(paths: _*)
+    // mergeSchema: after an additive schema evolution (`evolve=true`
+    // upsert) untouched buckets still serve pre-evolution files, so the
+    // union across leaf dirs must reconcile by NAME, null-filling the
+    // columns a leaf predates. Cost is one footer read per leaf dir
+    // (<= numBuckets), not a data scan; on a never-evolved store the
+    // schemas are identical and this is a no-op.
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** Merge `delta` into the snapshot as `version` (idempotent: a version
@@ -176,6 +182,15 @@ object SnapshotStore {
     * bucket merges and rewrites; nothing else moves — and the op column
     * never reaches disk. Deleting a key absent from the snapshot no-ops,
     * so replayed or duplicated delete batches are harmless.
+    *
+    * With `evolve` set, the delta may ADD columns (and/or stop carrying
+    * old ones): the touched buckets' merge null-fills by name, untouched
+    * buckets keep their pre-evolution files on disk, and readers
+    * reconcile across vintages via parquet schema merge — an additive
+    * column evolution rewrites NOTHING beyond the delta's own buckets.
+    * Time travel preserves history faithfully: a pre-evolution version
+    * reads back WITHOUT the new column. Type changes are not evolution
+    * (the parquet merge refuses conflicting types, loudly).
     *
     * Only the key-hash buckets the delta touches are read back, merged,
     * and rewritten; every other bucket's files are untouched on disk and
@@ -199,7 +214,8 @@ object SnapshotStore {
     */
   def upsertVersion(spark: SparkSession, delta: DataFrame, key: String,
                     seqCol: Option[String], dir: String, version: Long,
-                    retain: Int = 2, opCol: Option[String] = None): Unit = {
+                    retain: Int = 2, opCol: Option[String] = None,
+                    evolve: Boolean = false): Unit = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val f = fs(spark, dir)
     val latest = latestVersion(spark, dir)
@@ -234,12 +250,15 @@ object SnapshotStore {
         val paths = m.buckets.collect { case (b, ver) if touched(b) =>
           s"${versionDir(dir, ver)}/${bucketDirName(b)}"
         }.toSeq
-        if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+        if (paths.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
       }
       val deltaData = tagged.drop("_bucket")
       val merged = (baseTouched, opCol) match {
-        case (Some(base), Some(op)) => Layout.applyCdc(base, deltaData, key, op)
-        case (Some(base), None)     => Layout.upsert(base, deltaData, key)
+        case (Some(base), Some(op)) =>
+          Layout.applyCdc(base, deltaData, key, op, evolve)
+        case (Some(base), None) =>
+          Layout.upsert(base, deltaData, key, evolve)
         // first commit / all-new buckets: tombstones for never-seen keys
         // are no-ops, so a CDC delta just drops its delete rows
         case (None, Some(op)) => deltaData.filter(col(op) =!= lit("d")).drop(op)

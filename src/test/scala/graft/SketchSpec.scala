@@ -37,4 +37,85 @@ class SketchSpec extends SparkSpec {
       assert(rel < 0.06, s"flag $k: approx=${approx(k)} exact=$n rel=$rel")
     }
   }
+
+  // ───── bloom_build / bloom_probe ─────
+
+  private def bloomOf(keys: Seq[Long], parts: Int): Array[Byte] =
+    keys.toDF("k").repartition(parts)
+      .agg(expr("bloom_build(k, 65536, 6)")).head.getAs[Array[Byte]](0)
+
+  test("bloom: no false negatives, ever; bounded false positives") {
+    val rnd = new scala.util.Random(7)
+    val present = Seq.fill(2000)(rnd.nextLong()).distinct
+    val bf = bloomOf(present, 8)
+    present.foreach(k => assert(
+      graft.functions.BloomRuntime.mightContain(bf, k),
+      s"false negative for $k — bloom contract broken"))
+    val absent = Seq.fill(10000)(rnd.nextLong()).filterNot(present.contains)
+    val fp = absent.count(graft.functions.BloomRuntime.mightContain(bf, _))
+    // 65536 bits / 2000 keys / 6 hashes → theoretical fp ~0.56%; allow 4x
+    assert(fp < absent.size * 0.025, s"$fp/${absent.size} false positives")
+  }
+
+  test("bloom: OR-merge is order-independent (bit-identical across partitionings)") {
+    val keys = (1L to 5000L).map(_ * 2654435761L)
+    assert(java.util.Arrays.equals(bloomOf(keys, 1), bloomOf(keys, 13)))
+  }
+
+  test("bloom built over zero rows matches nothing") {
+    val bf = bloomOf(Seq.empty[Long], 1)
+    assert((1L to 100L).forall(
+      !graft.functions.BloomRuntime.mightContain(bf, _)))
+  }
+
+  test("join_bloom_prune: probe filter sits below the semi-join exchange") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = SparkEntry.queries("join_bloom_prune")(spark, sfTiny)
+      .queryExecution.sparkPlan
+    val semi = plan.collectFirst {
+      case j: BaseJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semi.isDefined, s"no semi join in\n$plan")
+    // the streamed (fact) side below the join must already be
+    // bloom-filtered: pruned rows never reach the join's exchange
+    assert(semi.get.children.head.toString.contains("bloom_probe"),
+      s"bloom_probe not below the semi join's fact side:\n${semi.get}")
+  }
+
+  // ───── mg_candidates (Misra–Gries) ─────
+
+  test("MG guarantee: candidates always cover true heavy hitters (random streams)") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 5) {
+      val k = 4 + rnd.nextInt(12)
+      val vocab = (1 to 40 + rnd.nextInt(60)).map(i => s"w$i")
+      // zipf-ish skew so some tokens genuinely cross n/(k+1)
+      val stream = (1 to 8000).map { _ =>
+        val r = rnd.nextDouble()
+        vocab((r * r * vocab.size).toInt.min(vocab.size - 1))
+      }
+      val parts = 1 + rnd.nextInt(16)
+      val cands = stream.toDF("t").repartition(parts)
+        .agg(expr(s"mg_candidates(t, $k)")).head.getSeq[String](0).toSet
+      assert(cands.size <= k, s"round $round: ${cands.size} > k=$k")
+      val exactCounts = stream.groupBy(identity).view.mapValues(_.size)
+      val hh = exactCounts.filter(_._2 * (k + 1) > stream.size).keys.toSet
+      assert(hh.subsetOf(cands),
+        s"round $round (k=$k, parts=$parts): missed ${hh -- cands}")
+    }
+  }
+
+  test("agg_heavy_hitters output is exact and matches a plain groupBy") {
+    val got = SparkEntry.queries("agg_heavy_hitters")(spark, sfTiny)
+      .as[(String, Long)].collect().toSeq
+    val toks = Tables.documents(spark, sfTiny)
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+    val n = toks.count()
+    val want = toks.groupBy($"t").count()
+      .filter($"count" * 29 > n)
+      .orderBy($"count".desc, $"t")
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "threshold should yield hitters on sf0.001 too")
+  }
 }

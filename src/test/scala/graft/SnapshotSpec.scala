@@ -397,6 +397,52 @@ class SnapshotSpec extends SparkSpec {
     assert(asOf(3L)(3L) == (9L, "c2"))
   }
 
+  test("additive schema evolution: new column null-fills old rows and vintages") {
+    val snap = scratchDir("snap_evolve") + "/tbl"
+    // v0: the pre-evolution table, keys spread across many buckets
+    SnapshotStore.upsertVersion(spark,
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"),
+      "k", None, snap, 0L, retain = 3)
+    // v1: a delta that touches TWO keys and carries a brand-new column
+    SnapshotStore.upsertVersion(spark,
+      Seq((2L, "v2b", 7), (41L, "new", 9)).toDF("k", "v", "score"),
+      "k", None, snap, 1L, retain = 3, evolve = true)
+
+    val head = SnapshotStore.read(spark, snap).get
+    assert(head.columns.toSet == Set("k", "v", "score"))
+    val rows = head.select("k", "v", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(rows.size == 41)
+    // delta rows carry the column; EVERY untouched row — including whole
+    // buckets v1 never rewrote — reads back null-filled
+    assert(rows(2L)  == ("v2b", Some(7)))
+    assert(rows(41L) == ("new", Some(9)))
+    assert(rows(1L)  == ("v1", None))
+    assert((1L to 40L).filter(_ != 2L).forall(rows(_)._2.isEmpty))
+
+    // time travel keeps history faithful: the pre-evolution version
+    // reads back WITHOUT the evolved column
+    assert(SnapshotStore.readVersion(spark, snap, 0L)
+      .columns.toSet == Set("k", "v"))
+
+    // a delta that stops carrying an old column null-fills it on its
+    // own rows (whole-row replacement semantics, documented)
+    SnapshotStore.upsertVersion(spark,
+      Seq((3L, 5)).toDF("k", "score"), "k", None, snap, 2L,
+      retain = 3, evolve = true)
+    val r3 = SnapshotStore.read(spark, snap).get
+      .filter(col("k") === 3L).select("v", "score").head
+    assert(r3.isNullAt(0) && r3.getInt(1) == 5)
+
+    // without evolve, schema drift must fail loudly, not null-fill
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SnapshotStore.upsertVersion(spark,
+        Seq((4L, "x", 1, 2)).toDF("k", "v", "score", "typo"),
+        "k", None, snap, 3L, retain = 3)
+    }
+  }
+
   test("streaming dedup-gated ingest: accepted corpus + band index, exactly-once") {
     val landing = scratchDir("dd_landing")
     val idx     = scratchDir("dd_index") + "/idx"
