@@ -427,6 +427,11 @@ object Layout extends QueryModule {
       "sink_upsert_evolve",
       (s, d) => {
         val tmp  = Sources.scratch(d, "evolve_")
+        // versioned stores are not overwrite-idempotent like the other
+        // sink queries: a re-run in the same JVM (plan audits, sweeps)
+        // would collide below the committed head — start fresh
+        new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new Path(tmp), true)
         val base = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_orderpriority"))
@@ -452,6 +457,66 @@ object Layout extends QueryModule {
                CAST(NULL AS INTEGER) AS o_risk_score
         FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
         UNION ALL SELECT * FROM delta
+        ORDER BY o_orderkey
+      """)),
+
+    // ───── change feed between two committed versions (CDC read) ─────
+    // v1 = base; v2 = a CDC delta of updates, deletes, inserts, AND
+    // no-op rewrites (identical values). `SnapshotStore.changes` reads
+    // only the churned buckets and must report exactly the semantic
+    // diff: updates with new values, deletes with last-seen values,
+    // inserts — and NOT the no-op rewrites, which is what separates a
+    // change feed from a write log. The oracle states the expected feed
+    // directly from the same delta recipe.
+    GraftQuery(
+      "sink_change_feed",
+      (s, d) => {
+        val tmp  = Sources.scratch(d, "changefeed_")
+        new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new Path(tmp), true) // see sink_upsert_evolve
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority"))
+        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, tmp, 1L)
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0 &&
+            pmod(col("o_orderkey"), lit(151)) =!= 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("_op", lit("u"))
+        val deletes = base
+          .filter(pmod(col("o_orderkey"), lit(151)) === 0)
+          .withColumn("_op", lit("d"))
+        val inserts = base
+          .filter(pmod(col("o_orderkey"), lit(193)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("_op", lit("u"))
+        val noops = base // rewritten verbatim: must NOT appear in the feed
+          .filter(pmod(col("o_orderkey"), lit(199)) === 0 &&
+            pmod(col("o_orderkey"), lit(97)) =!= 0 &&
+            pmod(col("o_orderkey"), lit(151)) =!= 0)
+          .withColumn("_op", lit("u"))
+        SnapshotStore.upsertVersion(s,
+          updates.unionByName(deletes).unionByName(inserts).unionByName(noops),
+          "o_orderkey", None, tmp, 2L, opCol = Some("_op"))
+        SnapshotStore.changes(s, tmp, "o_orderkey", 1L, 2L)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+          FROM orders)
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_orderpriority,
+               'update' AS _change
+        FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey % 151 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               'delete' AS _change
+        FROM base WHERE o_orderkey % 151 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, o_orderpriority, 'insert' AS _change
+        FROM base WHERE o_orderkey % 193 = 0
         ORDER BY o_orderkey
       """))
   )

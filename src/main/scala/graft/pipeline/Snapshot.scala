@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod, when}
 
 /** Versioned keyed snapshot on plain parquet: the minimal table-format
   * core (hash-bucketed versioned data dirs + an append-only commit log)
@@ -292,6 +292,86 @@ object SnapshotStore {
       f.create(markerPath(dir, version), false).close() // create-once: commit
       pruneData(spark, dir, retain)
     } finally tagged.unpersist()
+  }
+
+  /** The net row-level changes between two committed versions — the
+    * CDC READ side of the store (time travel answers "what WAS the
+    * table"; this answers "what CHANGED"), the feed a downstream
+    * incremental consumer (index maintainer, cache invalidator,
+    * replication target) tails instead of diffing snapshots.
+    *
+    * Output: one row per key whose contents differ between the
+    * versions, carrying the key, every data column (union of both
+    * vintages' schemas — evolution-safe), and `_change`:
+    * `'insert'` (key absent at `fromVersion`; new values),
+    * `'update'` (present in both, any column differs; new values),
+    * `'delete'` (key absent at `toVersion`; LAST-SEEN values).
+    * A key rewritten with identical values does NOT appear — the feed
+    * reports semantic change, not write activity — and a span of
+    * versions nets out (insert then delete within the span → no row).
+    *
+    * Cost model: only buckets whose manifest OWNERSHIP changed between
+    * the two versions are read (ownership changes iff the bucket was
+    * rewritten in the span), then one full-outer join on the key over
+    * just those buckets' rows — O(churned buckets + changed rows),
+    * never O(table). Both versions must still sit inside the retention
+    * window (same loud refusal as `readVersion`).
+    */
+  def changes(spark: SparkSession, dir: String, key: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val f = fs(spark, dir)
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(f.exists(markerPath(dir, v)),
+        s"version $v was never committed in $dir " +
+          s"(committed: ${versions(spark, dir).mkString(", ")})")
+      require(f.exists(manifestPath(dir, v)),
+        s"version $v is outside the retention window: its manifest was " +
+          "pruned (raise `retain` on the writer to keep deeper history)")
+    }
+    val m1 = readManifest(f, dir, fromVersion)
+    val m2 = readManifest(f, dir, toVersion)
+    val churned = (m1.buckets.keySet ++ m2.buckets.keySet)
+      .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
+
+    def side(m: Manifest): Option[DataFrame] = {
+      val paths = m.buckets.collect { case (b, ver) if churned(b) =>
+        s"${versionDir(dir, ver)}/${bucketDirName(b)}"
+      }.toSeq
+      if (paths.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+    }
+    (side(m1), side(m2)) match {
+      case (None, None) => // no churn: an empty, schema-correct feed
+        readVersion(spark, dir, toVersion).limit(0)
+          .withColumn("_change", lit(""))
+      case (o, n) =>
+        val oldRaw = o.getOrElse(n.get.limit(0))
+        val newRaw = n.getOrElse(o.get.limit(0))
+        // align vintages by name: null-fill the columns a side predates
+        val allCols = (oldRaw.columns ++ newRaw.columns).distinct.toSeq
+        def aligned(df: DataFrame, other: DataFrame): DataFrame =
+          df.select(allCols.map { c =>
+            if (df.columns.contains(c)) col(c)
+            else lit(null).cast(other.schema(c).dataType).as(c)
+          }: _*)
+        val ol = aligned(oldRaw, newRaw).as("o")
+        val nw = aligned(newRaw, oldRaw).as("n")
+        val dataCols = allCols.filterNot(_ == key)
+        val differs = dataCols
+          .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val change = when(col(s"o.$key").isNull, lit("insert"))
+          .when(col(s"n.$key").isNull, lit("delete"))
+          .when(differs, lit("update"))
+        val picked = allCols.map(c =>
+          when(col(s"n.$key").isNotNull, col(s"n.$c"))
+            .otherwise(col(s"o.$c")).as(c))
+        ol.join(nw, col(s"o.$key") === col(s"n.$key"), "full_outer")
+          .select(picked :+ change.as("_change"): _*)
+          .filter(col("_change").isNotNull)
+    }
   }
 
   /** Delete bucket dirs that none of the `retain` newest committed

@@ -17,7 +17,10 @@ class PlanAuditSpec extends SparkSpec {
   // The build side is provably tiny in each.
   private val allowNestedLoop = Set(
     "ref_watermark_filter", "text_tfidf", "sim_topk_cosine",
-    "curate_domain_mix", "sim_ann_ivf")
+    "curate_domain_mix", "sim_ann_ivf",
+    // 1-row broadcast scalar frames (candidate array / total count /
+    // stage counts) — the watermark-filter pattern, not a data-path BNLJ
+    "agg_heavy_hitters", "win_funnel")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

@@ -397,6 +397,36 @@ class SnapshotSpec extends SparkSpec {
     assert(asOf(3L)(3L) == (9L, "c2"))
   }
 
+  test("change feed: semantic diff only, netting across version spans") {
+    val snap = scratchDir("snap_feed") + "/tbl"
+    def feed(a: Long, b: Long): Map[Long, (String, String)] =
+      SnapshotStore.changes(spark, snap, "k", a, b)
+        .select("k", "v", "_change").as[(Long, String, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      "k", None, snap, 0L, retain = 4)
+    // v1: rewrite 2 VERBATIM (no-op), change 3, insert 4
+    SnapshotStore.upsertVersion(spark,
+      Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("k", "v"),
+      "k", None, snap, 1L, retain = 4)
+    // v2: delete 4, insert 5
+    SnapshotStore.upsertVersion(spark,
+      Seq((4L, "", "d"), (5L, "e", "u")).toDF("k", "v", "op"),
+      "k", None, snap, 2L, retain = 4, opCol = Some("op"))
+
+    // the verbatim rewrite of 2 must NOT appear: semantic diff, not writes
+    assert(feed(0L, 1L) == Map(3L -> ("c2", "update"), 4L -> ("d", "insert")))
+    // deletes carry last-seen values
+    assert(feed(1L, 2L) == Map(4L -> ("d", "delete"), 5L -> ("e", "insert")))
+    // a span nets out: 4's insert+delete vanishes; 3's update survives
+    assert(feed(0L, 2L) == Map(3L -> ("c2", "update"), 5L -> ("e", "insert")))
+
+    intercept[IllegalArgumentException](feed(2L, 2L))
+    intercept[IllegalArgumentException](feed(0L, 9L))
+  }
+
   test("additive schema evolution: new column null-fills old rows and vintages") {
     val snap = scratchDir("snap_evolve") + "/tbl"
     // v0: the pre-evolution table, keys spread across many buckets
