@@ -495,6 +495,78 @@ object Similarity extends QueryModule {
           FROM scored) t
         WHERE rn = 1
         ORDER BY vec_id
+      """)),
+
+    // ───── hybrid retrieval: keyword ∪ vector lists fused by RRF ─────
+    // The two-tower RAG shape: a keyword list (docs ranked by query-term
+    // hits) and a vector list (docs ranked by cosine to the probe
+    // embedding) each retrieve top-N via TakeOrdered HEAPS — the corpus
+    // is scanned once per modality and never globally sorted or
+    // shuffled; the only windows run over the ≤N retrieved rows.
+    // Reciprocal-rank fusion (Cormack et al., SIGIR 2009):
+    // Σ 1/(60+rank) over the lists a doc appears in — pure rational
+    // arithmetic on deterministic ranks (ties broken by id), so the
+    // fused scores are bit-identical to the oracle's formulation.
+    // At 100 TB each modality is its own index probe (the LSH/IVF
+    // operators are the vector list's scale path); fusion cost is
+    // O(N), independent of corpus size.
+    GraftQuery(
+      "sim_hybrid_rrf",
+      (s, d) => {
+        val kwList = Tables.documents(s, d)
+          .filter(col("doc_id") =!= 0)
+          .withColumn("kw", expr(
+            "size(filter(split(text, ' '), t -> t = 'join' OR t = 'filter'))"))
+          .filter(col("kw") > 0)
+          .orderBy(col("kw").desc, col("doc_id").asc).limit(100)
+          .withColumn("r_kw", row_number().over(
+            Window.orderBy(col("kw").desc, col("doc_id").asc)))
+          .select(col("doc_id"), col("r_kw"))
+        val e = normed(s, d)
+        val q = e.filter(col("vec_id") === 0).select(
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val vecList = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            cosine("q_emb", "embedding", "q_nrm", "nrm"))
+          .orderBy(col("cosine").desc, col("doc_id").asc).limit(100)
+          .withColumn("r_vec", row_number().over(
+            Window.orderBy(col("cosine").desc, col("doc_id").asc)))
+          .select(col("doc_id"), col("r_vec"))
+        kwList.join(vecList, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_score",
+            coalesce(lit(1.0) / (lit(60) + col("r_kw")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+          .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(20)
+          .select(col("doc_id"), col("r_kw"), col("r_vec"), col("rrf_score"))
+      },
+      Some(s"""
+        WITH $normedSql,
+        kw_list AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY kw DESC, doc_id ASC) AS r_kw
+          FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('join', 'filter'))) AS kw
+            FROM documents WHERE doc_id <> 0) t
+          WHERE kw > 0
+          ORDER BY kw DESC, doc_id ASC LIMIT 100),
+        q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        vec_list AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS r_vec
+          FROM (
+            SELECT e.vec_id AS doc_id,
+                   list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                     i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                     (x, y) -> x + y) / (q.q_nrm * e.nrm) AS cosine
+            FROM e CROSS JOIN q WHERE e.vec_id <> 0) t
+          ORDER BY cosine DESC, doc_id ASC LIMIT 100)
+        SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+               k.r_kw AS r_kw, v.r_vec AS r_vec,
+               COALESCE(1.0::DOUBLE / (60 + k.r_kw), 0.0)
+                 + COALESCE(1.0::DOUBLE / (60 + v.r_vec), 0.0) AS rrf_score
+        FROM kw_list k FULL OUTER JOIN vec_list v ON k.doc_id = v.doc_id
+        ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
       """))
   )
 

@@ -19,8 +19,9 @@ class PlanAuditSpec extends SparkSpec {
     "ref_watermark_filter", "text_tfidf", "sim_topk_cosine",
     "curate_domain_mix", "sim_ann_ivf",
     // 1-row broadcast scalar frames (candidate array / total count /
-    // stage counts) — the watermark-filter pattern, not a data-path BNLJ
-    "agg_heavy_hitters", "win_funnel")
+    // stage counts / probe embedding) — the watermark-filter pattern,
+    // not a data-path BNLJ
+    "agg_heavy_hitters", "win_funnel", "sim_hybrid_rrf")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
@@ -38,6 +39,25 @@ class PlanAuditSpec extends SparkSpec {
       val plan = SparkEntry.queries(name)(spark, sfTiny)
         .queryExecution.sparkPlan.toString
       assert(plan.contains("TakeOrderedAndProject"), s"$name: $plan")
+    }
+  }
+
+  test("sim_hybrid_rrf retrieves both modality lists via TakeOrdered heaps") {
+    // each tower's top-100 must be a per-partition heap over the scan —
+    // a global Sort before the limit would serialize the corpus through
+    // one task; the only windows allowed run AFTER the ≤100-row limits
+    val plan = SparkEntry.queries("sim_hybrid_rrf")(spark, sfTiny)
+      .queryExecution.sparkPlan
+    val takes = plan.collect {
+      case t if t.nodeName.contains("TakeOrderedAndProject") => t
+    }
+    assert(takes.size >= 2, s"expected 2 modality heaps + fusion:\n$plan")
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.collectFirst {
+        case t if t.nodeName.contains("TakeOrderedAndProject") => t
+      }.isDefined, s"rank window not fed by a limited list:\n$w")
     }
   }
 
