@@ -361,11 +361,18 @@ object Dedup extends QueryModule {
     // delta is carved deterministically (doc_id % 4 = 0) from the same
     // table so the whole flow stays value-level oracle-twinnable; the
     // production wiring swaps `Tables.documents` for the index table and
-    // the landing batch. New-vs-new duplicates inside the batch are
-    // caught by the same band join (lower id wins, mirroring
-    // dedup_minhash's doc_a < doc_b); corpus docs are "already accepted"
-    // so they match at ANY id. Output: one row per verified duplication
-    // (new_doc, dup_of, jaccard).
+    // the landing batch. CRITICALLY, both probe sides are per-bucket
+    // CANONS (min doc_id per (band, band_sig) — exactly what `bandIndex`
+    // persists), not raw signatures: a dup group of size g keeps ONE
+    // index row per bucket, so candidates are ≤ bands per new doc no
+    // matter how popular its content is. Probing raw signatures instead
+    // measured 22.5× wall / 65× cpu at 10× data (dup groups grow with
+    // the corpus ⇒ Σ bucket² pairs); the canon probe is the linear
+    // shape — and chained near-dups the canon misses are
+    // `dedup_clusters`' transitivity job, same as batch minhash.
+    // New-vs-new duplicates probe the batch's own band canons (strictly
+    // lower id — each pair once). Output: one row per verified
+    // duplication (new_doc, dup_of, jaccard).
     GraftQuery(
       "dedup_incremental",
       (s, d) => {
@@ -374,10 +381,15 @@ object Dedup extends QueryModule {
           Tables.documents(s, d), Some(s.sparkContext.defaultParallelism)))
         val delta = mh.filter(pmod(col("doc_id"), lit(4)) === 0)
           .select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
-        // probe side: the corpus index (any id) ∪ earlier docs of the
-        // same batch (strictly lower id — each within-batch pair once)
-        val probed = mh.select(col("doc_id").as("doc_b"),
-          col("band").as("band2"), col("band_sig").as("band_sig2"))
+        // probe side: per-bucket canons of the accepted corpus (any id)
+        // ∪ per-bucket canons of the batch itself (strictly lower id)
+        val corpusIdx = mh.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+          .groupBy(col("band").as("band2"), col("band_sig").as("band_sig2"))
+          .agg(min(col("doc_id")).as("doc_b"))
+        val batchIdx = mh.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .groupBy(col("band").as("band2"), col("band_sig").as("band_sig2"))
+          .agg(min(col("doc_id")).as("doc_b"))
+        val probed = corpusIdx.unionByName(batchIdx)
         val cand = delta.join(probed,
             col("band") === col("band2") && col("band_sig") === col("band_sig2") &&
               (pmod(col("doc_b"), lit(4)) =!= 0 || col("doc_b") < col("doc_a")))
@@ -389,12 +401,20 @@ object Dedup extends QueryModule {
       },
       Some(s"""
         WITH $minhashBandsSql,
+        corpus_idx AS (
+          SELECT band, band_sig, MIN(doc_id) AS doc_b
+          FROM mh WHERE doc_id % 4 <> 0 GROUP BY band, band_sig),
+        batch_idx AS (
+          SELECT band, band_sig, MIN(doc_id) AS doc_b
+          FROM mh WHERE doc_id % 4 = 0 GROUP BY band, band_sig),
+        idx AS (
+          SELECT * FROM corpus_idx UNION ALL SELECT * FROM batch_idx),
         cand AS (
-          SELECT DISTINCT d.doc_id AS doc_a, c.doc_id AS doc_b
-          FROM mh d JOIN mh c
+          SELECT DISTINCT d.doc_id AS doc_a, c.doc_b AS doc_b
+          FROM mh d JOIN idx c
             ON d.band = c.band AND d.band_sig = c.band_sig
           WHERE d.doc_id % 4 = 0
-            AND (c.doc_id % 4 <> 0 OR c.doc_id < d.doc_id)),
+            AND (c.doc_b % 4 <> 0 OR c.doc_b < d.doc_id)),
         common AS (
           SELECT doc_a, doc_b, count(*) AS c
           FROM cand

@@ -60,13 +60,19 @@ class DedupSpec extends SparkSpec {
 
   test("dedup_incremental flags new docs against corpus and earlier batch peers") {
     // %4 carve on the fixture: delta = {0, 4}, corpus = {1, 2, 3}.
-    // New doc 0 duplicates corpus docs 1 (exact) and 2 (near) — note
-    // dup_of may exceed new_doc for corpus matches (the corpus is
-    // "already accepted", id order is irrelevant); new doc 4 near-dups
-    // corpus doc 3; nothing pairs across the unrelated groups.
+    // New doc 0 duplicates the {1, 2} dup group; the probe is against
+    // per-bucket CANONS (what the persistent index stores), so 0 links
+    // to the group's canon 1 ONLY — not to member 2, whose group
+    // membership was already established at its own ingest (chained
+    // links are dedup_clusters' transitivity job). dup_of may exceed
+    // new_doc for corpus matches (the corpus is "already accepted", id
+    // order is irrelevant); new doc 4 near-dups corpus doc 3; nothing
+    // pairs across the unrelated groups.
     val rows = run("dedup_incremental")
       .select("new_doc", "dup_of").as[(Long, Long)].collect().toSet
-    assert(rows === Set((0L, 1L), (0L, 2L), (4L, 3L)))
+    assert(rows === Set((0L, 1L), (4L, 3L)))
+    assert(!rows.contains((0L, 2L)),
+      "canon probe must link to the group canon, not every member")
   }
 
   test("stored band index: probe without corpus re-scan; min-merge maintenance") {
