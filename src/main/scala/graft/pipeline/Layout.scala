@@ -124,6 +124,52 @@ object Layout extends QueryModule {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** File-level min/max stats over `statsCols` for every parquet file
+    * under `dataDir` — the data-skipping index a lake keeps NEXT TO a
+    * table so a planner can prune files without opening their footers.
+    * One column-pruned scan of the table builds it; it is tiny (rows =
+    * files) and is meant to be persisted and maintained incrementally
+    * at real scale. Parquet row-group stats already give per-FILE
+    * skipping at read time, but only after listing and opening every
+    * footer; an explicit index makes pruning an O(index) metadata query
+    * — the difference between touching 10⁶ files and reading one small
+    * table at 100 TB. Pairs naturally with `clusteredWrite`/
+    * `zorderWrite`, which are what make per-file ranges TIGHT.
+    */
+  def buildSkippingIndex(spark: SparkSession, dataDir: String,
+                         statsCols: Seq[String]): DataFrame = {
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read `dataDir` with file pruning: consult the skipping `index` for
+    * files whose [min, max] intervals intersect EVERY requested range,
+    * read only those, and re-apply the ranges as a residual row filter
+    * (file stats admit, never decide). The collected file list is
+    * metadata-scale (≤ index rows — the same class of driver action as
+    * compaction's listing). A file whose stats are null for a range
+    * column holds only nulls there and no range predicate can admit a
+    * null, so excluding it is exact.
+    */
+  def prunedScan(spark: SparkSession, dataDir: String, index: DataFrame,
+                 ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "prunedScan needs at least one range")
+    val admit = ranges.map { case (c, lo, hi) =>
+      col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
+    }.reduce(_ && _)
+    val files = index.filter(admit).select(col("file"))
+      .collect().map(_.getString(0))
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (files.isEmpty)
+      spark.read.parquet(dataDir).limit(0).filter(residual)
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+  }
+
   /** Copy-on-write upsert: rows of `base` whose key appears in `delta`
     * are replaced by the delta row; delta rows with new keys append.
     * One anti-join on the key + one union — no driver-side state.
@@ -265,6 +311,34 @@ object Layout extends QueryModule {
       },
       Some("""
         SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey BETWEEN 500 AND 800
+          AND l_partkey BETWEEN 100 AND 400
+        ORDER BY l_orderkey, l_partkey, l_linenumber
+      """)),
+
+    // ───── skipping-index-pruned scan over a Z-ordered layout ─────
+    // The full lake read path: Z-order the table, index each file's
+    // (orderkey, partkey) envelope, answer a 2-D box query by pruning
+    // files through the INDEX (LayoutSpec proves files are actually
+    // skipped) and residual-filtering the survivors. Value-identical to
+    // the oracle's plain WHERE — stats admit, never decide.
+    GraftQuery(
+      "src_skipping_scan",
+      (s, d) => {
+        val tmp = Sources.scratch(d, "skipidx_")
+        zorderWrite(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+              col("l_quantity")),
+          "l_orderkey", "l_partkey", numFiles = 8, tmp)
+        val idx = buildSkippingIndex(s, tmp, Seq("l_orderkey", "l_partkey"))
+        prunedScan(s, tmp, idx,
+            Seq(("l_orderkey", 500L, 800L), ("l_partkey", 100L, 400L)))
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
         FROM lineitem
         WHERE l_orderkey BETWEEN 500 AND 800
           AND l_partkey BETWEEN 100 AND 400

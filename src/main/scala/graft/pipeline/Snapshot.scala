@@ -294,6 +294,41 @@ object SnapshotStore {
     } finally tagged.unpersist()
   }
 
+  /** Point lookup: the current row(s) for one key value, reading ONLY
+    * that key's hash bucket — IO is table_size/numBuckets at any table
+    * size, which is what makes the store a serviceable key-value read
+    * path (the same hash route the upsert writer takes, so reader and
+    * writer can never disagree on placement). The filter lands on the
+    * single bucket's parquet scan, so row-group stats prune within the
+    * file too. Returns None before the first commit.
+    */
+  def lookupKey(spark: SparkSession, dir: String,
+                key: String, value: Any): Option[DataFrame] =
+    manifest(spark, dir).map { m =>
+      // the literal must hash under the key column's EXACT type (Murmur3
+      // is type-sensitive: hash(5: int) != hash(5L)) — pull the type
+      // from any bucket's footer, then route via a 1-row local eval
+      // through the same expression the writer bucketed with (no table
+      // data is touched)
+      val (b0, v0) = m.buckets.head
+      val keyType = spark.read
+        .parquet(s"${versionDir(dir, v0)}/${bucketDirName(b0)}")
+        .schema(key).dataType
+      val b = spark.range(1)
+        .select(pmod(hash(lit(value).cast(keyType)), lit(m.numBuckets)).as("b"))
+        .head().getInt(0)
+      m.buckets.get(b) match {
+        case Some(owner) =>
+          spark.read.option("mergeSchema", "true")
+            .parquet(s"${versionDir(dir, owner)}/${bucketDirName(b)}")
+            .filter(col(key) === lit(value).cast(keyType))
+        case None => // the key's bucket was never written: no such key
+          spark.read
+            .parquet(s"${versionDir(dir, v0)}/${bucketDirName(b0)}")
+            .limit(0)
+      }
+    }
+
   /** The net row-level changes between two committed versions — the
     * CDC READ side of the store (time travel answers "what WAS the
     * table"; this answers "what CHANGED"), the feed a downstream

@@ -92,6 +92,33 @@ class LayoutSpec extends SparkSpec {
       s"z-order must prune a 2-D box better than 1-D clustering: z=$z lin=$lin")
   }
 
+  test("skipping index prunes files; pruned scan is value-identical to full scan") {
+    val cols = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val dir = scratchDir("skipidx")
+    Layout.zorderWrite(cols, "l_orderkey", "l_partkey", numFiles = 16, dir)
+    val idx = Layout.buildSkippingIndex(spark, dir,
+      Seq("l_orderkey", "l_partkey"))
+    assert(idx.count() >= 8, "premise: a real multi-file layout")
+
+    val ranges = Seq(("l_orderkey", 1L, 300L), ("l_partkey", 1L, 50L))
+    val pruned = Layout.prunedScan(spark, dir, idx, ranges)
+    // files actually skipped: the pruned frame reads strictly fewer
+    assert(pruned.inputFiles.length < idx.count(),
+      s"no files pruned: ${pruned.inputFiles.length} of ${idx.count()}")
+    // and the answer is exactly the full scan's
+    val full = spark.read.parquet(dir)
+      .filter(col("l_orderkey").between(1, 300) &&
+        col("l_partkey").between(1, 50))
+    assert(pruned.orderBy("l_orderkey", "l_partkey", "l_quantity")
+      .collect().toSeq ==
+      full.orderBy("l_orderkey", "l_partkey", "l_quantity").collect().toSeq)
+
+    // a box outside every file envelope reads nothing and stays exact
+    assert(Layout.prunedScan(spark, dir, idx,
+      Seq(("l_orderkey", -100L, -1L))).count() == 0)
+  }
+
   test("shardedWrite lands exactly one file per shard dir, disjoint and complete") {
     val out = scratchDir("sharded")
     val docs = Tables.documents(spark, sfTiny)

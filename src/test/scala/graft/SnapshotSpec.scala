@@ -397,6 +397,33 @@ class SnapshotSpec extends SparkSpec {
     assert(asOf(3L)(3L) == (9L, "c2"))
   }
 
+  test("point lookup reads exactly one bucket and routes like the writer") {
+    val snap = scratchDir("snap_lookup") + "/tbl"
+    spark.conf.set("spark.graft.snapshot.buckets", "8")
+    try {
+      SnapshotStore.upsertVersion(spark,
+        (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v"),
+        "k", None, snap, 0L)
+      // every key resolves to its row, via ONE bucket dir's files only
+      Seq(1L, 57L, 200L).foreach { k =>
+        val df = SnapshotStore.lookupKey(spark, snap, "k", k).get
+        val rows = df.select("v").collect().map(_.getString(0))
+        assert(rows.toSeq == Seq(s"v$k"), s"key $k")
+        val dirs = df.inputFiles.map(_.replaceAll("/[^/]+$", "")).distinct
+        assert(dirs.length == 1 && dirs.head.contains("_bucket="),
+          s"lookup of $k read ${dirs.mkString(", ")}")
+      }
+      // int-typed value for a bigint key still routes correctly
+      assert(SnapshotStore.lookupKey(spark, snap, "k", 57)
+        .get.count() == 1)
+      // absent key: empty, not an error
+      assert(SnapshotStore.lookupKey(spark, snap, "k", 4242L).get.count() == 0)
+      // before any commit: None
+      assert(SnapshotStore.lookupKey(spark,
+        scratchDir("snap_lookup_empty") + "/none", "k", 1L).isEmpty)
+    } finally spark.conf.unset("spark.graft.snapshot.buckets")
+  }
+
   test("change feed: semantic diff only, netting across version spans") {
     val snap = scratchDir("snap_feed") + "/tbl"
     def feed(a: Long, b: Long): Map[Long, (String, String)] =
