@@ -23,6 +23,7 @@ object SparkEntry {
     ops.Multimodal,
     ops.Advanced,
     ops.Extras,
+    ops.Graph,
     pipeline.Sources,
     pipeline.Layout
   )

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.{GraftQuery, Materialize, QueryModule, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph traversal — the general recursive-query surface.
+  *
+  * Spark 4.1's recursive CTEs support only UNION ALL, which diverges on
+  * cyclic graphs (the limitation named in SqlRegistrySweepSpec), so the
+  * fixpoint shape that a warehouse writes as `WITH RECURSIVE` is provided
+  * here as a library operator instead: level-synchronous multi-source BFS
+  * over an edge frame. Connected components (ConnectedComponents.run) is
+  * the other recursive workhorse; between them they cover the reachability
+  * / transitive-closure / hierarchy-walk family.
+  *
+  * Scale shape: each round is ONE equi-join shuffle (frontier × edges on
+  * the source node id) plus one anti-join against the visited set — no
+  * driver-side graph state, no adjacency collect. The edge frame is staged
+  * once (at 100 TB it would live bucketed on `u`, making the per-round
+  * join co-located); the frontier is the only frame that changes, and on
+  * high-degree nodes AQE skew-splits the join. Rounds are bounded by
+  * min(graph diameter, maxHops) — level-synchronous discovery guarantees
+  * the first hop count assigned to a node is its minimum, which is exactly
+  * the `MIN(hops) GROUP BY node` a recursive-CTE oracle computes.
+  */
+object Graph extends QueryModule {
+
+  /** Hop distances from `seeds` along directed `edges`, bounded by
+    * `maxHops`.
+    *
+    * @param edges   directed edge frame, two numeric columns (u, v);
+    *                callers symmetrize first for undirected semantics
+    * @param seeds   one-column frame of start nodes (may itself be the
+    *                result of a query — never collected to the driver)
+    * @param maxHops inclusive traversal bound (recursion depth in the
+    *                WITH RECURSIVE equivalent)
+    * @return (node, hops:int) — every node reachable within maxHops,
+    *         hops = minimum hop count (0 for seeds)
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // staged once: the per-round join must not re-run the (possibly
+    // expensive) edge derivation, and each round's plan must not embed
+    // the previous round's (stageIterative truncates)
+    val e = Materialize.stageIterative(edges.toDF("u", "v"))
+    var dist = Materialize.stageIterative(
+      seeds.toDF("node").distinct().select(col("node"), lit(0).cast("int").as("hops")))
+    dist.count()
+    var frontier = dist
+    var hop = 0
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      // neighbors of the frontier not yet visited get distance `hop`;
+      // distinct() before the anti-join so a node reached via many
+      // frontier edges shuffles once, not per-edge
+      val next = Materialize.stageIterative(
+        frontier.join(e, frontier("node") === e("u"))
+          .select(e("v").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop).cast("int").as("hops")))
+      if (next.isEmpty) {
+        exhausted = true
+        next.unpersist(blocking = false)
+      } else {
+        val grown = Materialize.stageIterative(dist.union(next))
+        grown.count() // materialize before freeing the frames it reads
+        if (!(frontier eq dist)) frontier.unpersist(blocking = false)
+        dist.unpersist(blocking = false)
+        dist = grown
+        frontier = next
+      }
+    }
+    dist
+  }
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── bounded reachability over a derived co-line graph ─────
+    // Parts are linked when they sit on ADJACENT lines of the same order
+    // (sparser than the all-pairs co-purchase graph, whose edge count is
+    // Σ k² per order); hop distances from the smallest part key, 4 hops.
+    // The oracle is the textbook WITH RECURSIVE walk — the exact query a
+    // warehouse user would write, runnable in DuckDB but not Spark SQL
+    // (UNION-distinct recursion), which is why the operator exists.
+    GraftQuery(
+      "graph_reach",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val a = li.toDF("ok", "ln", "u")
+        val b = li.toDF("ok2", "ln2", "v")
+        val adj = a.join(b,
+            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
+              a("u") =!= b("v"))
+          .select(col("u"), col("v"))
+        val undirected = adj.union(adj.select(col("v").as("u"), col("u").as("v")))
+        val seeds = li.agg(min(col("l_partkey")).as("node"))
+        bfs(undirected, seeds, maxHops = 4)
+          .select(col("node").as("part"), col("hops"))
+          .orderBy(col("part"))
+      },
+      Some("""
+        WITH RECURSIVE adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey
+        ),
+        edges AS (SELECT u, v FROM adj UNION ALL SELECT v AS u, u AS v FROM adj),
+        seed AS (SELECT MIN(l_partkey) AS node FROM lineitem),
+        walk(node, hops) AS (
+          SELECT node, 0 FROM seed
+          UNION
+          SELECT e.v, w.hops + 1 FROM walk w JOIN edges e ON e.u = w.node
+          WHERE w.hops < 4
+        )
+        SELECT node AS part, CAST(MIN(hops) AS INT) AS hops
+        FROM walk GROUP BY node ORDER BY part
+      """))
+  )
+}

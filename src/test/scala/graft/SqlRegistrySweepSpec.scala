@@ -210,7 +210,10 @@ class SqlRegistrySweepSpec extends SparkSpec {
         "which diverges on cyclic graphs"),
     "dedup_semantic" ->
       ("same recursive-CTE UNION limitation (connected components for " +
-        "duplicate-cluster transitivity)"))
+        "duplicate-cluster transitivity)"),
+    "graph_reach" ->
+      ("the oracle IS a WITH RECURSIVE UNION-distinct walk (the operator " +
+        "exists precisely because Spark 4.1 cannot run it as SQL)"))
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
