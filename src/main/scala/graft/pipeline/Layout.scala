@@ -592,6 +592,78 @@ object Layout extends QueryModule {
                'N' AS o_orderstatus, o_orderpriority, 'insert' AS _change
         FROM base WHERE o_orderkey % 193 = 0
         ORDER BY o_orderkey
+      """)),
+
+    // ───── incremental materialized-view maintenance over CDC ─────
+    // v1 = base; the per-customer (count, spend) view is aggregated once
+    // at v1; v2 applies the sink_upsert_delete CDC recipe; the view at
+    // v2 is then MAINTAINED from churned buckets only — the base table
+    // is never rescanned. Decimal sums make the maintained view
+    // bit-identical to a full recompute, which is exactly what the
+    // oracle computes over the merged final state. Groups whose orders
+    // were all deleted must vanish; inserted keys land in their groups.
+    GraftQuery(
+      "sink_view_maintain",
+      (s, d) => {
+        val tmp  = Sources.scratch(d, "viewmaint_")
+        new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new Path(tmp), true) // versioned store: see sink_upsert_evolve
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, tmp, 1L)
+        val spendExpr = col("o_totalprice").cast(DecimalType(18, 2))
+        val oldView = SnapshotStore.readVersion(s, tmp, 1L)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"), sum(spendExpr).as("spend"))
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0 &&
+            pmod(col("o_orderkey"), lit(151)) =!= 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+          .withColumn("_op", lit("u"))
+        val deletes = base
+          .filter(pmod(col("o_orderkey"), lit(151)) === 0)
+          .withColumn("_op", lit("d"))
+        val inserts = base
+          .filter(pmod(col("o_orderkey"), lit(193)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("_op", lit("u"))
+        SnapshotStore.upsertVersion(s,
+          updates.unionByName(deletes).unionByName(inserts),
+          "o_orderkey", None, tmp, 2L, opCol = Some("_op"))
+        SnapshotStore.maintainAgg(s, tmp, 1L, 2L, oldView,
+            Seq("o_custkey"), Seq("spend" -> spendExpr))
+          .select(col("o_custkey"), col("cnt"),
+            col("spend").cast("double").as("spend"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders),
+        upd AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 o_totalprice + 100000.0 AS o_totalprice
+          FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey % 151 <> 0),
+        del AS (
+          SELECT o_orderkey FROM base WHERE o_orderkey % 151 = 0),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                 'N' AS o_orderstatus, o_totalprice
+          FROM base WHERE o_orderkey % 193 = 0),
+        touched AS (
+          SELECT o_orderkey FROM upd UNION ALL SELECT o_orderkey FROM del
+          UNION ALL SELECT o_orderkey FROM ins),
+        merged AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins)
+        SELECT o_custkey, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM merged GROUP BY o_custkey ORDER BY o_custkey
       """))
   )
 }

@@ -354,29 +354,11 @@ object SnapshotStore {
     */
   def changes(spark: SparkSession, dir: String, key: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
-    require(fromVersion < toVersion,
-      s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
     val f = fs(spark, dir)
-    Seq(fromVersion, toVersion).foreach { v =>
-      require(f.exists(markerPath(dir, v)),
-        s"version $v was never committed in $dir " +
-          s"(committed: ${versions(spark, dir).mkString(", ")})")
-      require(f.exists(manifestPath(dir, v)),
-        s"version $v is outside the retention window: its manifest was " +
-          "pruned (raise `retain` on the writer to keep deeper history)")
-    }
-    val m1 = readManifest(f, dir, fromVersion)
-    val m2 = readManifest(f, dir, toVersion)
-    val churned = (m1.buckets.keySet ++ m2.buckets.keySet)
-      .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
+    val (m1, m2, churned) = spanChurn(f, spark, dir, fromVersion, toVersion)
 
-    def side(m: Manifest): Option[DataFrame] = {
-      val paths = m.buckets.collect { case (b, ver) if churned(b) =>
-        s"${versionDir(dir, ver)}/${bucketDirName(b)}"
-      }.toSeq
-      if (paths.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
-    }
+    def side(m: Manifest): Option[DataFrame] =
+      churnedRows(spark, dir, m, churned)
     (side(m1), side(m2)) match {
       case (None, None) => // no churn: an empty, schema-correct feed
         readVersion(spark, dir, toVersion).limit(0)
@@ -407,6 +389,96 @@ object SnapshotStore {
           .select(picked :+ change.as("_change"): _*)
           .filter(col("_change").isNotNull)
     }
+  }
+
+  /** Validate a version span (both committed, both inside retention) and
+    * return its manifests plus the bucket ids whose OWNERSHIP differs —
+    * exactly the buckets some version in the span rewrote. Shared by the
+    * change feed and incremental view maintenance, which both owe their
+    * O(churned buckets) cost bound to this set.
+    */
+  private def spanChurn(f: FileSystem, spark: SparkSession, dir: String,
+                        fromVersion: Long, toVersion: Long)
+      : (Manifest, Manifest, Set[Int]) = {
+    require(fromVersion < toVersion,
+      s"span requires fromVersion < toVersion, got $fromVersion >= $toVersion")
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(f.exists(markerPath(dir, v)),
+        s"version $v was never committed in $dir " +
+          s"(committed: ${versions(spark, dir).mkString(", ")})")
+      require(f.exists(manifestPath(dir, v)),
+        s"version $v is outside the retention window: its manifest was " +
+          "pruned (raise `retain` on the writer to keep deeper history)")
+    }
+    val m1 = readManifest(f, dir, fromVersion)
+    val m2 = readManifest(f, dir, toVersion)
+    val churned = (m1.buckets.keySet ++ m2.buckets.keySet)
+      .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
+    (m1, m2, churned)
+  }
+
+  /** A manifest's rows restricted to the given buckets, or None if it
+    * owns none of them (mergeSchema reconciles cross-vintage columns).
+    */
+  private def churnedRows(spark: SparkSession, dir: String, m: Manifest,
+                          churned: Set[Int]): Option[DataFrame] = {
+    val paths = m.buckets.collect { case (b, ver) if churned(b) =>
+      s"${versionDir(dir, ver)}/${bucketDirName(b)}"
+    }.toSeq
+    if (paths.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+  }
+
+  /** The bucket ids rewritten in a version span (spec/audit seam: pins
+    * the O(churned buckets) cost bound of `changes`/`maintainAgg`). */
+  private[graft] def churnedBuckets(spark: SparkSession, dir: String,
+                                    fromVersion: Long, toVersion: Long): Set[Int] =
+    spanChurn(fs(spark, dir), spark, dir, fromVersion, toVersion)._3
+
+  /** Incrementally maintain a grouped count-and-sums aggregate view
+    * across a version span — the materialized-view counterpart of
+    * `changes`.
+    *
+    * `oldView` is the full aggregate at `fromVersion` with columns
+    * `groupCols ++ cntCol ++ sums.map(_._1)`; `sums` pairs each view
+    * column with the row-level expression it sums (cast it to DECIMAL —
+    * decimal addition is associative, which is what makes the
+    * incremental result BIT-IDENTICAL to a full recompute; double sums
+    * would drift with grouping order). The view at `toVersion` is
+    * `oldView − partial(churned buckets @ from) + partial(churned
+    * buckets @ to)`: per-group signed partials over only the buckets
+    * the span rewrote, one shuffle on the group keys over
+    * O(view + churned rows) — the base table is never rescanned.
+    * Groups whose count reaches zero vanish, new groups appear.
+    *
+    * Count+sum covers the distributive family (avg = sum/cnt at read
+    * time). Min/max are deliberately NOT supported: deleting a group's
+    * extremum requires rescanning that group, so an exact min/max view
+    * is not maintainable from deltas alone.
+    */
+  def maintainAgg(spark: SparkSession, dir: String,
+                  fromVersion: Long, toVersion: Long,
+                  oldView: DataFrame, groupCols: Seq[String],
+                  sums: Seq[(String, Column)],
+                  cntCol: String = "cnt"): DataFrame = {
+    import org.apache.spark.sql.functions.{count, sum}
+    val f = fs(spark, dir)
+    val (m1, m2, churned) = spanChurn(f, spark, dir, fromVersion, toVersion)
+    if (churned.isEmpty) return oldView
+
+    def partial(rows: DataFrame, sign: Int): DataFrame = {
+      val aggs = (count(lit(1)) * lit(sign)).cast("long").as(cntCol) +:
+        sums.map { case (n, e) => (sum(e) * lit(sign)).as(n) }
+      rows.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val frames = Seq(Some(oldView),
+      churnedRows(spark, dir, m1, churned).map(partial(_, -1)),
+      churnedRows(spark, dir, m2, churned).map(partial(_, +1))).flatten
+    val merged = frames.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col(cntCol)).cast("long").as(cntCol),
+        sums.map { case (n, _) => sum(col(n)).as(n) }: _*)
+    merged.filter(col(cntCol) > 0)
   }
 
   /** Delete bucket dirs that none of the `retain` newest committed

@@ -548,6 +548,63 @@ class SnapshotSpec extends SparkSpec {
     assert(acceptedIds === Set(10L, 13L))
   }
 
+  test("incremental view maintenance: chained spans equal full recomputes, groups vanish and appear") {
+    val snap = scratchDir("snap_view") + "/tbl"
+    spark.conf.set("spark.graft.snapshot.buckets", "8")
+    try {
+      def viewOf(v: Long) = SnapshotStore.readVersion(spark, snap, v)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("amt").cast(DecimalType(18, 2))).as("total"))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+        df.select(col("grp"), col("cnt"), col("total").cast("double"))
+          .as[(String, Long, Double)].collect().toSet
+      def maintain(from: Long, to: Long, old: org.apache.spark.sql.DataFrame) =
+        SnapshotStore.maintainAgg(spark, snap, from, to, old, Seq("grp"),
+          Seq("total" -> col("amt").cast(DecimalType(18, 2))))
+
+      // v0: three cyclic groups over keys 1..30, plus a doomed group
+      // whose entire membership v1 will delete
+      val base = (1L to 30L).map(k => (k, s"g${k % 3}", k * 1.25, "u")) ++
+        Seq(100L, 101L, 102L).map(k => (k, "gone", k * 2.0, "u"))
+      SnapshotStore.upsertVersion(spark,
+        base.toDF("k", "grp", "amt", "op"), "k", None, snap, 0L,
+        retain = 5, opCol = Some("op"))
+      val view0 = viewOf(0L)
+
+      // v1: delete ALL of "gone", update one key, insert a new group
+      SnapshotStore.upsertVersion(spark,
+        (Seq(100L, 101L, 102L).map(k => (k, "gone", 0.0, "d")) ++
+          Seq((1L, "g1", 999.75, "u"), (50L, "new", 7.50, "u")))
+          .toDF("k", "grp", "amt", "op"),
+        "k", None, snap, 1L, retain = 5, opCol = Some("op"))
+      val view1 = maintain(0L, 1L, view0)
+      assert(rows(view1) === rows(viewOf(1L)))
+      val byGrp1 = rows(view1).map(r => r._1 -> r).toMap
+      assert(!byGrp1.contains("gone"), "fully-deleted group must vanish")
+      assert(byGrp1("new") === ("new", 1L, 7.50))
+
+      // v2: a single-key delta — churn must be ONE bucket of 8, and the
+      // CHAINED maintenance (view1 was itself maintained) still matches
+      SnapshotStore.upsertVersion(spark,
+        Seq((2L, "g2", 2.25, "u")).toDF("k", "grp", "amt", "op"),
+        "k", None, snap, 2L, retain = 5, opCol = Some("op"))
+      assert(SnapshotStore.churnedBuckets(spark, snap, 1L, 2L).size === 1)
+      val view2 = maintain(1L, 2L, view1)
+      assert(rows(view2) === rows(viewOf(2L)))
+
+      // v3: an empty delta — no churn, the view passes through untouched
+      SnapshotStore.upsertVersion(spark,
+        base.toDF("k", "grp", "amt", "op").limit(0), "k", None, snap, 3L,
+        retain = 5, opCol = Some("op"))
+      assert(SnapshotStore.churnedBuckets(spark, snap, 2L, 3L).isEmpty)
+      assert(rows(maintain(2L, 3L, view2)) === rows(view2))
+
+      // a span across several versions maintains in ONE step
+      assert(rows(maintain(0L, 2L, view0)) === rows(viewOf(2L)))
+    } finally spark.conf.unset("spark.graft.snapshot.buckets")
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     val dim = Seq((10L, "alice"), (11L, "bob")).toDF("id", "name")
     val mem = MemoryStream[(Long, Long, Double)](spark)
