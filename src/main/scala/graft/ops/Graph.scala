@@ -39,10 +39,15 @@ object Graph extends QueryModule {
     *         hops = minimum hop count (0 for seeds)
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    // staged once: the per-round join must not re-run the (possibly
-    // expensive) edge derivation, and each round's plan must not embed
-    // the previous round's (stageIterative truncates)
-    val e = Materialize.stageIterative(edges.toDF("u", "v"))
+    // Staged ONCE, hash-partitioned on the join key: plain stage()
+    // (InMemoryRelation) preserves the repartition's HashPartitioning,
+    // so every round's frontier-expansion join exchanges ONLY the
+    // frontier side and reads the edge cache co-partitioned — without
+    // this the (100 TB-scale) edge table re-shuffles every round.
+    // stageIterative would cut the plan to a LogicalRDD and LOSE the
+    // partitioning; the edge plan is referenced once per round without
+    // nesting, so the uncut plan stays analyzer-safe.
+    val e = Materialize.stage(edges.toDF("u", "v").repartition(col("u")))
     var dist = Materialize.stageIterative(
       seeds.toDF("node").distinct().select(col("node"), lit(0).cast("int").as("hops")))
     dist.count()
