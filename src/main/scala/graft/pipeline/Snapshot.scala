@@ -435,6 +435,19 @@ object SnapshotStore {
                                     fromVersion: Long, toVersion: Long): Set[Int] =
     spanChurn(fs(spark, dir), spark, dir, fromVersion, toVersion)._3
 
+  /** Whether a span can be read incrementally: both versions committed
+    * AND their manifests still inside the retention window. Lets a
+    * caller choose a full-rebuild fallback instead of hitting
+    * `changes`/`maintainAgg`'s loud refusal.
+    */
+  def spanReadable(spark: SparkSession, dir: String,
+                   fromVersion: Long, toVersion: Long): Boolean = {
+    val f = fs(spark, dir)
+    fromVersion < toVersion &&
+      Seq(fromVersion, toVersion).forall(v =>
+        f.exists(markerPath(dir, v)) && f.exists(manifestPath(dir, v)))
+  }
+
   /** Incrementally maintain a grouped count-and-sums aggregate view
     * across a version span — the materialized-view counterpart of
     * `changes`.

@@ -421,6 +421,113 @@ object StreamingPipeline extends Serializable {
       }
       .start()
 
+  /** Continuous CDC upsert that ALSO maintains a grouped aggregate
+    * view incrementally — the live materialized-view loop: each batch
+    * commits the table (version = batchId, tombstones honored), then
+    * folds exactly that table span into a SECOND snapshot store
+    * holding the view, via `SnapshotStore.maintainAgg` — so the view
+    * update costs O(view + churned buckets), never a table rescan.
+    *
+    * Exactly-once across BOTH stores with no cross-store transaction:
+    * the view store's version number IS the table version it reflects.
+    * A replayed batch no-ops the table on its marker, and `foldView`
+    * sees view head == table head and returns. A crash BETWEEN the two
+    * commits leaves the view one (or more) versions behind; the next
+    * fold maintains across the whole span in one step (maintainAgg
+    * spans are multi-version), so the view catches up without special
+    * recovery.
+    */
+  def runIncrementalView(
+      spark: SparkSession,
+      stream: DataFrame,
+      key: String,
+      seqCol: Option[String],
+      groupCol: String,
+      sums: Seq[(String, org.apache.spark.sql.Column)],
+      snapshotDir: String,
+      viewDir: String,
+      checkpointDir: String,
+      opCol: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.SnapshotStore.upsertVersion(
+          batch.sparkSession, batch, key, seqCol, snapshotDir, batchId,
+          opCol = opCol)
+        foldView(batch.sparkSession, snapshotDir, viewDir, groupCol, sums)
+      }
+      .start()
+
+  /** Bring the view store up to the table store's head (idempotent;
+    * factored out of `runIncrementalView` so crash/replay windows are
+    * directly testable). First fold aggregates the table head in full;
+    * every later fold maintains incrementally from churned buckets.
+    * The view commits under the TABLE version it reflects, and groups
+    * that vanished since the last fold are tombstoned so the view
+    * store reads back exactly the true aggregate.
+    */
+  def foldView(
+      spark: SparkSession,
+      snapshotDir: String,
+      viewDir: String,
+      groupCol: String,
+      sums: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    import graft.pipeline.SnapshotStore
+    val tableV = SnapshotStore.latestVersion(spark, snapshotDir).getOrElse(
+      return) // nothing committed yet: nothing to fold
+    val viewV = SnapshotStore.latestVersion(spark, viewDir)
+    if (viewV.contains(tableV)) return // replay: already folded
+
+    // Sum columns widen as they flow through maintainAgg (decimal
+    // addition grows precision), but the view STORE's parquet schema
+    // must stay stable across versions — pin every decimal sum to
+    // precision 38 at its own scale before each commit (values are
+    // unchanged; 38 is where Spark's widening saturates anyway).
+    def pinned(view: DataFrame): DataFrame = view.select(view.columns.map {
+      c =>
+        view.schema(c).dataType match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            col(c).cast(org.apache.spark.sql.types.DecimalType(38, d.scale)).as(c)
+          case _ => col(c)
+        }
+    }: _*)
+
+    def fullAgg: DataFrame =
+      SnapshotStore.readVersion(spark, snapshotDir, tableV)
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("cnt"),
+          sums.map { case (n, e) => sum(e).as(n) }: _*)
+
+    viewV match {
+      case None =>
+        SnapshotStore.upsertVersion(spark, pinned(fullAgg), groupCol, None,
+          viewDir, tableV)
+      case Some(v) =>
+        val oldView = SnapshotStore.read(spark, viewDir).get
+        // A view that lagged past the table's retention window (crash
+        // windows deeper than `retain` versions) cannot be maintained
+        // incrementally — its span's start manifest is gone. REBUILD
+        // from the table head instead: always correct, just not churn-
+        // bound; the committed result is identical either way.
+        val newView =
+          if (SnapshotStore.spanReadable(spark, snapshotDir, v, tableV))
+            SnapshotStore.maintainAgg(spark, snapshotDir, v, tableV,
+              oldView, Seq(groupCol), sums)
+          else fullAgg
+        val staged = graft.Materialize.stage(pinned(newView))
+        try {
+          val upserts = staged.withColumn("_op", lit("u"))
+          val tombstones = oldView
+            .join(staged.select(col(groupCol)), Seq(groupCol), "left_anti")
+            .withColumn("_op", lit("d"))
+          SnapshotStore.upsertVersion(spark,
+            upserts.unionByName(tombstones), groupCol, None, viewDir,
+            tableV, opCol = Some("_op"))
+        } finally staged.unpersist(blocking = false)
+      }
+  }
+
   /** The incremental ingest: CSV landing dir → typed → parquet sink,
     * exactly-once via checkpoint. Trigger.AvailableNow drains what
     * exists and stops — the batch-cadence deployment of a streaming

@@ -605,6 +605,91 @@ class SnapshotSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.snapshot.buckets")
   }
 
+  test("streaming incrementally-maintained view tracks the table store exactly-once") {
+    val landing = scratchDir("mv_landing")
+    val snap    = scratchDir("mv_store") + "/tbl"
+    val view    = scratchDir("mv_view") + "/vw"
+    val ckpt    = scratchDir("mv_ckpt") + "/cp"
+    val mvSchema = StructType(Seq(
+      StructField("k", LongType), StructField("seq", LongType),
+      StructField("grp", StringType), StructField("amt", DoubleType),
+      StructField("op", StringType)))
+    val sums = Seq("total" -> col("amt").cast(DecimalType(18, 2)))
+    def writeRows(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(landing, name),
+        ("k,seq,grp,amt,op" +: rows).mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = StreamingPipeline.runIncrementalView(
+      spark,
+      spark.readStream.option("header", "true").schema(mvSchema)
+        .csv(s"$landing/*.csv"),
+      key = "k", seqCol = Some("seq"), groupCol = "grp", sums,
+      snap, view, ckpt, opCol = Some("op")).awaitTermination()
+    def viewRows: Map[String, (Long, Double)] =
+      SnapshotStore.read(spark, view).get
+        .select(col("grp"), col("cnt"), col("total").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    def recompute: Map[String, (Long, Double)] =
+      SnapshotStore.read(spark, snap).get
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("amt").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // batch 0: three groups
+    writeRows("b1.csv", Seq(
+      "1,1,a,1.25,u", "2,1,a,2.50,u", "3,1,b,10.00,u",
+      "4,1,c,5.00,u", "5,1,c,7.75,u"))
+    run()
+    assert(SnapshotStore.latestVersion(spark, view).contains(0L))
+    assert(viewRows === Map("a" -> (2L, 3.75), "b" -> (1L, 10.00),
+      "c" -> (2L, 12.75)))
+
+    // batch 1: delete ALL of c, update one a row, insert group d —
+    // the view must track, with the emptied group tombstoned away
+    writeRows("b2.csv", Seq(
+      "4,2,c,0,d", "5,2,c,0,d", "1,2,a,100.25,u", "9,1,d,3.00,u"))
+    run()
+    assert(SnapshotStore.latestVersion(spark, view).contains(1L))
+    assert(viewRows === recompute)
+    assert(!viewRows.contains("c") && viewRows("d") === (1L, 3.00))
+    assert(viewRows("a") === (2L, 102.75))
+
+    // a replayed fold is a no-op (view head == table head)
+    StreamingPipeline.foldView(spark, snap, view, "grp", sums)
+    assert(SnapshotStore.latestVersion(spark, view).contains(1L))
+    assert(viewRows === recompute)
+
+    // crash window of ONE version: the table commits v2 with no fold;
+    // the next fold catches up INCREMENTALLY (v1's manifest is still
+    // inside retain=2)
+    SnapshotStore.upsertVersion(spark,
+      Seq((10L, 1L, "e", 4.50, "u")).toDF("k", "seq", "grp", "amt", "op"),
+      "k", Some("seq"), snap, 2L, opCol = Some("op"))
+    assert(SnapshotStore.spanReadable(spark, snap, 1L, 2L))
+    StreamingPipeline.foldView(spark, snap, view, "grp", sums)
+    assert(SnapshotStore.latestVersion(spark, view).contains(2L))
+    assert(viewRows === recompute)
+    assert(viewRows("e") === (1L, 4.50))
+
+    // crash window DEEPER than retention: two more table versions with
+    // no fold — the span's start manifest is pruned, so the fold must
+    // fall back to a full REBUILD and still land the exact view
+    SnapshotStore.upsertVersion(spark,
+      Seq((3L, 2L, "b", 0.0, "d")).toDF("k", "seq", "grp", "amt", "op"),
+      "k", Some("seq"), snap, 3L, opCol = Some("op"))
+    SnapshotStore.upsertVersion(spark,
+      Seq((11L, 1L, "f", 6.00, "u")).toDF("k", "seq", "grp", "amt", "op"),
+      "k", Some("seq"), snap, 4L, opCol = Some("op"))
+    assert(!SnapshotStore.spanReadable(spark, snap, 2L, 4L),
+      "test premise: the lagged span must be beyond retention")
+    StreamingPipeline.foldView(spark, snap, view, "grp", sums)
+    assert(SnapshotStore.latestVersion(spark, view).contains(4L))
+    assert(viewRows === recompute)
+    assert(!viewRows.contains("b") && viewRows("f") === (1L, 6.00))
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     val dim = Seq((10L, "alice"), (11L, "bob")).toDF("id", "name")
     val mem = MemoryStream[(Long, Long, Double)](spark)
