@@ -79,6 +79,52 @@ object Graph extends QueryModule {
     dist
   }
 
+  /** Fixed-point integer PageRank: `iters` damped rounds over directed
+    * `edges`, ranks carried as BIGINT pico-units (1e12 = total mass 1).
+    *
+    * Every operation is integer (floor division via SQL `DIV`, exact
+    * long sums), so the result is BIT-EXACT regardless of partitioning
+    * or engine — float PageRank cannot be value-compared across
+    * engines because double summation is order-dependent. The classic
+    * "leaky" formulation: rank' = (1−d)/N + d·Σ_in rank(u) DIV deg(u),
+    * dangling mass not redistributed (both sides of the oracle agree
+    * by construction; production PageRank tolerates far larger error
+    * than the leak).
+    *
+    * Scale shape: per round, one equi-join shuffle (ranks × edges on
+    * the source id — the edge frame is staged once, hash-partitioned
+    * on `u`, so only the rank side moves) plus one aggregation on the
+    * destination id; the rank frame is O(nodes), never O(edges). N
+    * reaches the plan as a broadcast 1-row aggregate — no driver
+    * collect. Rounds are a fixed small constant (power iteration
+    * converges geometrically; 3–20 in practice).
+    */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val UNIT = 1000000000000L // 1e12: rank mass 1.0 in pico-units
+    val e = Materialize.stage(edges.toDF("u", "v").repartition(col("u")))
+    val nodes = Materialize.stage(
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .distinct())
+    val outdeg = Materialize.stage(
+      e.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    val n1 = nodes.agg(count(lit(1)).as("n")) // 1 row, broadcast below
+    var rank = nodes.join(broadcast(n1))
+      .select(col("node"), expr(s"${UNIT}L DIV n").as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = rank.join(e, rank("node") === e("u"))
+        .join(outdeg, Seq("u"))
+        .select(col("v").as("node"), expr("pr DIV deg").as("c"))
+      val incoming = contribs.groupBy(col("node")).agg(sum(col("c")).as("inc"))
+      rank = nodes.join(incoming, Seq("node"), "left")
+        .join(broadcast(n1))
+        .select(col("node"),
+          expr(s"(15 * ${UNIT}L) DIV (100 * n) + (coalesce(inc, 0L) * 85) DIV 100")
+            .as("pr"))
+    }
+    rank
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
 
     // ───── bounded reachability over a derived co-line graph ─────
@@ -123,6 +169,64 @@ object Graph extends QueryModule {
         )
         SELECT node AS part, CAST(MIN(hops) AS INT) AS hops
         FROM walk GROUP BY node ORDER BY part
+      """)),
+
+    // ───── fixed-point PageRank over the directed co-line graph ─────
+    // 3 damped power-iteration rounds in BIGINT pico-units: every step
+    // is integer floor division / exact long summation, so Spark and
+    // DuckDB agree bit-for-bit (float PageRank is order-dependent and
+    // can never hash-match). The oracle is the SAME recurrence unrolled
+    // as plain SQL — no recursion needed for a fixed iteration count,
+    // so this one ALSO runs in the Spark SQL sweep.
+    GraftQuery(
+      "graph_pagerank",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val a = li.toDF("ok", "ln", "u")
+        val b = li.toDF("ok2", "ln2", "v")
+        val adj = a.join(b,
+            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
+              a("u") =!= b("v"))
+          .select(col("u"), col("v"))
+        pagerank(adj, iters = 3)
+          .select(col("node").as("part"), col("pr"))
+          .orderBy(col("part"))
+      },
+      Some("""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        nodes AS (SELECT u AS node FROM adj UNION SELECT v AS node FROM adj),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+        r0 AS (SELECT node, 1000000000000 // n AS pr
+               FROM nodes CROSS JOIN nn),
+        s1 AS (SELECT e.v AS node, CAST(SUM(r.pr // d.deg) AS BIGINT) AS inc
+               FROM r0 r JOIN adj e ON e.u = r.node
+               JOIN outdeg d ON d.u = e.u GROUP BY e.v),
+        r1 AS (SELECT nd.node, 15000000000000 // (100 * n) +
+                      (COALESCE(s.inc, 0) * 85) // 100 AS pr
+               FROM nodes nd CROSS JOIN nn
+               LEFT JOIN s1 s ON s.node = nd.node),
+        s2 AS (SELECT e.v AS node, CAST(SUM(r.pr // d.deg) AS BIGINT) AS inc
+               FROM r1 r JOIN adj e ON e.u = r.node
+               JOIN outdeg d ON d.u = e.u GROUP BY e.v),
+        r2 AS (SELECT nd.node, 15000000000000 // (100 * n) +
+                      (COALESCE(s.inc, 0) * 85) // 100 AS pr
+               FROM nodes nd CROSS JOIN nn
+               LEFT JOIN s2 s ON s.node = nd.node),
+        s3 AS (SELECT e.v AS node, CAST(SUM(r.pr // d.deg) AS BIGINT) AS inc
+               FROM r2 r JOIN adj e ON e.u = r.node
+               JOIN outdeg d ON d.u = e.u GROUP BY e.v),
+        r3 AS (SELECT nd.node, 15000000000000 // (100 * n) +
+                      (COALESCE(s.inc, 0) * 85) // 100 AS pr
+               FROM nodes nd CROSS JOIN nn
+               LEFT JOIN s3 s ON s.node = nd.node)
+        SELECT node AS part, pr FROM r3 ORDER BY part
       """))
   )
 }

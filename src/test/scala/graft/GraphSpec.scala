@@ -46,6 +46,60 @@ class GraphSpec extends SparkSpec {
     assert(dists(Seq(7L -> 8L), Seq(99L), 5) === Map(99L -> 0))
   }
 
+  test("fixed-point pagerank: hand-computed chain after one round") {
+    // chain 1→2→3, N=3: base = (15 × 1e12) DIV 300 = 5e10; each
+    // contribution is (1e12 DIV 3) DIV 1 = 333333333333, damped
+    // (×85 DIV 100) to 283333333333
+    val got = Materialize.scoped {
+      Graph.pagerank(Seq(1L -> 2L, 2L -> 3L).toDF("u", "v"), iters = 1)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(got === Map(
+      1L -> 50000000000L,
+      2L -> 333333333333L,
+      3L -> 333333333333L))
+  }
+
+  test("pagerank mass is conserved up to floor leakage; ranks positive") {
+    val g = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 4L -> 1L)
+    val ranks = Materialize.scoped {
+      Graph.pagerank(g.toDF("u", "v"), iters = 4)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(ranks.keySet === Set(1L, 2L, 3L, 4L))
+    assert(ranks.values.forall(_ > 0))
+    // leaky formulation: total ≤ 1e12, but floor losses are tiny
+    val total = ranks.values.sum
+    assert(total <= 1000000000000L && total > 900000000000L, s"total=$total")
+  }
+
+  test("graph_pagerank matches an exact integer replay at sf0.001") {
+    val got = SparkEntry.queries("graph_pagerank")(spark, sfTiny)
+      .as[(Long, Long)].collect().toMap
+
+    val li = Tables.lineitem(spark, sfTiny)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .as[(Long, Int, Long)].collect()
+    val adj = li.groupBy(_._1).values.flatMap { lines =>
+      val byLn = lines.groupBy(_._2).map { case (ln, ls) => ln -> ls.map(_._3).toSeq }
+      byLn.toSeq.flatMap { case (ln, ps) =>
+        val nxt = byLn.getOrElse(ln + 1, Seq.empty[Long])
+        for (p <- ps; p2 <- nxt if p2 != p) yield (p, p2)
+      }
+    }.toSeq
+    val nodes = (adj.map(_._1) ++ adj.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val outdeg = adj.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    var pr = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val inc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, v) <- adj) inc(v) += pr(u) / outdeg(u)
+      pr = nodes.map(nd =>
+        nd -> (15000000000000L / (100 * n) + inc(nd) * 85 / 100)).toMap
+    }
+    assert(got === pr)
+  }
+
   test("graph_reach matches a driver-style replay of its own oracle shape") {
     // semantic pin at tiny SF: recompute min-hop distances with a plain
     // iterative loop over collected edges (small here) and compare

@@ -21,7 +21,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast scalar frames (candidate array / total count /
     // stage counts / probe embedding) — the watermark-filter pattern,
     // not a data-path BNLJ
-    "agg_heavy_hitters", "win_funnel", "sim_hybrid_rrf")
+    "agg_heavy_hitters", "win_funnel", "sim_hybrid_rrf",
+    // 1-row broadcast node count reaching the rank recurrence as a
+    // scalar — the watermark-filter pattern again
+    "graph_pagerank")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
