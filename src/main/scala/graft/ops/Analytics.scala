@@ -353,6 +353,61 @@ object Analytics extends QueryModule {
         FROM customer ORDER BY c_custkey
       """)),
 
+    // ───── grouped closed-form OLS (price vs quantity per flag) ─────
+    // The statistical-aggregate family beyond plain sums: per-group
+    // slope/intercept from the five sufficient statistics. Exactness
+    // strategy: x/y travel as INTEGER CENTS (double → DECIMAL(18,2) →
+    // ×100 → BIGINT, exact at every step), so n/Sx/Sy/Sxy/Sxx are
+    // exact longs that hash-match trivially; slope/intercept are then
+    // ONE identical IEEE double expression tree on both engines over
+    // those exact inputs — deterministic, no order-dependent float
+    // summation anywhere. Scale: one partial-agg shuffle on the group
+    // keys carrying 5 longs per group, the same cost as any sum.
+    GraftQuery(
+      "agg_regression",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("xc"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("yc"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+            sum(col("xc") * col("yc")).as("sxy"),
+            sum(col("xc") * col("xc")).as("sxx"))
+          .withColumn("slope",
+            expr("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+              "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+              "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
+          .withColumn("intercept",
+            expr("(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / " +
+              "CAST(n AS DOUBLE)"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""
+        WITH pts AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+          FROM lineitem),
+        sums AS (
+          SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+                 CAST(SUM(xc * yc) AS BIGINT) AS sxy,
+                 CAST(SUM(xc * xc) AS BIGINT) AS sxx
+          FROM pts GROUP BY l_returnflag, l_linestatus),
+        sl AS (
+          SELECT *, (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+          FROM sums)
+        SELECT l_returnflag, l_linestatus, n, sx, sy, sxy, sxx, slope,
+               (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+               CAST(n AS DOUBLE) AS intercept
+        FROM sl ORDER BY l_returnflag, l_linestatus
+      """)),
+
     // JSON extraction from the events.props payload column
     GraftQuery(
       "json_extract_field",
