@@ -22,15 +22,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 won't map to
-    * TimestampType directly; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * it arrives as epoch-nanos LongType. Truncate to microseconds (integer
-    * `div`, matching DuckDB's ns→µs truncation) and expose TimestampType so
-    * every downstream operator sees normal timestamp semantics.
+  /** `events.ts` arrives as one of two physical types depending on how the
+    * parquet was written: TIMESTAMP(NANOS) (which Spark 4 won't map to
+    * TimestampType directly — with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * it scans as epoch-nanos LongType) or plain TIMESTAMP(MICROS) (ordinary
+    * TimestampType). Branch on the SCANNED dtype: truncate ns→µs (integer
+    * `div`, matching DuckDB) only when the scan produced a Long; otherwise
+    * the column is already the timestamp every downstream operator expects.
+    * An unconditional rewrite fails analysis the moment the data layout
+    * changes underneath us — exactly what a lake engine must absorb.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // µs parquet with isAdjustedToUTC=false scans as TIMESTAMP_NTZ;
+        // session TZ is pinned UTC (GraftSession), so this cast is
+        // value-preserving and downstream sees one uniform TimestampType.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

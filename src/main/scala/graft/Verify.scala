@@ -41,6 +41,20 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A missing dump silently VANISHES from the driver's correctness
+        // artifact (round 6: 10 errored queries made a broken round look
+        // fully green). Write a one-row `_graft_error` dump instead: the
+        // driver's compare then finds the dir, sees a column set no oracle
+        // produces, and records the query as a FAILURE with the message in
+        // view — the artifact can never silently shrink.
+        try {
+          import spark.implicits._
+          val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+          Seq(msg).toDF("_graft_error").repartition(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
