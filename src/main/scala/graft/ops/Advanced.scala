@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -407,6 +408,107 @@ object Advanced extends QueryModule {
         SELECT (SELECT COUNT(*) FROM s1) AS n_view,
                (SELECT COUNT(*) FROM s2) AS n_view_click,
                (SELECT COUNT(*) FROM s3) AS n_full_funnel
+      """)),
+
+    // ───── KMV distinct sketch: mergeable AND value-level checkable ─────
+    // The k-minimum-values estimator (Bar-Yossef et al. RANDOM'02;
+    // Beyer et al. SIGMOD'07 unbiased form (k−1)/U_k): keep the k
+    // smallest hash values of a key set; the k-th smallest U_k of n
+    // uniform hashes concentrates at k/n, so (k−1)·2⁶⁰/h_k estimates n.
+    // Unlike the HLL in agg_approx_distinct (whose register state is
+    // engine-private, hence that query's self-validating-boolean gate),
+    // the KMV sketch is just md5 order statistics — both engines
+    // compute the IDENTICAL sketch, so the ESTIMATE itself is
+    // hash-compared, not merely bounded. The union row is computed by
+    // MERGING the three per-group sketches (k smallest of the union of
+    // the groups' k-smallest lists — never rescanning the data), which
+    // is the mergeability that makes KMV a distributed sketch: partial
+    // per-partition sketches combine exactly like these per-group ones.
+    // Groups with fewer than k hashes are exact by construction
+    // (est = m). Scale: the per-group state is ≤k rows via a
+    // WindowGroupLimit heap; the merge input is ≤ groups·k rows.
+    GraftQuery(
+      "agg_kmv_distinct",
+      (s, d) => {
+        val k = 64
+        // 63·2⁶⁰ is exactly representable (6-bit mantissa); both engines
+        // fold the same literal product, then perform ONE division
+        val scale = 63.0 * 1152921504606846976.0
+        val h = Tables.orders(s, d)
+          .select(col("o_orderstatus").as("grp"), col("o_custkey")).distinct()
+          .select(col("grp"), expr(
+            "cast(conv(substring(md5(cast(o_custkey as string)), 1, 15), 16, 10) as bigint)")
+            .as("h")).distinct()
+        val sk = h
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("grp")).orderBy(col("h"))))
+          .filter(col("rn") <= k)
+        def estimate(df: DataFrame) = df
+          .agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+          .select(col("m"),
+            when(col("m") < k, col("m").cast("double"))
+              .otherwise(lit(scale) / col("hk").cast("double"))
+              .as("est_distinct"))
+        val perGrp = sk.groupBy(col("grp"))
+          .agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+          .select(col("grp"), col("m"),
+            when(col("m") < k, col("m").cast("double"))
+              .otherwise(lit(scale) / col("hk").cast("double"))
+              .as("est_distinct"))
+        // sketch MERGE: k smallest of the union of per-group sketches
+        val merged = estimate(sk.select(col("h")).distinct()
+          .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+          .filter(col("rn") <= k))
+          .select(lit("__union").as("grp"), col("m"), col("est_distinct"))
+        val exact = Tables.orders(s, d)
+          .groupBy(col("o_orderstatus").as("grp"))
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        val exactAll = Tables.orders(s, d)
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+          .select(lit("__union").as("grp"), col("exact_distinct"))
+        perGrp.unionByName(merged)
+          .join(exact.unionByName(exactAll), Seq("grp"))
+          .select(col("grp"), col("m"), col("est_distinct"),
+            col("exact_distinct"))
+          .orderBy(col("grp"))
+      },
+      Some("""
+        WITH dk AS (
+          SELECT DISTINCT o_orderstatus AS grp, o_custkey FROM orders),
+        h AS (
+          SELECT DISTINCT grp,
+                 ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM dk),
+        sk AS (
+          SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM h QUALIFY rn <= 64),
+        per_grp AS (
+          SELECT grp, COUNT(*) AS m,
+                 CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                      ELSE (63.0 * 1152921504606846976.0) / MAX(h)::DOUBLE
+                 END AS est_distinct
+          FROM sk GROUP BY grp),
+        msk AS (
+          SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+          FROM (SELECT DISTINCT h FROM sk) u QUALIFY rn <= 64),
+        mrg AS (
+          SELECT '__union' AS grp, COUNT(*) AS m,
+                 CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                      ELSE (63.0 * 1152921504606846976.0) / MAX(h)::DOUBLE
+                 END AS est_distinct
+          FROM msk),
+        ex AS (
+          SELECT o_orderstatus AS grp,
+                 COUNT(DISTINCT o_custkey) AS exact_distinct
+          FROM orders GROUP BY grp
+          UNION ALL
+          SELECT '__union', COUNT(DISTINCT o_custkey) FROM orders),
+        allsk AS (
+          SELECT grp, m, est_distinct FROM per_grp
+          UNION ALL SELECT grp, m, est_distinct FROM mrg)
+        SELECT a.grp, a.m, a.est_distinct, ex.exact_distinct
+        FROM allsk a JOIN ex USING (grp)
+        ORDER BY a.grp
       """))
   )
 }

@@ -125,6 +125,57 @@ object Graph extends QueryModule {
     rank
   }
 
+  /** Per-node triangle counts over an undirected simple graph (edges
+    * given in either or both directions; self-loops and multi-edges
+    * dropped). Returns (node, triangles) for every node in ≥1 triangle.
+    *
+    * The classic degree-ordered orientation (Cohen 2009 / Suri &
+    * Vassilvitskii WWW'11 MapReduce triangle counting): orient each
+    * edge from its lower-(degree, id) endpoint to the higher, so every
+    * node's out-degree is O(√m); enumerate wedges as two out-edges at
+    * their (lowest-rank) apex; close each wedge with one semi-join
+    * against the oriented edge set. Each triangle is found exactly
+    * once. The wedge fanout Σ outdeg² — the term a naive neighbor join
+    * blows up on for hub nodes — is provably minimized by this
+    * orientation; the three shuffles (degree agg, wedge join, closing
+    * semi-join) are all key-equi with no driver state, so the plan is
+    * the one you'd run on a 10¹¹-edge graph.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // staged once: read twice (wedge sides) + once more to close
+    val oriented = Materialize.stage(withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg")))
+    val e1 = oriented.toDF("srcA", "v", "dv")
+    val e2 = oriented.toDF("srcB", "w", "dw")
+    val wedges = e1.join(e2, e1("srcA") === e2("srcB") &&
+        (e1("dv") < e2("dw") ||
+          (e1("dv") === e2("dw") && e1("v") < e2("w"))))
+      .select(col("srcA").as("apex"), col("v"), col("w"))
+    // the closing edge is oriented v→w (v is the lower-rank endpoint by
+    // the wedge ordering above), so one semi-join closes every wedge
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    tri.select(col("apex").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
 
     // ───── bounded reachability over a derived co-line graph ─────
@@ -227,6 +278,50 @@ object Graph extends QueryModule {
                FROM nodes nd CROSS JOIN nn
                LEFT JOIN s3 s ON s.node = nd.node)
         SELECT node AS part, pr FROM r3 ORDER BY part
+      """)),
+
+    // ───── degree-oriented triangle counting on the co-line graph ─────
+    // Per-part triangle participation counts. The operator orients edges
+    // low-rank→high-rank so wedge fanout is bounded (no hub blowup); the
+    // oracle is the textbook x<y<z three-way self-join, which counts
+    // each triangle once — per-node counts are scheme-independent, so
+    // the two formulations must agree exactly.
+    GraftQuery(
+      "graph_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        val a = li.toDF("ok", "ln", "u")
+        val b = li.toDF("ok2", "ln2", "v")
+        val adj = a.join(b,
+            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
+              a("u") =!= b("v"))
+          .select(col("u"), col("v"))
+        triangles(adj)
+          .select(col("node").as("part"), col("triangles"))
+          .orderBy(col("part"))
+      },
+      Some("""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        ce AS (
+          SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+          FROM adj),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM ce e1
+          JOIN ce e2 ON e2.a = e1.b
+          JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+        pern AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        SELECT node AS part, COUNT(*) AS triangles
+        FROM pern GROUP BY node ORDER BY part
       """))
   )
 }

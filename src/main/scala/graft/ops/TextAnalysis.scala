@@ -517,6 +517,96 @@ object TextAnalysis extends QueryModule {
                  top_bigram_cnt::DOUBLE / n_bigrams END AS top_bigram_frac
         FROM narrow n LEFT JOIN top USING (doc_id)
         ORDER BY doc_id
+      """)),
+
+    // ───── BM25 ranked retrieval over a fixed keyword query ─────
+    // The Okapi BM25 score (Robertson & Zaragoza 2009) with the
+    // rational idf N/df (same substitution text_tfidf makes — ln() is
+    // libm, whose last bit differs across engines, so it can never
+    // hash-match; N/df preserves the ranking's df-monotonicity) and
+    // k1=1.2, b=0.75. Cross-engine determinism discipline (the
+    // agg_regression pattern): every float value is ONE identical IEEE
+    // expression tree over exact integer inputs (tf, df, dl, N, total
+    // tokens) — each term's score involves two divisions and a fixed
+    // multiply/add chain, and the 3-term fusion is a FIXED-ORDER
+    // three-way add over pivoted per-term columns, never a SUM() whose
+    // accumulation order the partitioning picks.
+    // Scale: tf rows exist only for (doc, query-term) hits — the
+    // posting lists of 3 terms, not the corpus vocabulary; dl/total
+    // are one narrow token-count aggregation; df and N arrive as
+    // broadcast aggs. Top-20 is a TakeOrdered heap, no global sort.
+    GraftQuery(
+      "text_bm25",
+      (s, d) => {
+        val terms = Seq("join", "filter", "group")
+        val t1 = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = t1.filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dl = t1.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val tot = t1.agg(count(lit(1)).as("tot"))
+        val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        // score = (N/df) · tf(k1+1) / (tf + k1(1−b + b·dl·N/tot)) with
+        // k1 = 6/5, b = 3/4. Clearing denominators gives ONE division
+        // over exact integer products:
+        //   44·tf·N·tot / (df·(20·tf·tot + 6·tot + 18·dl·N))
+        // — a nested float formulation differed from DuckDB by 1 ULP
+        // (vectorized evaluation fuses differently); a single IEEE
+        // division over exactly-represented integers cannot.
+        val score =
+          (lit(44L) * col("tf") * col("n") * col("tot")).cast("double") /
+            (col("df") * (lit(20L) * col("tf") * col("tot") +
+              lit(6L) * col("tot") +
+              lit(18L) * col("dl") * col("n"))).cast("double")
+        val scored = tf.join(dfq, "tok").join(dl, "doc_id")
+          .crossJoin(broadcast(nDf)).crossJoin(broadcast(tot))
+          .withColumn("score", score)
+        def termCol(t: String) = coalesce(
+          max(when(col("tok") === t, col("score"))), lit(0.0))
+        scored.groupBy(col("doc_id"))
+          .agg(termCol("join").as("s_join"), termCol("filter").as("s_filter"),
+            termCol("group").as("s_group"))
+          .withColumn("bm25",
+            col("s_join") + col("s_filter") + col("s_group"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH t1 AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents) u
+          WHERE tok <> ''),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM t1
+          WHERE tok IN ('join', 'filter', 'group')
+          GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM t1 GROUP BY doc_id),
+        tot AS (SELECT COUNT(*) AS tot FROM t1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        scored AS (
+          SELECT f.doc_id, f.tok,
+                 (44 * f.tf * n.n * tot.tot)::DOUBLE /
+                   (d.df * (20 * f.tf * tot.tot + 6 * tot.tot
+                     + 18 * l.dl * n.n))::DOUBLE AS score
+          FROM tf f JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
+          CROSS JOIN n CROSS JOIN tot),
+        piv AS (
+          SELECT doc_id,
+                 COALESCE(MAX(CASE WHEN tok = 'join' THEN score END), 0.0)
+                   AS s_join,
+                 COALESCE(MAX(CASE WHEN tok = 'filter' THEN score END), 0.0)
+                   AS s_filter,
+                 COALESCE(MAX(CASE WHEN tok = 'group' THEN score END), 0.0)
+                   AS s_group
+          FROM scored GROUP BY doc_id)
+        SELECT doc_id, s_join, s_filter, s_group,
+               s_join + s_filter + s_group AS bm25
+        FROM piv
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
       """))
   )
 }

@@ -204,6 +204,82 @@ object Layout extends QueryModule {
       .unionByName(delta.filter(col(opCol) =!= lit("d")).drop(opCol),
         allowMissingColumns = evolve)
 
+  /** Open an SCD-2 dimension history from a plain snapshot: every row
+    * becomes the key's first version, valid from `eff` (a caller-chosen
+    * event-time/version stamp, BIGINT) to the open horizon
+    * (`valid_to = NULL`, `is_current = true`).
+    */
+  def scd2Init(snapshot: DataFrame, eff: Long): DataFrame =
+    snapshot
+      .withColumn("valid_from", lit(eff))
+      .withColumn("valid_to", lit(null).cast(LongType))
+      .withColumn("is_current", lit(true))
+
+  /** SCD-2 merge: apply an attribute delta to a dimension HISTORY table
+    * (the slowly-changing-dimension type 2 of Kimball's warehouse
+    * vocabulary — the reference's Postgres sink is exactly the kind of
+    * mutable dimension source this tracks over time). For each delta key
+    * whose attributes genuinely differ from the key's CURRENT version
+    * (null-safe comparison; brand-new keys always differ), the current
+    * row is CLOSED (`valid_to = eff`, `is_current = false`) and a new
+    * open version is inserted at `valid_from = eff`. Verbatim re-sends
+    * do NOT create a version — change detection is what separates an
+    * SCD-2 dimension from a write log (same posture as
+    * `SnapshotStore.changes`). Closed history rows are immutable and
+    * pass through untouched.
+    *
+    * Plan shape: two key-equi joins of the CURRENT slice against the
+    * delta (classification + closing) and one anti-join — all shuffled
+    * on the key, broadcastable when the delta is small, no driver
+    * state. At 100 TB the history lives in the bucketed
+    * `SnapshotStore`, so only buckets owning a delta key rewrite; the
+    * merge plan per bucket is identical.
+    *
+    * Precondition: one row per key in `delta` (a CDC batch compacted to
+    * its last image — enforce upstream with the per-key seq winner the
+    * snapshot store already uses).
+    */
+  def scd2Merge(base: DataFrame, delta: DataFrame, key: String,
+                attrs: Seq[String], eff: Long): DataFrame = {
+    val cur  = base.filter(col("is_current"))
+    val hist = base.filter(!col("is_current"))
+    // classify: keep only deltas that change something (or are new keys)
+    val curAttrs = cur.select(
+      col(key) +: attrs.map(c => col(c).as(s"_cur_$c")): _*)
+    val effective = delta.select(col(key) +: attrs.map(col): _*)
+      .join(curAttrs, Seq(key), "left")
+      .filter(attrs.map(c => !(col(c) <=> col(s"_cur_$c"))).reduce(_ || _))
+      .select(col(key) +: attrs.map(col): _*)
+    val closing = cur
+      .join(effective.select(col(key)), Seq(key), "left_semi")
+      .withColumn("valid_to", lit(eff))
+      .withColumn("is_current", lit(false))
+    val stillCurrent = cur
+      .join(effective.select(col(key)), Seq(key), "left_anti")
+    val opened = scd2Init(effective, eff)
+    hist.unionByName(stillCurrent).unionByName(closing).unionByName(opened)
+  }
+
+  /** Point-in-time (as-of) join of a fact frame against an SCD-2
+    * history: each fact row picks the dimension version whose validity
+    * interval contains the fact's timestamp (`valid_from <= ts <
+    * valid_to`, open horizon = NULL). The join is EQUI on the key with
+    * the interval as a residual filter — a key matches only its few
+    * versions, so the residual fanout is O(versions-per-key), never a
+    * range-join blowup; Catalyst plans it as an ordinary shuffled hash
+    * join at any scale. Facts older than the key's first version (or
+    * with no dimension key) drop out — inner semantics, the honest
+    * answer for "what did the dimension say at that moment".
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+                      tsCol: String): DataFrame =
+    facts.join(dim,
+      facts(key) === dim(key) &&
+        facts(tsCol) >= dim("valid_from") &&
+        (dim("valid_to").isNull || facts(tsCol) < dim("valid_to")),
+      "inner")
+      .drop(dim(key))
+
   /** Materialize a shard manifest as a physical layout: one parquet
     * file per (source, shard_id) leaf dir. Repartitioning on exactly
     * the partition keys sends each shard's rows to one task, so each
@@ -488,6 +564,110 @@ object Layout extends QueryModule {
         UNION ALL SELECT * FROM upd
         UNION ALL SELECT * FROM ins
         ORDER BY o_orderkey
+      """)),
+
+    // ───── SCD-2 merge: close-and-insert dimension versioning ─────
+    // v1 opens the customer dimension at eff=100; the eff=200 delta
+    // touches every 7th key (segment + balance change) and RE-SENDS
+    // every 13th key verbatim. The merged history must hold exactly one
+    // closed row [100,200) + one open row for changed keys, one open
+    // row for everyone else — the verbatim re-sends must NOT version
+    // (change detection). Round-trips through parquet so the sink path
+    // is under test; the oracle states the expected history directly.
+    GraftQuery(
+      "sink_scd2_merge",
+      (s, d) => {
+        val tmp  = Sources.scratch(d, "scd2_")
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val dim1 = scd2Init(base, 100L)
+        val delta = base
+          .filter(pmod(col("c_custkey"), lit(7)) === 0 ||
+            pmod(col("c_custkey"), lit(13)) === 0)
+          .withColumn("c_mktsegment",
+            when(pmod(col("c_custkey"), lit(7)) === 0, lit("CHANGED"))
+              .otherwise(col("c_mktsegment")))
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(7)) === 0,
+              col("c_acctbal") + lit(500.0))
+              .otherwise(col("c_acctbal")))
+        scd2Merge(dim1, delta, "c_custkey",
+            Seq("c_mktsegment", "c_acctbal"), 200L)
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(100 AS BIGINT) AS valid_from,
+               CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+        FROM base WHERE c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(100 AS BIGINT), CAST(200 AS BIGINT), FALSE
+        FROM base WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, 'CHANGED', c_acctbal + 500.0,
+               CAST(200 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        FROM base WHERE c_custkey % 7 = 0
+        ORDER BY c_custkey, valid_from
+      """)),
+
+    // ───── point-in-time join: facts pick the dimension version valid
+    // at fact time ─────
+    // The same two-version history; facts carry a deterministic
+    // timestamp o_orderkey % 300 spanning [0, 300). Facts before the
+    // dimension opened (ts < 100) drop out; [100, 200) reads v1;
+    // [200, 300) reads v2 for changed keys and still-v1 for the rest.
+    // Equi on the key with the interval residual — O(versions-per-key)
+    // fanout, an ordinary shuffled hash join at any scale.
+    GraftQuery(
+      "join_point_in_time",
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val delta = base
+          .filter(pmod(col("c_custkey"), lit(7)) === 0)
+          .withColumn("c_mktsegment", lit("CHANGED"))
+          .withColumn("c_acctbal", col("c_acctbal") + lit(500.0))
+        val dim = scd2Merge(scd2Init(base, 100L), delta, "c_custkey",
+          Seq("c_mktsegment", "c_acctbal"), 200L)
+        val facts = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+            pmod(col("o_orderkey"), lit(300)).as("f_ts"))
+        pointInTimeJoin(facts, dim, "c_custkey", "f_ts")
+          .select(col("o_orderkey"), col("c_custkey"), col("f_ts"),
+            col("c_mktsegment"), col("c_acctbal"), col("valid_from"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        dim AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 CAST(100 AS BIGINT) AS valid_from,
+                 CAST(NULL AS BIGINT) AS valid_to
+          FROM base WHERE c_custkey % 7 <> 0
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 CAST(100 AS BIGINT), CAST(200 AS BIGINT)
+          FROM base WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey, 'CHANGED', c_acctbal + 500.0,
+                 CAST(200 AS BIGINT), CAST(NULL AS BIGINT)
+          FROM base WHERE c_custkey % 7 = 0),
+        facts AS (
+          SELECT o_orderkey, o_custkey AS c_custkey,
+                 o_orderkey % 300 AS f_ts
+          FROM orders)
+        SELECT f.o_orderkey, f.c_custkey, f.f_ts,
+               d.c_mktsegment, d.c_acctbal, d.valid_from
+        FROM facts f JOIN dim d
+          ON f.c_custkey = d.c_custkey
+         AND f.f_ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.f_ts < d.valid_to)
+        ORDER BY f.o_orderkey
       """)),
 
     // ───── additive schema evolution through the versioned store ─────

@@ -131,4 +131,52 @@ class GraphSpec extends SparkSpec {
     }
     assert(got === dist)
   }
+
+  test("triangles: K4 counts 3 per node; square counts none; input noise dropped") {
+    import spark.implicits._
+    // K4 given with mixed directions, a duplicate edge, and a self-loop:
+    // canonicalization must absorb all of it. Every node of K4 sits in
+    // C(3,2) = 3 triangles.
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L),
+      (4L, 2L), (3L, 4L), (3L, 3L)).toDF("u", "v")
+    val got = Materialize.scoped {
+      Graph.triangles(k4).orderBy("node").as[(Long, Long)].collect().toSeq
+    }
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+
+    // a 4-cycle has wedges but no closing edge
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    assert(Materialize.scoped(Graph.triangles(square).isEmpty))
+  }
+
+  test("triangles matches a brute-force count on the sf0.001 co-line graph") {
+    val got = Materialize.scoped {
+      SparkEntry.queries("graph_triangles")(spark, sfTiny)
+        .as[(Long, Long)].collect().toMap
+    }
+    val li = Tables.lineitem(spark, sfTiny)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .as[(Long, Int, Long)].collect().toSeq
+    val adj = li.groupBy(_._1).values.flatMap { lines =>
+      val byLn = lines.groupBy(_._2).map { case (ln, ls) => ln -> ls.map(_._3).toSeq }
+      byLn.toSeq.flatMap { case (ln, ps) =>
+        val nxt = byLn.getOrElse(ln + 1, Seq.empty[Long])
+        for (p <- ps; p2 <- nxt if p2 != p) yield (p, p2)
+      }
+    }.toSeq
+    val ce = adj.map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    val nodes = ce.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    val ceSeq = ce.toSeq
+    for {
+      (a, b) <- ceSeq
+      c <- nodes if c > b && ce.contains((b, c)) && ce.contains((a, c))
+    } {
+      expected(a) = expected.getOrElse(a, 0L) + 1
+      expected(b) = expected.getOrElse(b, 0L) + 1
+      expected(c) = expected.getOrElse(c, 0L) + 1
+    }
+    assert(got === expected.toMap)
+  }
 }

@@ -164,6 +164,60 @@ class LayoutSpec extends SparkSpec {
       (9L, "new", 1.0)))
   }
 
+  test("scd2Merge versions changed keys, skips verbatim re-sends, inserts new keys") {
+    import spark.implicits._
+    val base = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("k", "seg", "bal")
+    val dim1 = Layout.scd2Init(base, 100L)
+    val delta = Seq(
+      (1L, "x2", 10.0), // attribute change → close + reopen
+      (2L, "y", 20.0),  // verbatim re-send → must NOT version
+      (9L, "n", 1.0))   // new key → open
+      .toDF("k", "seg", "bal")
+    val dim2 = Layout.scd2Merge(dim1, delta, "k", Seq("seg", "bal"), 200L)
+    val got = dim2.orderBy("k", "valid_from")
+      .select("k", "seg", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "x", 100L, Some(200L), false),
+      (1L, "x2", 200L, None, true),
+      (2L, "y", 100L, None, true),
+      (3L, "z", 100L, None, true),
+      (9L, "n", 200L, None, true)))
+
+    // chained merge: history rows are immutable, current closes again
+    val delta3 = Seq((1L, "x3", 10.0)).toDF("k", "seg", "bal")
+    val dim3 = Layout.scd2Merge(dim2, delta3, "k", Seq("seg", "bal"), 300L)
+    val k1 = dim3.filter(col("k") === 1).orderBy("valid_from")
+      .select("seg", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(k1 == Seq(
+      ("x", 100L, Some(200L), false),
+      ("x2", 200L, Some(300L), false),
+      ("x3", 300L, None, true)))
+  }
+
+  test("pointInTimeJoin picks the dimension version valid at fact time") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "v1", 100L, Some(200L), false),
+      (1L, "v2", 200L, None, true),
+      (2L, "w1", 100L, None, true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (10L, 1L, 50L),  // before the dimension opened → drops
+      (11L, 1L, 150L), // → v1
+      (12L, 1L, 200L), // boundary: valid_from inclusive → v2
+      (13L, 1L, 250L), // → v2
+      (14L, 2L, 300L), // open horizon → w1
+      (15L, 7L, 150L)) // unknown key → drops
+      .toDF("fid", "k", "ts")
+    val got = Layout.pointInTimeJoin(facts, dim, "k", "ts")
+      .select("fid", "seg").orderBy("fid")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((11L, "v1"), (12L, "v2"), (13L, "v2"), (14L, "w1")))
+  }
+
   test("sink_clustered_write read-back pushes the key-range filter to parquet") {
     val plan = SparkEntry.queries("sink_clustered_write")(spark, sfTiny)
       .queryExecution.sparkPlan

@@ -118,4 +118,48 @@ class SketchSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty, "threshold should yield hitters on sf0.001 too")
   }
+
+  test("agg_kmv_distinct: estimates within KMV error bounds; union row present") {
+    // KMV with k=64 has relative stderr ~ 1/√(k−2) ≈ 12.7%; assert a
+    // generous 4σ envelope — deterministic data, so this is a fixed
+    // regression pin, not a flaky statistical test
+    val rows = SparkEntry.queries("agg_kmv_distinct")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).contains("__union"))
+    rows.foreach { case (grp, m, est, exact) =>
+      if (m < 64) assert(est == exact.toDouble,
+        s"$grp: sketch below k must be exact, est=$est exact=$exact")
+      else assert(math.abs(est - exact) <= 0.51 * exact,
+        s"$grp: est=$est exact=$exact outside 4sigma envelope")
+    }
+    // the union estimate must not exceed the sum of group estimates
+    // (it merges the same hash sets) and must at least match the max
+    val grps = rows.filter(_._1 != "__union")
+    val uni = rows.find(_._1 == "__union").get
+    assert(uni._4 <= grps.map(_._4).sum && uni._4 >= grps.map(_._4).max)
+  }
+
+  test("KMV merge property: k-smallest of unioned sketches = sketch of union") {
+    import spark.implicits._
+    // partial sketches per partition-group merge EXACTLY like the
+    // query's per-group ones: the global k-smallest is always a subset
+    // of the union of per-group k-smallest lists
+    val k = 16
+    val data = (1 to 500).map(i => (i % 5, s"key_$i"))
+    val df = data.toDF("g", "v")
+      .select($"g", expr(
+        "cast(conv(substring(md5(v), 1, 15), 16, 10) as bigint)").as("h"))
+      .distinct()
+    val perGroup = df
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"g").orderBy($"h")))
+      .filter($"rn" <= k)
+    val mergedTopK = perGroup.select($"h").distinct()
+      .orderBy($"h").limit(k).as[Long].collect().toSeq
+    val directTopK = df.select($"h").distinct()
+      .orderBy($"h").limit(k).as[Long].collect().toSeq
+    assert(mergedTopK == directTopK)
+  }
 }

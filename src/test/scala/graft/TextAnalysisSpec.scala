@@ -182,4 +182,37 @@ class TextAnalysisSpec extends SparkSpec {
       .select(expr("nfc_normalize(t)")).collect()
     assert(nulls.head.isNullAt(0))
   }
+
+  test("text_bm25: fused score is the fixed-order sum; ranking is sorted and positive") {
+    val rows = SparkEntry.queries("text_bm25")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (id, sj, sf, sg, total) =>
+      assert(total == sj + sf + sg, s"doc $id fused sum drifted")
+      assert(total > 0.0 && sj >= 0.0 && sf >= 0.0 && sg >= 0.0)
+    }
+    // descending by fused score, doc_id tie-break
+    val keys = rows.map { case (id, _, _, _, t) => (-t, id) }
+    assert(keys.sameElements(keys.sorted), "not ranked by (bm25 desc, doc_id)")
+  }
+
+  test("bm25 tf-saturation: more hits score higher, with diminishing gain") {
+    import spark.implicits._
+    // same document length, rising tf of 'join': score must rise but
+    // the marginal gain must shrink (the k1 saturation BM25 exists for)
+    val d = scratchDir("bm25")
+    val docs = Seq(
+      (1L, "join pad pad pad pad pad pad pad", "en", "s", 10L),
+      (2L, "join join pad pad pad pad pad pad", "en", "s", 10L),
+      (3L, "join join join pad pad pad pad pad", "en", "s", 10L),
+      (4L, "filter group pad pad pad pad pad pad", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val byDoc = SparkEntry.queries("text_bm25")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (s1, s2, s3) = (byDoc(1L), byDoc(2L), byDoc(3L))
+    assert(s1 < s2 && s2 < s3, s"tf-monotonicity broken: $s1 $s2 $s3")
+    assert(s3 - s2 < s2 - s1, "no tf saturation — k1 term lost")
+  }
 }
