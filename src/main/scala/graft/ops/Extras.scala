@@ -272,6 +272,78 @@ object Extras extends QueryModule {
                      ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY o_orderkey
+      """)),
+
+    // ───── column profiling: the data-quality scan every lake runs ─────
+    // Per-column null count, exact distinct cardinality, and min/max in
+    // ONE aggregation pass (multiple COUNT DISTINCTs expand the scan,
+    // but partial aggs keep the shuffle at one row per expand branch —
+    // the profile is O(columns) output over a single table read; at
+    // 100 TB this is the scan you schedule nightly, and approximate
+    // cardinalities swap in via agg_approx_distinct's HLL when exact
+    // isn't required). A deterministic nullable column (nullif on the
+    // most common status) exercises the null accounting the clean
+    // TPC-H columns can't. min/max travel as strings so one long
+    // format fits every column type; only integer/varchar columns are
+    // profiled here so the rendering is trivially engine-identical.
+    GraftQuery(
+      "stats_profile",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("o_status_nullable",
+            nullif(col("o_orderstatus"), lit("O")))
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_status_nullable")
+        val aggs = cols.flatMap { c =>
+          Seq(sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("string").as(s"mn_$c"),
+            max(col(c)).cast("string").as(s"mx_$c"))
+        }
+        val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        val stacked = cols.map(c =>
+          s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+        one.select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stacked) AS (col_name, n_nulls, n_distinct, min_str, max_str)"))
+          .select(col("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+          .orderBy(col("col_name"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT *, NULLIF(o_orderstatus, 'O') AS o_status_nullable
+          FROM orders)
+        SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+        FROM o
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM o
+        UNION ALL
+        SELECT 'o_status_nullable', COUNT(*),
+               CAST(SUM(CASE WHEN o_status_nullable IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_status_nullable),
+               MIN(o_status_nullable), MAX(o_status_nullable)
+        FROM o
+        ORDER BY col_name
       """))
   )
 }

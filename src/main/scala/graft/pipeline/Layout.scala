@@ -243,13 +243,7 @@ object Layout extends QueryModule {
                 attrs: Seq[String], eff: Long): DataFrame = {
     val cur  = base.filter(col("is_current"))
     val hist = base.filter(!col("is_current"))
-    // classify: keep only deltas that change something (or are new keys)
-    val curAttrs = cur.select(
-      col(key) +: attrs.map(c => col(c).as(s"_cur_$c")): _*)
-    val effective = delta.select(col(key) +: attrs.map(col): _*)
-      .join(curAttrs, Seq(key), "left")
-      .filter(attrs.map(c => !(col(c) <=> col(s"_cur_$c"))).reduce(_ || _))
-      .select(col(key) +: attrs.map(col): _*)
+    val effective = scd2Effective(cur, delta, key, attrs)
     val closing = cur
       .join(effective.select(col(key)), Seq(key), "left_semi")
       .withColumn("valid_to", lit(eff))
@@ -258,6 +252,37 @@ object Layout extends QueryModule {
       .join(effective.select(col(key)), Seq(key), "left_anti")
     val opened = scd2Init(effective, eff)
     hist.unionByName(stillCurrent).unionByName(closing).unionByName(opened)
+  }
+
+  /** Change detection shared by [[scd2Merge]] and the streaming loop:
+    * delta rows that genuinely differ from the key's current version
+    * (null-safe attribute comparison; brand-new keys always differ).
+    */
+  private[graft] def scd2Effective(cur: DataFrame, delta: DataFrame,
+                                   key: String, attrs: Seq[String]): DataFrame = {
+    val curAttrs = cur.select(
+      col(key) +: attrs.map(c => col(c).as(s"_cur_$c")): _*)
+    delta.select(col(key) +: attrs.map(col): _*)
+      .join(curAttrs, Seq(key), "left")
+      .filter(attrs.map(c => !(col(c) <=> col(s"_cur_$c"))).reduce(_ || _))
+      .select(col(key) +: attrs.map(col): _*)
+  }
+
+  /** The ROW-LEVEL delta an SCD-2 merge writes: the closing image of
+    * each effectively-changed key's current row plus its newly-opened
+    * version — exactly the O(changed keys) rows an incremental store
+    * commit needs, without restating the untouched history the way
+    * [[scd2Merge]]'s full-table result does.
+    */
+  private[graft] def scd2Changes(cur: DataFrame, delta: DataFrame,
+                                 key: String, attrs: Seq[String],
+                                 eff: Long): DataFrame = {
+    val effective = scd2Effective(cur, delta, key, attrs)
+    val closing = cur
+      .join(effective.select(col(key)), Seq(key), "left_semi")
+      .withColumn("valid_to", lit(eff))
+      .withColumn("is_current", lit(false))
+    closing.unionByName(scd2Init(effective, eff))
   }
 
   /** Point-in-time (as-of) join of a fact frame against an SCD-2
@@ -314,6 +339,30 @@ object Layout extends QueryModule {
       Some("""
         SELECT doc_id, text, lang, source, n_chars
         FROM documents ORDER BY doc_id
+      """)),
+
+    // ───── ORC sink → schema'd scan → typed rows ─────
+    // The other columnar format a lake serves (Hive/Trino ecosystems
+    // hand ORC files around the way parquet moves elsewhere). ORC is
+    // just the medium under test: the round-tripped rows must be
+    // value-identical to the source table, and Spark's ORC reader
+    // gives the same column pruning + predicate pushdown surface as
+    // parquet. The oracle reads the original parquet — DuckDB never
+    // sees the ORC.
+    GraftQuery(
+      "src_orc_roundtrip",
+      (s, d) => {
+        val tmp = Sources.scratch(d, "orc_")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp).orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders ORDER BY o_orderkey
       """)),
 
     // ───── small-file compaction: 64 droppings → size-targeted files ─────

@@ -345,6 +345,54 @@ object StreamingPipeline extends Serializable {
       }
       .start()
 
+  /** Streaming SCD-2 dimension maintenance: each micro-batch of
+    * attribute updates is merged into a persistent dimension HISTORY
+    * (`Layout.scd2Changes` — change detection, close-and-insert)
+    * committed to the bucketed `SnapshotStore` at version = batchId.
+    *
+    * Exactly-once from at-least-once delivery, the store's standard
+    * argument: the batch is first compacted to ONE deterministic image
+    * per key (max attribute-struct order — a replay recomputes the
+    * identical delta regardless of row order), the effective stamp is
+    * the batchId itself, and a replayed batch either no-ops on the
+    * version marker or — replayed after a completed commit — detects
+    * zero attribute changes against the head it itself wrote and
+    * commits an empty delta. Only O(changed keys) rows travel per
+    * batch: the closing image of each changed key's current row
+    * (rewritten in place via its (key, valid_from) store key) and the
+    * newly-opened version; untouched history buckets are never read or
+    * rewritten. The history rows carry a `_vkey` = key:valid_from
+    * store key because a key's VERSIONS, not keys, are the unit of
+    * upsert — readers drop it.
+    */
+  def runScd2History(
+      spark: SparkSession,
+      stream: DataFrame,
+      key: String,
+      attrs: Seq[String],
+      snapshotDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val compacted = batch
+          .groupBy(col(key))
+          .agg(max(struct(attrs.map(col): _*)).as("_img"))
+          .select(col(key) +: attrs.map(a => col(s"_img.$a").as(a)): _*)
+        val cur = graft.pipeline.SnapshotStore.read(s, snapshotDir)
+          .map(_.drop("_vkey").filter(col("is_current")))
+          .getOrElse(graft.pipeline.Layout.scd2Init(compacted.limit(0), 0L))
+        val changes = graft.pipeline.Layout
+          .scd2Changes(cur, compacted, key, attrs, eff = batchId)
+          .withColumn("_vkey",
+            concat_ws(":", col(key), col("valid_from")))
+        graft.pipeline.SnapshotStore.upsertVersion(
+          s, changes, "_vkey", None, snapshotDir, batchId)
+      }
+      .start()
+
   /** Continuous DEDUP-GATED ingest — the streaming deployment of
     * `dedup_incremental`'s band-index pattern, wired end-to-end: each
     * micro-batch of documents (doc_id, text, …)

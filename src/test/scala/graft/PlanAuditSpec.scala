@@ -24,7 +24,9 @@ class PlanAuditSpec extends SparkSpec {
     "agg_heavy_hitters", "win_funnel", "sim_hybrid_rrf",
     // 1-row broadcast node count reaching the rank recurrence as a
     // scalar — the watermark-filter pattern again
-    "graph_pagerank")
+    "graph_pagerank",
+    // 1-row broadcast corpus size + total-token count scalars
+    "text_bm25")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

@@ -62,6 +62,52 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
   }
 
+  test("streaming SCD-2 history: change detection, chaining, replay no-op") {
+    val landing = scratchDir("scd2_landing")
+    val snap    = scratchDir("scd2_store") + "/dim"
+    val ckpt    = scratchDir("scd2_ckpt") + "/cp"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("seg", StringType),
+      StructField("bal", DoubleType)))
+    def writeDim(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(landing, name),
+        ("k,seg,bal" +: rows).mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = StreamingPipeline.runScd2History(
+      spark,
+      spark.readStream.option("header", "true").schema(schema)
+        .csv(s"$landing/*.csv"),
+      key = "k", attrs = Seq("seg", "bal"), snap, ckpt).awaitTermination()
+    def history: Seq[(Long, String, Long, Option[Long], Boolean)] =
+      SnapshotStore.read(spark, snap).get
+        .select("k", "seg", "valid_from", "valid_to", "is_current")
+        .as[(Long, String, Long, Option[Long], Boolean)]
+        .collect().toSeq.sortBy(r => (r._1, r._3))
+
+    // batch 0 opens the dimension; key 3 arrives twice — the max-struct
+    // compaction must pick one deterministic image, not two versions
+    writeDim("b1.csv", Seq("1,x,10.0", "2,y,20.0", "3,a,1.0", "3,b,2.0"))
+    run()
+    assert(SnapshotStore.latestVersion(spark, snap).contains(0L))
+    assert(history == Seq(
+      (1L, "x", 0L, None, true), (2L, "y", 0L, None, true),
+      (3L, "b", 0L, None, true)))
+
+    // batch 1: key 1 changes (close + reopen), key 2 re-sent verbatim
+    // (must NOT version), key 9 is new
+    writeDim("b2.csv", Seq("1,x2,10.0", "2,y,20.0", "9,n,1.0"))
+    run()
+    assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
+    assert(history == Seq(
+      (1L, "x", 0L, Some(1L), false), (1L, "x2", 1L, None, true),
+      (2L, "y", 0L, None, true), (3L, "b", 0L, None, true),
+      (9L, "n", 1L, None, true)))
+
+    // restart with no new files: checkpoint replays nothing
+    run()
+    assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
+    assert(history.size == 5)
+  }
+
   test("a version colliding BELOW the committed head fails loudly") {
     // a reset checkpoint replaying old batch ids against a surviving
     // snapshot dir must error, not silently discard the batches

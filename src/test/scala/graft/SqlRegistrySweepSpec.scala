@@ -198,7 +198,51 @@ class SqlRegistrySweepSpec extends SparkSpec {
   /** Hand-spelled Spark SQL for oracles whose DuckDB text resists the
     * mechanical bridge; still full literal-SQL result parity.
     */
-  private val sparkSqlOverrides: Map[String, String] = Map.empty
+  private val sparkSqlOverrides: Map[String, String] = Map(
+    // the DuckDB oracle leans on QUALIFY (no Spark spelling) and the
+    // '0x…'::BIGINT hex cast (Spark needs conv()); same KMV math
+    "agg_kmv_distinct" -> """
+      WITH dk AS (
+        SELECT DISTINCT o_orderstatus AS grp, o_custkey FROM orders),
+      h AS (
+        SELECT DISTINCT grp,
+               CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15),
+                 16, 10) AS BIGINT) AS h
+        FROM dk),
+      sk AS (
+        SELECT grp, h, rn FROM (
+          SELECT grp, h,
+                 ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM h) t WHERE rn <= 64),
+      per_grp AS (
+        SELECT grp, COUNT(*) AS m,
+               CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE (63.0 * 1152921504606846976.0) / CAST(MAX(h) AS DOUBLE)
+               END AS est_distinct
+        FROM sk GROUP BY grp),
+      msk AS (
+        SELECT h, rn FROM (
+          SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+          FROM (SELECT DISTINCT h FROM sk) u) t WHERE rn <= 64),
+      mrg AS (
+        SELECT '__union' AS grp, COUNT(*) AS m,
+               CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE (63.0 * 1152921504606846976.0) / CAST(MAX(h) AS DOUBLE)
+               END AS est_distinct
+        FROM msk),
+      ex AS (
+        SELECT o_orderstatus AS grp,
+               COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT '__union', COUNT(DISTINCT o_custkey) FROM orders),
+      allsk AS (
+        SELECT grp, m, est_distinct FROM per_grp
+        UNION ALL SELECT grp, m, est_distinct FROM mrg)
+      SELECT a.grp, a.m, a.est_distinct, ex.exact_distinct
+      FROM allsk a JOIN ex USING (grp)
+      ORDER BY a.grp
+    """)
 
   /** Oracle-backed queries with no Spark SQL spelling; the blocking
     * dialect feature is named. Must stay a small minority.
