@@ -20,6 +20,8 @@ object SparkEntry {
     ops.Curation,
     ops.TextAnalysis,
     ops.Similarity,
+    ops.VectorIndex,
+    ops.SearchIndex,
     ops.Multimodal,
     ops.Advanced,
     ops.Extras,

@@ -211,11 +211,26 @@ object SnapshotStore {
     * checkpoint colliding on the very latest version; recovery from a
     * checkpoint loss is to also start a fresh snapshot dir or
     * re-point `retain`-aware tooling at the old one.)
+    *
+    * With `bucketCol` set, rows are placed by that column's value (an
+    * int in `[0, numBuckets)`) instead of `hash(key)` — the seam that
+    * turns the store into a CONTENT-partitioned index (the ANN index's
+    * IVF cell, an inverted index's term shard): readers that know which
+    * buckets answer their query read ONLY those dirs (`readBuckets`),
+    * so probe IO is buckets_probed/numBuckets of the index at any size.
+    * Caller contract: a key's bucket value must be STABLE across deltas
+    * (derive it from immutable row content, e.g. a frozen centroid
+    * assignment) — the merge only consults the delta's own buckets, so
+    * a key that moved buckets would survive in its old one.
+    * Out-of-range bucket values fail the write loudly. `lookupKey`
+    * remains hash-routed and applies only to hash-bucketed stores.
     */
   def upsertVersion(spark: SparkSession, delta: DataFrame, key: String,
                     seqCol: Option[String], dir: String, version: Long,
                     retain: Int = 2, opCol: Option[String] = None,
-                    evolve: Boolean = false): Unit = {
+                    evolve: Boolean = false,
+                    bucketCol: Option[String] = None,
+                    numBuckets: Option[Int] = None): Unit = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val f = fs(spark, dir)
     val latest = latestVersion(spark, dir)
@@ -226,7 +241,25 @@ object SnapshotStore {
         "dir (single-writer, monotone-version contract)")
 
     val head = latest.map(readManifest(f, dir, _))
-    val numBuckets = head.map(_.numBuckets).getOrElse(confBuckets(spark))
+    // explicit per-store sizing beats the session default for content-
+    // bucketed stores (numBuckets IS the content-domain size, e.g. the
+    // IVF cell count); once committed the manifest's count is law
+    val nBuckets = head.map(_.numBuckets)
+      .orElse(numBuckets).getOrElse(confBuckets(spark))
+    // explicit content bucket (e.g. IVF cell) or the default key hash;
+    // a value outside [0, numBuckets) would land rows in a dir no
+    // manifest tracks — fail the write, not the readers
+    def placeExpr: Column = bucketCol match {
+      case Some(c) =>
+        val b = col(c).cast("int")
+        when(b.isNull || b < 0 || b >= lit(nBuckets),
+          org.apache.spark.sql.functions.raise_error(
+            org.apache.spark.sql.functions.concat_ws("",
+              lit(s"bucketCol '$c' out of [0, $nBuckets): "),
+              col(c).cast("string"))))
+          .otherwise(b)
+      case None => bucketExpr(key, nBuckets)
+    }
 
     val deltaLatest = seqCol match {
       case Some(seq) =>
@@ -242,7 +275,7 @@ object SnapshotStore {
     // Stage the bucket-tagged delta once: it feeds both the touched-set
     // collect and the merge write (otherwise the delta source recomputes).
     val tagged = deltaLatest
-      .withColumn("_bucket", bucketExpr(key, numBuckets)).persist()
+      .withColumn("_bucket", placeExpr).persist()
     try {
       val touched = tagged.select("_bucket").distinct()
         .collect().map(_.getInt(0)).toSet
@@ -267,7 +300,7 @@ object SnapshotStore {
       // One task per touched bucket: each rewritten bucket lands as a
       // single file of size ~table/numBuckets (size the bucket count so
       // that is a sane task; Layout.compaction handles finer sizing).
-      merged.withColumn("_bucket", bucketExpr(key, numBuckets))
+      merged.withColumn("_bucket", placeExpr)
         .repartition(touched.size max 1, col("_bucket"))
         .write.partitionBy("_bucket")
         .mode("overwrite").parquet(versionDir(dir, version))
@@ -285,7 +318,7 @@ object SnapshotStore {
         merged.limit(0).write.mode("overwrite")
           .parquet(s"${versionDir(dir, version)}/${bucketDirName(b)}")
       }
-      writeManifest(f, dir, version, Manifest(numBuckets,
+      writeManifest(f, dir, version, Manifest(nBuckets,
         head.map(_.buckets).getOrElse(Map.empty) ++
           touched.map(_ -> version)))
       f.mkdirs(new Path(s"$dir/_commits"))
@@ -327,6 +360,32 @@ object SnapshotStore {
             .parquet(s"${versionDir(dir, v0)}/${bucketDirName(b0)}")
             .limit(0)
       }
+    }
+
+  /** The current rows of ONLY the given bucket ids — the pruned read
+    * path for content-bucketed stores (`upsertVersion(bucketCol=…)`):
+    * a probe that knows which buckets can answer it (the query's
+    * nprobe IVF cells, a search term's shard) unions just those dirs,
+    * so IO is |buckets|/numBuckets of the index at any size. Bucket
+    * ids never written serve no rows (they are simply absent from the
+    * manifest); ids outside [0, numBuckets) are refused loudly — a
+    * caller computing probe buckets with a different modulus than the
+    * writer would otherwise silently read nothing. Returns None before
+    * the first commit.
+    */
+  def readBuckets(spark: SparkSession, dir: String,
+                  buckets: Set[Int]): Option[DataFrame] =
+    manifest(spark, dir).map { m =>
+      val bad = buckets.filter(b => b < 0 || b >= m.numBuckets)
+      require(bad.isEmpty,
+        s"bucket id(s) ${bad.toSeq.sorted.mkString(", ")} outside " +
+          s"[0, ${m.numBuckets}) — probe and writer disagree on the layout")
+      val paths = m.buckets.toSeq.sortBy(_._1)
+        .collect { case (b, ver) if buckets(b) =>
+          s"${versionDir(dir, ver)}/${bucketDirName(b)}"
+        }
+      if (paths.isEmpty) read(spark, dir).get.limit(0)
+      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
 
   /** The net row-level changes between two committed versions — the

@@ -59,7 +59,7 @@ object Sources extends QueryModule {
       ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
     } catch { case scala.util.control.NonFatal(_) => false }
 
-  private[pipeline] def scratch(d: String, tag: String): String = {
+  private[graft] def scratch(d: String, tag: String): String = {
     // keep the root's mtime live: writes land in nested subdirs, which
     // do NOT update the root's own mtime — without the touch, a soak
     // run >24h could be swept by a newly starting sibling JVM

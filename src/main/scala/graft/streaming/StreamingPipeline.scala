@@ -595,4 +595,34 @@ object StreamingPipeline extends Serializable {
       .partitionBy("event_date")
       .format("parquet")
       .start(sinkDir)
+
+  /** Streaming ingest into a persistent ANN index (`ops.VectorIndex`):
+    * each micro-batch of `(vec_id, embedding)` rows is assigned to its
+    * IVF cell under the index's FROZEN quantizer (broadcast centroids —
+    * a narrow map) and committed at version = batchId, so an
+    * at-least-once replay no-ops on the store's version marker and the
+    * index is exactly-once. Per batch only the cells the delta lands in
+    * rewrite — O(delta + touched cells), the property that lets a live
+    * embedding firehose feed a queryable index continuously. The index
+    * must have been `VectorIndex.build`-created before the stream
+    * starts (the quantizer is part of the index's identity; creating it
+    * mid-stream would race the contract that placement is a pure
+    * function of frozen centroids). Batch ids start at 0 but version 0
+    * is the build commit, so batch b commits as version b + 1.
+    */
+  def runAnnIndexIngest(
+      spark: SparkSession,
+      stream: DataFrame,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val vecs = batch.select(col("vec_id"), col("embedding"),
+          expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
+        graft.ops.VectorIndex.ingestVersion(s, vecs, indexDir, batchId + 1)
+      }
+      .start()
 }

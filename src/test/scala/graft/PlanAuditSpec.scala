@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkSpec {
   // The build side is provably tiny in each.
   private val allowNestedLoop = Set(
     "ref_watermark_filter", "text_tfidf", "sim_topk_cosine",
-    "curate_domain_mix", "sim_ann_ivf",
+    // K-row broadcast centroid frames (the IVF assignment map)
+    "curate_domain_mix", "sim_ann_ivf", "sim_ann_index",
     // 1-row broadcast scalar frames (candidate array / total count /
     // stage counts / probe embedding) — the watermark-filter pattern,
     // not a data-path BNLJ
@@ -26,7 +27,9 @@ class PlanAuditSpec extends SparkSpec {
     // scalar — the watermark-filter pattern again
     "graph_pagerank",
     // 1-row broadcast corpus size + total-token count scalars
-    "text_bm25")
+    "text_bm25",
+    // 1-row broadcast stats frames (corpus totals / budget scalars)
+    "text_search_index", "curate_mixture_epochs")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

@@ -1,0 +1,144 @@
+package graft
+
+import graft.ops.VectorIndex
+import graft.pipeline.SnapshotStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index semantics: content-bucketed store placement,
+  * probe IO pruning, incremental-ingest ≡ one-shot equivalence, and the
+  * bucketCol contract's loud failure modes.
+  */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def normed(d: String): DataFrame =
+    Tables.embeddings(spark, d).select(
+      col("vec_id"), col("embedding"),
+      expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
+
+  test("bucketCol store places rows by the column and prunes reads") {
+    val dir = scratchDir("vx_bucketcol") + "/t"
+    val rows = Seq((1L, 0, "a"), (2L, 0, "b"), (3L, 2, "c"))
+      .toDF("k", "cell", "v")
+    SnapshotStore.upsertVersion(spark, rows, "k", None, dir, 0L,
+      bucketCol = Some("cell"), numBuckets = Some(4))
+
+    // physical placement: rows live in their DECLARED bucket dirs
+    val probe0 = SnapshotStore.readBuckets(spark, dir, Set(0)).get
+    assert(probe0.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(probe0.inputFiles.forall(_.contains("_bucket=0")),
+      "probe of bucket 0 must read only bucket 0's files")
+    // a bucket never written serves no rows, schema intact
+    val probe13 = SnapshotStore.readBuckets(spark, dir, Set(1, 3)).get
+    assert(probe13.count() == 0 && probe13.columns.contains("v"))
+
+    // merge stays per-bucket: an upsert of k=2 touches only cell 0
+    SnapshotStore.upsertVersion(spark,
+      Seq((2L, 0, "b2")).toDF("k", "cell", "v"), "k", None, dir, 1L,
+      bucketCol = Some("cell"))
+    assert(SnapshotStore.readBuckets(spark, dir, Set(0)).get
+      .filter(col("k") === 2L).select("v").as[String].head() == "b2")
+    assert(SnapshotStore.readBuckets(spark, dir, Set(2)).get
+      .inputFiles.forall(_.contains("v00000000")),
+      "untouched bucket must still serve version-0 files")
+  }
+
+  test("bucketCol out-of-range fails the write; bad probe ids refused") {
+    val dir = scratchDir("vx_range") + "/t"
+    intercept[Exception] {
+      SnapshotStore.upsertVersion(spark,
+        Seq((1L, 7, "x")).toDF("k", "cell", "v"), "k", None, dir, 0L,
+        bucketCol = Some("cell"), numBuckets = Some(4))
+    }
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, 3, "x")).toDF("k", "cell", "v"), "k", None, dir, 1L,
+      bucketCol = Some("cell"), numBuckets = Some(4))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readBuckets(spark, dir, Set(9))
+    }
+  }
+
+  test("build + incremental ingest == one-shot index; probe IO is pruned") {
+    val e = normed(sfTiny)
+    val base  = e.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    val delta = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+
+    val incDir = scratchDir("vx_inc") + "/idx"
+    VectorIndex.build(spark, base, incDir, k = 8)
+    VectorIndex.ingest(spark, delta, incDir)
+
+    val oneDir = scratchDir("vx_one") + "/idx"
+    // same frozen quantizer (seeds from BASE), whole corpus at once
+    VectorIndex.build(spark, e, oneDir, k = 8,
+      seeds = Some(VectorIndex.seedCentroids(base, 8)))
+
+    def contents(dir: String): Set[(Long, Int)] =
+      SnapshotStore.read(spark, dir).get
+        .select(col("vec_id"), col("cell"))
+        .as[(Long, Int)].collect().toSet
+    assert(contents(incDir) == contents(oneDir),
+      "incremental ingest must converge to the one-shot index")
+
+    // probe: answers match between the two stores, and IO is pruned to
+    // the probed cells' bucket dirs only
+    val q = e.filter(col("vec_id") < 20)
+    val rInc = VectorIndex.query(spark, q, incDir)
+    val rOne = VectorIndex.query(spark, q, oneDir)
+    assert(rInc.collect().toSeq == rOne.collect().toSeq)
+
+    // pruning evidence: a single-cell query must touch one bucket dir
+    val q1 = e.filter(col("vec_id") === 5)
+    val files = VectorIndex.query(spark, q1, incDir).inputFiles
+      .filter(_.contains("_bucket="))
+      .map(_.replaceAll(".*(_bucket=\\d+).*", "$1")).toSet
+    assert(files.size == 1,
+      s"single-query probe should read exactly one cell dir, got $files")
+  }
+
+  test("streaming ingest commits exactly-once and converges to one-shot") {
+    val e = normed(sfTiny)
+    val base  = e.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    val dir  = scratchDir("vx_stream") + "/idx"
+    val ckpt = scratchDir("vx_stream_ckpt") + "/cp"
+    val land = scratchDir("vx_stream_land")
+
+    VectorIndex.build(spark, base, dir, k = 8)
+    val v0 = SnapshotStore.latestVersion(spark, dir).get
+
+    // land the held-out quarter as a file stream of (vec_id, embedding)
+    Tables.embeddings(spark, sfTiny)
+      .filter(pmod(col("vec_id"), lit(4)) === 3)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$land/b0")
+    def run(): Unit = graft.streaming.StreamingPipeline.runAnnIndexIngest(
+      spark,
+      spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(s"$land/*"), dir, ckpt).awaitTermination()
+    run()
+    assert(SnapshotStore.latestVersion(spark, dir).contains(v0 + 1))
+
+    // checkpoint replay with no new files: nothing recommits
+    run()
+    assert(SnapshotStore.latestVersion(spark, dir).contains(v0 + 1))
+
+    // converged to the one-shot index under the same frozen quantizer
+    val oneDir = scratchDir("vx_stream_one") + "/idx"
+    VectorIndex.build(spark, e, oneDir, k = 8,
+      seeds = Some(VectorIndex.seedCentroids(base, 8)))
+    def contents(p: String): Set[(Long, Int)] =
+      SnapshotStore.read(spark, p).get.select(col("vec_id"), col("cell"))
+        .as[(Long, Int)].collect().toSet
+    assert(contents(dir) == contents(oneDir))
+  }
+
+  test("re-embedding a vector upserts its row (same key, maybe same cell)") {
+    val e = normed(sfTiny)
+    val dir = scratchDir("vx_reemb") + "/idx"
+    VectorIndex.build(spark, e, dir, k = 8)
+    val before = SnapshotStore.read(spark, dir).get.count()
+    // re-ingest an existing vector unchanged: keyed upsert, not append
+    VectorIndex.ingest(spark, e.filter(col("vec_id") === 1), dir)
+    assert(SnapshotStore.read(spark, dir).get.count() == before)
+  }
+}
