@@ -345,6 +345,97 @@ object Curation extends QueryModule {
             FROM kept) c
           WHERE doc_id = canon_id)
         ${shardSql("canon")}
+      """)),
+
+    // ───── bloom-pruned decontamination: the 100 TB membrane shape ─────
+    // Same semantics as curate_contamination (train docs sharing an
+    // 8-gram with the eval suite), different physical shape: the eval
+    // grams aggregate into a BLOOM FILTER (graft.functions
+    // .BloomFilterBuildAgg over xxhash64 of the gram) delivered as a
+    // scalar subquery, and the train-side posting stream is filtered
+    // AGAINST THE SCAN before the exact-verify join — so the join's
+    // left side carries ~contaminated grams only, not every 8-gram of
+    // a 100 TB corpus (the join_bloom_prune pattern applied to the
+    // decontamination membrane). False positives fall to the exact
+    // join; false negatives are impossible (property-tested in
+    // SketchSpec) — so the result, and the oracle, are bit-identical
+    // to the exact operator's.
+    GraftQuery(
+      "curate_contamination_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = grams(docs.filter(col("doc_id") % 20 =!= 0), 8)
+        val eval8 = grams(docs.filter(col("doc_id") % 20 === 0), 8)
+          .select(col("gram").as("eg")).distinct()
+        val view = s"graft_decon_eval_${math.abs(d.hashCode)}"
+        eval8.select(xxhash64(col("eg")).as("g")).createOrReplaceTempView(view)
+        val pruned = train.filter(expr(
+          s"bloom_probe((SELECT bloom_build(g, 1048576, 6) FROM $view), xxhash64(gram))"))
+        pruned.join(eval8, col("gram") === col("eg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH train AS (${gramsSql("(SELECT * FROM documents WHERE doc_id % 20 <> 0)", 8)}),
+        ev AS (SELECT DISTINCT gram
+               FROM (${gramsSql("(SELECT * FROM documents WHERE doc_id % 20 = 0)", 8)}) g)
+        SELECT doc_id, COUNT(*) AS n_shared_grams
+        FROM train JOIN ev USING (gram)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """)),
+
+    // ───── epoch mixture: data-constrained repeat schedule ─────
+    // When the token budget exceeds a source's size, training repeats
+    // the source for multiple epochs — with diminishing returns that
+    // cap useful repetition around 4 epochs (Muennighoff et al. 2023,
+    // "Scaling Data-Constrained Language Models"). This operator emits
+    // the REPEAT SCHEDULE: every source gets an equal share of a
+    // budget of 2× the corpus's total tokens; a source covers its
+    // share in ceil(share / its tokens) epochs, capped at 4; each doc
+    // row is emitted once per epoch. All-integer math (ceil-div as
+    // (a + b − 1) div b), so the schedule is bit-identical across
+    // engines and re-runs. One token-sum shuffle on the source key;
+    // the per-source totals and the corpus total ride back as tiny
+    // broadcast aggregates; the epoch expansion is a narrow explode.
+    GraftQuery(
+      "curate_mixture_epochs",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokenEstimate.as("n_tokens"))
+        val bySrc = toks.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("t_src"))
+        val tot = toks.agg(sum(col("n_tokens")).as("t_tot"),
+          count_distinct(col("source")).as("n_sources"))
+        toks
+          .join(bySrc, "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("share", expr("(2 * t_tot) div n_sources"))
+          .withColumn("n_epochs",
+            least(lit(4L), expr("(share + t_src - 1) div t_src")))
+          .select(col("doc_id"), col("source"), col("n_epochs"),
+            explode(expr("sequence(1L, n_epochs)")).as("epoch"))
+          .orderBy(col("source"), col("doc_id"), col("epoch"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source, $tokenEstimateSql AS n_tokens
+          FROM documents),
+        by_src AS (SELECT source, SUM(n_tokens) AS t_src
+                   FROM toks GROUP BY source),
+        tot AS (SELECT SUM(n_tokens) AS t_tot,
+                       COUNT(DISTINCT source) AS n_sources
+                FROM toks),
+        sched AS (
+          SELECT t.doc_id, t.source,
+                 CAST(LEAST(4, ((2 * tot.t_tot) // tot.n_sources + b.t_src - 1)
+                   // b.t_src) AS BIGINT) AS n_epochs
+          FROM toks t JOIN by_src b USING (source) CROSS JOIN tot)
+        SELECT doc_id, source, n_epochs,
+               UNNEST(generate_series(1, n_epochs)) AS epoch
+        FROM sched
+        ORDER BY source, doc_id, epoch
       """))
   )
 
