@@ -81,28 +81,46 @@ object SearchIndex extends QueryModule {
         pmod(hash(col("term")), lit(shards)).as("shard"))
   }
 
-  /** Batch doc counts for the stats sidecar: (n_docs, n_tokens). */
-  private def batchStats(docs: DataFrame): DataFrame =
-    tokens(docs).agg(count(lit(1)).as("tot"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
-
+  /** One exactly-once index commit for a doc batch that may mix adds
+    * and deletes (`opCol`: rows with `'d'` remove, anything else adds;
+    * None = all adds). Deletes tombstone every posting of the doc —
+    * delete-by-reindex: the caller supplies the doc's LAST-INDEXED
+    * text, so the term set is exact. The stats sidecar moves by the
+    * SIGNED batch totals (2 tiny rows, adjusted in the plan — no
+    * driver arithmetic) at the same version id, so a replayed batch
+    * no-ops on BOTH stores' markers and the pair stays in lockstep.
+    */
   private def commit(s: SparkSession, docs: DataFrame, dir: String,
-                     version: Long): Unit = {
-    SnapshotStore.upsertVersion(s, postings(docs), key = "pkey",
+                     version: Long, opCol: Option[String] = None): Unit = {
+    val sign = opCol match {
+      case Some(op) => when(col(op) === "d", lit(-1L)).otherwise(lit(1L))
+      case None     => lit(1L)
+    }
+    val ops = docs.select(col("doc_id"), sign.as("_sign"))
+    val p = postings(docs.select(col("doc_id"), col("text")))
+      .join(ops, "doc_id")
+      .withColumn("_op", when(col("_sign") < 0, lit("d")).otherwise(lit("u")))
+      .drop("_sign")
+    SnapshotStore.upsertVersion(s, p, key = "pkey",
       seqCol = None, dir = dir, version = version,
-      bucketCol = Some("shard"), numBuckets = Some(shards))
-    // stats: previous totals + this batch's counts (2 tiny rows; the
-    // adds happen in the plan, no driver arithmetic). Same version id:
-    // a replayed batch no-ops on BOTH stores' markers.
+      opCol = Some("_op"), bucketCol = Some("shard"),
+      numBuckets = Some(shards))
     val prev = SnapshotStore.read(s, statsDir(dir)).getOrElse(
       s.range(0).select(lit("").as("stat"), lit(0L).as("value")))
     val prevW = prev.groupBy().pivot("stat", Seq("n", "tot")).sum("value")
       .select(coalesce(col("n"), lit(0L)).as("pn"),
         coalesce(col("tot"), lit(0L)).as("ptot"))
-    val next = batchStats(docs).crossJoin(broadcast(prevW))
+    // left join: a token-less doc still counts toward n (dl = 0)
+    val dls = tokens(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val delta = ops.join(dls, Seq("doc_id"), "left")
+      .agg(coalesce(sum(col("_sign")), lit(0L)).as("n"),
+        coalesce(sum(col("_sign") * coalesce(col("dl"), lit(0L))),
+          lit(0L)).as("tot"))
+    val next = delta.crossJoin(broadcast(prevW))
       .select(explode(map(
-        lit("n"), col("n") + col("pn"),
-        lit("tot"), col("tot") + col("ptot"))).as(Seq("stat", "value")))
+        lit("n"), col("pn") + col("n"),
+        lit("tot"), col("ptot") + col("tot"))).as(Seq("stat", "value")))
     SnapshotStore.upsertVersion(s, next, key = "stat", seqCol = None,
       dir = statsDir(dir), version = version, numBuckets = Some(1))
   }
@@ -115,6 +133,27 @@ object SearchIndex extends QueryModule {
   def ingest(s: SparkSession, docs: DataFrame, dir: String): Unit =
     commit(s, docs, dir,
       SnapshotStore.latestVersion(s, dir).map(_ + 1).getOrElse(0L))
+
+  /** Remove documents from the index. `docs` must carry each doc's
+    * LAST-INDEXED text (delete-by-reindex): its postings tombstone out
+    * of their shards and the stats sidecar decrements — the index
+    * converges to what a fresh build without those docs produces.
+    * To UPDATE a changed doc: `remove` the old text, `ingest` the new.
+    */
+  def remove(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val tagged = docs.withColumn("_docop", lit("d"))
+    commit(s, tagged, dir,
+      SnapshotStore.latestVersion(s, dir).map(_ + 1).getOrElse(0L),
+      opCol = Some("_docop"))
+  }
+
+  /** `commit` with an explicit version — the exactly-once seam for the
+    * streaming maintainer (version = batchId + 1; replays no-op).
+    */
+  private[graft] def commitVersion(s: SparkSession, docs: DataFrame,
+                                   dir: String, version: Long,
+                                   opCol: Option[String]): Unit =
+    commit(s, docs, dir, version, opCol)
 
   /** BM25 top-`limit` docs for `terms`, reading ONLY the terms' shard
     * dirs. Scoring is `text_bm25`'s integer-cleared exact formulation

@@ -625,4 +625,28 @@ object StreamingPipeline extends Serializable {
         graft.ops.VectorIndex.ingestVersion(s, vecs, indexDir, batchId + 1)
       }
       .start()
+
+  /** Streaming maintenance of a persistent inverted index
+    * (`ops.SearchIndex`): each micro-batch of `(doc_id, text[, op])`
+    * document CDC commits postings + stats at version = batchId + 1
+    * (version 0 is the build), so replays no-op on the store markers
+    * and the index is exactly-once. Rows with op `'d'` tombstone the
+    * doc's postings (delete-by-reindex: the feed carries the
+    * last-indexed text); anything else (re-)indexes the doc. Per batch
+    * only the term shards the batch's tokens hash into rewrite.
+    */
+  def runSearchIndexIngest(
+      spark: SparkSession,
+      stream: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      opCol: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.SearchIndex.commitVersion(
+          batch.sparkSession, batch, indexDir, batchId + 1, opCol)
+      }
+      .start()
 }
