@@ -36,6 +36,18 @@ object GraftSession {
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v": runtime session confs for bench/scale
+    // runs (e.g. spark.graft.ann.ivfCells when measuring the K ∝ n
+    // contract at 10×). Verify independently REFUSES to run with any
+    // oracle-pinned knob set, so this cannot poison the hash gate.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { raw =>
+      raw.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => s.conf.set(k.trim, v.trim)
+          case _ => sys.error(s"SPARK_GRAFT_CONF entry not k=v: '$kv'")
+        }
+      }
+    }
     s
   }
 }

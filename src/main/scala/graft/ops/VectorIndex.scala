@@ -185,7 +185,15 @@ object VectorIndex extends QueryModule {
         val e = normed(s, d)
         val base  = e.filter(pmod(col("vec_id"), lit(4)) =!= 3)
         val delta = e.filter(pmod(col("vec_id"), lit(4)) === 3)
-        build(s, base, dir, Similarity.defaultIvfCells)
+        // K honors the same conf knob as sim_ann_ivf so scale runs can
+        // exercise the K ∝ n reindex contract; the oracle pins the
+        // default and Verify refuses to run with the knob set
+        val k = s.conf.get("spark.graft.ann.ivfCells", "").trim match {
+          case "" => Similarity.defaultIvfCells
+          case raw => raw.toIntOption.filter(_ >= 1).getOrElse(sys.error(
+            s"spark.graft.ann.ivfCells must be a positive int, got '$raw'"))
+        }
+        build(s, base, dir, k)
         ingest(s, delta, dir)
         query(s, e, dir)
       },
