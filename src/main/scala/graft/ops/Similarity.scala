@@ -497,6 +497,140 @@ object Similarity extends QueryModule {
         ORDER BY vec_id
       """)),
 
+    // ───── PQ ANN: product-quantized codes + asymmetric-distance scan ────
+    // The PQ half of Jégou et al. 2011: the 64-dim embedding splits into
+    // M = 4 subspaces of 16 dims; each subspace gets a 16-entry
+    // sub-codebook (md5-ordered seed SUB-vectors — deterministic and
+    // oracle-twinnable, the same seed trick as the IVF coarse quantizer);
+    // every corpus vector is ENCODED as 4 small codes = 4 bytes instead
+    // of 256 — a 64× residency compression, which is what lets a 100 TB
+    // embedding corpus live in cluster memory. A query never decodes:
+    // it precomputes a 4×16 lookup table of sub-distances to every
+    // sub-centroid (64 tiny rows, broadcast), and each candidate's
+    // approximate distance is FOUR table lookups summed in fixed
+    // subspace order (pivoted columns — a deterministic IEEE fold, like
+    // text_bm25's term fusion). Top-10 by ADC then EXACT re-rank by
+    // cosine — the standard two-stage retrieve-then-refine. The ADC scan
+    // is linear per query by design (PQ is a compression, not a pruning,
+    // technique); at corpus scale it runs INSIDE the probed IVF cells of
+    // `sim_ann_index` (IVF-ADC, the paper's full system), so scan volume
+    // is nprobe/K of the corpus and each candidate costs 4 lookups.
+    // Every arithmetic step (sub-distance folds, lookup sums, cosine)
+    // is the same left-to-right double fold on both engines.
+    GraftQuery(
+      "sim_ann_pq",
+      (s, d) => {
+        val e = Materialize.stageEager(
+          normed(s, d).repartition(s.sparkContext.defaultParallelism,
+            col("vec_id")))
+        val seeds = e
+          .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+          .limit(16)
+          .select(col("vec_id").as("sid"), col("embedding").as("semb"))
+          .withColumn("c", (row_number().over(
+            Window.orderBy(md5(col("sid").cast("string")).asc,
+              col("sid").asc)) - 1).cast("int"))
+        // squared L2 between the m-th 16-dim slices, left-to-right fold
+        def subdist(a: String, b: String) = expr(
+          s"""aggregate(zip_with(slice($a, (m-1)*16 + 1, 16),
+                                 slice($b, (m-1)*16 + 1, 16),
+               (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+             CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+        val ms = explode(expr("sequence(1, 4)")).as("m")
+        // encode: per (vector, subspace) the nearest sub-centroid
+        val enc = e.select(col("vec_id"), col("embedding"), ms)
+          .crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("m"), col("c"),
+            subdist("embedding", "semb").as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"), col("m"))
+              .orderBy(col("d2").asc, col("c").asc)))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("c"))
+        // query = vector 0: 4×16 sub-distance lookup table (broadcast)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val lut = q.select(col("q_emb"), col("q_nrm"), ms)
+          .crossJoin(broadcast(seeds))
+          .select(col("m").as("lm"), col("c").as("lc"),
+            col("q_nrm"), subdist("q_emb", "semb").as("ld2"))
+        // ADC: four lookups per candidate, summed in subspace order
+        def mCol(m: Int) = max(when(col("m") === m, col("ld2")))
+        val adc = enc.filter(col("vec_id") =!= 0)
+          .join(broadcast(lut), col("m") === col("lm") && col("c") === col("lc"))
+          .groupBy(col("vec_id"))
+          .agg(mCol(1).as("p1"), mCol(2).as("p2"),
+            mCol(3).as("p3"), mCol(4).as("p4"))
+          .withColumn("adc_d2",
+            col("p1") + col("p2") + col("p3") + col("p4"))
+          .orderBy(col("adc_d2").asc, col("vec_id").asc)
+          .limit(10)
+        // exact re-rank of the retrieved 10
+        val w = Window.orderBy(col("cosine").desc, col("vec_id").asc)
+        adc.join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("adc_d2"),
+            cosine("q_emb", "embedding", "q_nrm", "nrm"))
+          .withColumn("rnk", row_number().over(w))
+          .select(col("vec_id"), col("adc_d2"), col("cosine"), col("rnk"))
+          .orderBy(col("rnk"))
+      },
+      Some(s"""
+        WITH $normedSql,
+        seeds AS (
+          SELECT sid, semb,
+                 CAST(ROW_NUMBER() OVER (ORDER BY md5(sid::VARCHAR) ASC,
+                   sid ASC) - 1 AS INTEGER) AS c
+          FROM (
+            SELECT vec_id AS sid, embedding AS semb
+            FROM e ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+            LIMIT 16) s0),
+        ms AS (SELECT UNNEST(generate_series(1, 4)) AS m),
+        enc AS (
+          SELECT vec_id, m, c FROM (
+            SELECT e.vec_id, ms.m, s.c,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m ORDER BY
+                     list_reduce(list_transform(generate_series(1, 16),
+                       i -> (e.embedding[(ms.m-1)*16 + i]::DOUBLE
+                               - s.semb[(ms.m-1)*16 + i]::DOUBLE)
+                          * (e.embedding[(ms.m-1)*16 + i]::DOUBLE
+                               - s.semb[(ms.m-1)*16 + i]::DOUBLE)),
+                       (x, y) -> x + y) ASC, s.c ASC) AS rn
+            FROM e CROSS JOIN ms CROSS JOIN seeds s) t
+          WHERE rn = 1),
+        q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        lut AS (
+          SELECT ms.m AS lm, s.c AS lc,
+                 list_reduce(list_transform(generate_series(1, 16),
+                   i -> (q.q_emb[(ms.m-1)*16 + i]::DOUBLE
+                           - s.semb[(ms.m-1)*16 + i]::DOUBLE)
+                      * (q.q_emb[(ms.m-1)*16 + i]::DOUBLE
+                           - s.semb[(ms.m-1)*16 + i]::DOUBLE)),
+                   (x, y) -> x + y) AS ld2
+          FROM q CROSS JOIN ms CROSS JOIN seeds s),
+        adc AS (
+          SELECT vec_id,
+                 MAX(CASE WHEN m = 1 THEN ld2 END)
+                   + MAX(CASE WHEN m = 2 THEN ld2 END)
+                   + MAX(CASE WHEN m = 3 THEN ld2 END)
+                   + MAX(CASE WHEN m = 4 THEN ld2 END) AS adc_d2
+          FROM enc JOIN lut ON m = lm AND c = lc
+          WHERE vec_id <> 0
+          GROUP BY vec_id
+          ORDER BY adc_d2 ASC, vec_id ASC
+          LIMIT 10)
+        SELECT vec_id, adc_d2, cosine,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rnk
+        FROM (
+          SELECT adc.vec_id, adc.adc_d2,
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) / (q.q_nrm * e.nrm) AS cosine
+          FROM adc JOIN e ON adc.vec_id = e.vec_id CROSS JOIN q) t
+        ORDER BY rnk
+      """)),
+
     // ───── hybrid retrieval: keyword ∪ vector lists fused by RRF ─────
     // The two-tower RAG shape: a keyword list (docs ranked by query-term
     // hits) and a vector list (docs ranked by cosine to the probe

@@ -17,8 +17,8 @@ class PlanAuditSpec extends SparkSpec {
   // The build side is provably tiny in each.
   private val allowNestedLoop = Set(
     "ref_watermark_filter", "text_tfidf", "sim_topk_cosine",
-    // K-row broadcast centroid frames (the IVF assignment map)
-    "curate_domain_mix", "sim_ann_ivf", "sim_ann_index",
+    // K-row broadcast centroid / sub-codebook / lookup-table frames
+    "curate_domain_mix", "sim_ann_ivf", "sim_ann_index", "sim_ann_pq",
     // 1-row broadcast scalar frames (candidate array / total count /
     // stage counts / probe embedding) — the watermark-filter pattern,
     // not a data-path BNLJ

@@ -236,4 +236,29 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("rn") === 1)
       .select("va", "vb").as[(Long, Long)].collect().toMap
   }
+
+  test("sim_ann_pq: planted near-dup survives quantization and ranks first") {
+    // crafted fixture: vector 1 is a near-duplicate of query vector 0
+    // (cos ≈ 0.9998). With ≤16 corpus vectors every sub-slice is its own
+    // codebook entry, so encoding is lossless and ADC must surface the
+    // near-dup; the exact re-rank then puts it at rnk 1. This pins the
+    // whole encode → lookup-table → ADC → refine machinery
+    // deterministically (16-entry seed codebooks on the random driver
+    // corpus are honestly too coarse for a guaranteed-recall claim —
+    // production PQ trains k-means codebooks and runs inside IVF cells).
+    val pq = SparkEntry.queries("sim_ann_pq")(spark, dir)
+      .select(col("vec_id"), col("rnk")).as[(Long, Int)].collect().toMap
+    assert(pq(1L) == 1, s"near-dup of the query must re-rank first: $pq")
+  }
+
+  test("sim_ann_pq: exact re-rank orders the ADC candidates by true cosine") {
+    val rows = SparkEntry.queries("sim_ann_pq")(spark, sfTiny)
+      .select(col("rnk"), col("cosine")).as[(Int, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.length == 10)
+    assert(rows.map(_._1).toSeq == (1 to 10),
+      "rnk must be the dense 1..10 of the re-rank")
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq,
+      "cosine must be non-increasing in rnk")
+  }
 }
