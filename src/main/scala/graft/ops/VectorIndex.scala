@@ -52,6 +52,53 @@ import org.apache.spark.sql.functions._
 object VectorIndex extends QueryModule {
 
   private def centroidsDir(dir: String) = s"$dir/_centroids"
+  private def codebooksDir(dir: String) = s"$dir/_pq_codebooks"
+
+  /** Squared L2 between the m-th 16-dim sub-slices of two float-array
+    * columns (`m` is a 1-based column in scope) — the same
+    * left-to-right fold as `sim_ann_pq`, bit-stable across engines.
+    */
+  private def subdist(a: String, b: String) = expr(
+    s"""aggregate(zip_with(slice($a, (m-1)*16 + 1, 16),
+                           slice($b, (m-1)*16 + 1, 16),
+         (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                 * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+       CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  /** The frozen PQ sub-codebooks: for each of 4 subspaces, 16 seed
+    * sub-vectors (md5 order — `sim_ann_pq`'s quantizer) as
+    * `(m 1..4, c 0..15, semb)`; `semb` stays the FULL seed vector and
+    * the m-th slice is taken at use, so one frame serves all subspaces.
+    */
+  private[graft] def pqCodebooks(vecs: DataFrame): DataFrame =
+    vecs
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(16)
+      .select(col("vec_id").as("sid"), col("embedding").as("semb"))
+      .withColumn("c", (row_number().over(
+        Window.orderBy(md5(col("sid").cast("string")).asc, col("sid").asc))
+        - 1).cast("int"))
+      .select(col("c"), col("semb"),
+        explode(expr("sequence(1, 4)")).as("m"))
+
+  /** PQ-encode vectors against frozen codebooks: adds `code1..code4`
+    * (nearest sub-centroid per subspace, ties to the lowest code).
+    * Narrow map over a broadcast 64-row frame.
+    */
+  private def encode(vecs: DataFrame, books: DataFrame): DataFrame = {
+    val d2 = vecs.crossJoin(broadcast(books))
+      .select(vecs.columns.map(col) :+ col("m") :+ col("c") :+
+        subdist("embedding", "semb").as("d2"): _*)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d2").asc, col("c").asc)))
+      .filter(col("rn") === 1)
+    def codeCol(m: Int) = max(when(col("m") === m, col("c")))
+    val codes = d2.groupBy(col("vec_id").as("cv"))
+      .agg(codeCol(1).as("code1"), codeCol(2).as("code2"),
+        codeCol(3).as("code3"), codeCol(4).as("code4"))
+    vecs.join(codes, col("vec_id") === col("cv")).drop("cv")
+  }
 
   /** Embeddings with the shared bit-stable L2 norm. */
   private def normed(s: SparkSession, d: String): DataFrame =
@@ -103,6 +150,11 @@ object VectorIndex extends QueryModule {
     val cents = seeds.getOrElse(seedCentroids(vecs, k))
     cents.repartition(1).write.mode("errorifexists")
       .parquet(centroidsDir(dir))
+    // PQ sub-codebooks freeze with the coarse quantizer: the index
+    // always carries its 4-byte codes, so the ADC probe path is
+    // available without re-reading (or re-shipping) full vectors
+    pqCodebooks(vecs).repartition(1).write.mode("errorifexists")
+      .parquet(codebooksDir(dir))
     ingest(s, vecs, dir)
   }
 
@@ -124,8 +176,9 @@ object VectorIndex extends QueryModule {
                     version: Long): Unit = {
     val cents = readCentroids(s, dir)
     val k = cents.count().toInt
+    val books = s.read.parquet(codebooksDir(dir))
     SnapshotStore.upsertVersion(s,
-      assign(vecs, cents, nprobe = 1).drop("rn"),
+      encode(assign(vecs, cents, nprobe = 1).drop("rn"), books),
       key = "vec_id", seqCol = None, dir = dir, version = version,
       bucketCol = Some("cell"), numBuckets = Some(k))
   }
@@ -159,6 +212,83 @@ object VectorIndex extends QueryModule {
     qa.join(b, col("cell") === col("cell2") && col("va") =!= col("vb"))
       .select(col("va"), col("vb"),
         (expr("vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("va").as("vec_id"), col("vb").as("ann_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF-ADC probe (the full Jégou et al. 2011 system): queries assign
+    * to their `nprobe` cells; the in-cell scan reads ONLY
+    * `(vec_id, cell, code1..4)` — the 4-byte codes, never the vectors
+    * (visible as a pruned `ReadSchema`); each candidate's approximate
+    * distance is four lookups into the query's broadcast 4×16
+    * sub-distance table summed in fixed subspace order; the top
+    * `rerank` candidates per query (by ADC, ties to lowest id) are
+    * re-ranked by exact cosine against their STORED vectors (a keyed
+    * join back into the same probed cells), and the best survives.
+    * At 100 TB the ADC scan touches nprobe/K of a 4-bytes-per-vector
+    * structure and full vectors move only for rerank × queries rows.
+    */
+  def queryAdc(s: SparkSession, queries: DataFrame, dir: String,
+               nprobe: Int = 1, rerank: Int = 8,
+               cellCap: Int = Similarity.defaultIvfCellCap): DataFrame = {
+    val cents = readCentroids(s, dir)
+    val books = s.read.parquet(codebooksDir(dir))
+    val qa = assign(queries, cents, nprobe).drop("rn")
+      .select(col("vec_id").as("va"), col("cell"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val probed = qa.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val corpus = SnapshotStore.readBuckets(s, dir, probed).getOrElse(
+      sys.error(s"no committed index at $dir"))
+    // per-query 4×16 lookup table: narrow broadcast map, 64 rows/query
+    // (books rows already carry their subspace label m; dropDuplicates
+    // collapses the multi-cell rows a nprobe>1 assignment produces)
+    val lut = qa.select(col("va").as("lq"), col("qe"))
+      .dropDuplicates("lq")
+      .crossJoin(broadcast(books))
+      .select(col("lq"), col("m").as("lm"), col("c").as("lc"),
+        subdist("qe", "semb").as("ld2"))
+    val capped = corpus
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id").asc)))
+      .filter(col("crn") <= cellCap)
+    // ADC over codes only — the embedding column never reaches this scan
+    val codes = capped.select(col("vec_id").as("vb"),
+      col("cell").as("cell2"), col("code1"), col("code2"),
+      col("code3"), col("code4"))
+    def look(m: Int) = max(when(col("lm") === m, col("ld2")))
+    val adc = qa.join(codes,
+        col("cell") === col("cell2") && col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), explode(expr(
+        """array(named_struct('m', 1, 'c', code1),
+                 named_struct('m', 2, 'c', code2),
+                 named_struct('m', 3, 'c', code3),
+                 named_struct('m', 4, 'c', code4))""")).as("mc"))
+      .select(col("va"), col("vb"), col("mc.m").as("cm"), col("mc.c").as("cc"))
+      .join(lut, col("va") === col("lq") &&
+        col("cm") === col("lm") && col("cc") === col("lc"))
+      .groupBy(col("va"), col("vb"))
+      .agg(look(1).as("p1"), look(2).as("p2"),
+        look(3).as("p3"), look(4).as("p4"))
+      .withColumn("adc_d2", col("p1") + col("p2") + col("p3") + col("p4"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("va"))
+          .orderBy(col("adc_d2").asc, col("vb").asc)))
+      .filter(col("arn") <= rerank)
+      .select(col("va").as("rv"), col("vb"))
+    // exact re-rank: full vectors move only for the rerank candidates
+    val full = capped.select(col("vec_id").as("fb"),
+      col("embedding").as("fe"), col("nrm").as("fn"))
+    val w = Window.partitionBy(col("va"))
+      .orderBy(col("cosine").desc, col("vb").asc)
+    adc
+      .join(full, col("vb") === col("fb"))
+      .join(qa.select(col("va"), col("qe"), col("qn")),
+        col("rv") === col("va"))
+      .select(col("va"), col("vb"),
+        (expr("vec_dot(qe, fe)") / (col("qn") * col("fn"))).as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("va").as("vec_id"), col("vb").as("ann_id"), col("cosine"))
@@ -240,6 +370,124 @@ object VectorIndex extends QueryModule {
                  ROW_NUMBER() OVER (PARTITION BY va
                                     ORDER BY cosine DESC, vb ASC) AS rn
           FROM scored) t
+        WHERE rn = 1
+        ORDER BY vec_id
+      """)),
+
+    // ───── IVF-ADC over the persistent index: codes scan + re-rank ─────
+    // The full Jégou et al. 2011 retrieval system over the SAME store
+    // the plain probe uses: build (coarse quantizer + PQ codebooks
+    // frozen from the base corpus) → incremental ingest → ADC probe.
+    // The in-cell scan reads 4-byte codes, not vectors; the top-8 ADC
+    // candidates per query re-rank by exact cosine. The oracle states
+    // the whole system declaratively, so the hash gate pins
+    // build + ingest + code scan + re-rank ≡ the declarative math.
+    GraftQuery(
+      "sim_ann_ivfpq",
+      (s, d) => {
+        val dir = Sources.scratch(d, "ivfpq_")
+        new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new Path(dir), true)
+        val e = normed(s, d)
+        val base  = e.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+        val delta = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+        build(s, base, dir, Similarity.defaultIvfCells)
+        ingest(s, delta, dir)
+        queryAdc(s, e, dir)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_reduce(list_transform(embedding,
+                   x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS nrm
+          FROM embeddings),
+        seeds AS (
+          SELECT vec_id AS sid, embedding AS semb, nrm AS snrm
+          FROM e WHERE vec_id % 4 <> 3
+          ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+          LIMIT ${Similarity.defaultIvfCells}),
+        assign AS (
+          SELECT vec_id, sid AS cell FROM (
+            SELECT e.vec_id, s.sid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     (list_reduce(list_transform(generate_series(1, 64),
+                        i -> e.embedding[i]::DOUBLE * s.semb[i]::DOUBLE),
+                        (x, y) -> x + y) / (e.nrm * s.snrm)) DESC,
+                     s.sid ASC) AS rn
+            FROM e CROSS JOIN seeds s) t
+          WHERE rn = 1),
+        cells AS (
+          SELECT e.vec_id, e.embedding, e.nrm, assign.cell
+          FROM e JOIN assign ON e.vec_id = assign.vec_id),
+        cells_capped AS (
+          SELECT vec_id, embedding, nrm, cell FROM (
+            SELECT vec_id, embedding, nrm, cell,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY vec_id ASC) AS crn
+            FROM cells) t
+          WHERE crn <= ${Similarity.defaultIvfCellCap}),
+        books AS (
+          SELECT c, semb FROM (
+            SELECT semb,
+                   CAST(ROW_NUMBER() OVER (ORDER BY md5(sid::VARCHAR) ASC,
+                     sid ASC) - 1 AS INTEGER) AS c
+            FROM (
+              SELECT vec_id AS sid, embedding AS semb
+              FROM e WHERE vec_id % 4 <> 3
+              ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+              LIMIT 16) s0) s1),
+        ms AS (SELECT UNNEST(generate_series(1, 4)) AS m),
+        enc AS (
+          SELECT vec_id, m, c FROM (
+            SELECT cc.vec_id, ms.m, b.c,
+                   ROW_NUMBER() OVER (PARTITION BY cc.vec_id, ms.m ORDER BY
+                     list_reduce(list_transform(generate_series(1, 16),
+                       i -> (cc.embedding[(ms.m-1)*16 + i]::DOUBLE
+                               - b.semb[(ms.m-1)*16 + i]::DOUBLE)
+                          * (cc.embedding[(ms.m-1)*16 + i]::DOUBLE
+                               - b.semb[(ms.m-1)*16 + i]::DOUBLE)),
+                       (x, y) -> x + y) ASC, b.c ASC) AS rn
+            FROM cells_capped cc CROSS JOIN ms CROSS JOIN books b) t
+          WHERE rn = 1),
+        lut AS (
+          SELECT q.vec_id AS lq, ms.m AS lm, b.c AS lc,
+                 list_reduce(list_transform(generate_series(1, 16),
+                   i -> (q.embedding[(ms.m-1)*16 + i]::DOUBLE
+                           - b.semb[(ms.m-1)*16 + i]::DOUBLE)
+                      * (q.embedding[(ms.m-1)*16 + i]::DOUBLE
+                           - b.semb[(ms.m-1)*16 + i]::DOUBLE)),
+                   (x, y) -> x + y) AS ld2
+          FROM e q CROSS JOIN ms CROSS JOIN books b),
+        adc AS (
+          SELECT va, vb FROM (
+            SELECT va, vb,
+                   ROW_NUMBER() OVER (PARTITION BY va
+                     ORDER BY adc_d2 ASC, vb ASC) AS arn
+            FROM (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     MAX(CASE WHEN em.m = 1 THEN l.ld2 END)
+                       + MAX(CASE WHEN em.m = 2 THEN l.ld2 END)
+                       + MAX(CASE WHEN em.m = 3 THEN l.ld2 END)
+                       + MAX(CASE WHEN em.m = 4 THEN l.ld2 END) AS adc_d2
+              FROM cells a
+              JOIN cells_capped b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+              JOIN enc em ON em.vec_id = b.vec_id
+              JOIN lut l ON l.lq = a.vec_id AND l.lm = em.m AND l.lc = em.c
+              GROUP BY a.vec_id, b.vec_id) g) r
+          WHERE arn <= 8)
+        SELECT va AS vec_id, vb AS ann_id, cosine FROM (
+          SELECT adc.va, adc.vb,
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> qa.embedding[i]::DOUBLE * cb.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) / (qa.nrm * cb.nrm) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY adc.va
+                   ORDER BY (list_reduce(list_transform(generate_series(1, 64),
+                     i -> qa.embedding[i]::DOUBLE * cb.embedding[i]::DOUBLE),
+                     (x, y) -> x + y) / (qa.nrm * cb.nrm)) DESC,
+                     adc.vb ASC) AS rn
+          FROM adc
+          JOIN e qa ON qa.vec_id = adc.va
+          JOIN e cb ON cb.vec_id = adc.vb) t
         WHERE rn = 1
         ORDER BY vec_id
       """))

@@ -132,6 +132,27 @@ class VectorIndexSpec extends SparkSpec {
     assert(contents(dir) == contents(oneDir))
   }
 
+  test("ADC probe scans 4-byte codes, never the vectors") {
+    val e = normed(sfTiny)
+    val dir = scratchDir("vx_adc") + "/idx"
+    VectorIndex.build(spark, e, dir, k = 8)
+    val q = e.filter(col("vec_id") < 50)
+    val plan = VectorIndex.queryAdc(spark, q, dir).queryExecution.sparkPlan
+    val indexScans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.output.exists(_.name.startsWith("code")) => sc
+    }
+    assert(indexScans.nonEmpty, "expected a codes scan over the index")
+    assert(indexScans.exists(!_.output.exists(_.name == "embedding")),
+      "the ADC scan must prune the embedding column — codes only")
+
+    // and the answers agree with the plain probe wherever the true
+    // neighbor survives quantization: spot-check result shape
+    val r = VectorIndex.queryAdc(spark, q, dir)
+    assert(r.columns.toSeq == Seq("vec_id", "ann_id", "cosine"))
+    assert(r.count() > 0)
+  }
+
   test("re-embedding a vector upserts its row (same key, maybe same cell)") {
     val e = normed(sfTiny)
     val dir = scratchDir("vx_reemb") + "/idx"
