@@ -106,6 +106,31 @@ object Analytics extends QueryModule {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
       """)),
 
+    // ───── exact distinct via fixed-size bitmaps ─────
+    // COUNT(DISTINCT) plans an expand + two shuffles carrying every
+    // distinct VALUE. The bitmap formulation (Spark's native
+    // bitmap_construct_agg over 32k-bit buckets) shuffles a ≤4 KB
+    // bitmap per (group, value-bucket) REGARDLESS of row count, with
+    // map-side partial OR-merge — the bounded-memory exact-distinct
+    // shape for high-cardinality keys at 100 TB (the same two-level
+    // idea as agg_salted_sum, with bitmaps as the mergeable partial).
+    // Exact, so the oracle is plain COUNT(DISTINCT).
+    GraftQuery(
+      "agg_bitmap_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+            .as("bmp"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(expr("bitmap_count(bmp)")).as("n_parts"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """)),
+
     // ───── window functions ─────
     GraftQuery(
       "win_topn_per_group",

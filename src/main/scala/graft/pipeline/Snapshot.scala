@@ -553,6 +553,26 @@ object SnapshotStore {
     merged.filter(col(cntCol) > 0)
   }
 
+  /** Re-bucket a hash-bucketed store into a NEW store dir with a
+    * different bucket count — the scale-out reindex for when a growing
+    * table's per-bucket size outgrows a sane task (the manifest pins
+    * the count at first commit precisely so this is an explicit new
+    * GENERATION, never an in-place mutation racing readers). One full
+    * read → one full shuffled write, by design; the source store stays
+    * untouched and serveable throughout, and the caller swaps readers
+    * to `outDir` when the new generation's version 0 commits.
+    * Content-bucketed stores re-bucket through their own builder
+    * instead (e.g. a K-change on the vector index is a re-quantize).
+    */
+  def rebucket(spark: SparkSession, dir: String, outDir: String,
+               key: String, newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    val cur = read(spark, dir).getOrElse(
+      sys.error(s"no committed store at $dir"))
+    upsertVersion(spark, cur, key, seqCol = None, outDir, version = 0L,
+      numBuckets = Some(newBuckets))
+  }
+
   /** Delete bucket dirs that none of the `retain` newest committed
     * manifests reference, then any version dir left empty. Uncommitted
     * orphan dirs (crash leftovers) older than the retention horizon are

@@ -753,4 +753,32 @@ class SnapshotSpec extends SparkSpec {
       assert(rows == Map(1L -> Some("alice"), 2L -> Some("bob"), 3L -> None))
     } finally q.stop()
   }
+
+  test("rebucket creates a new generation with the new bucket count") {
+    import spark.implicits._
+    val dir = scratchDir("snap_rebkt") + "/src"
+    val out = scratchDir("snap_rebkt_out") + "/dst"
+    val rows = (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+    SnapshotStore.upsertVersion(spark, rows, "k", None, dir, 0L,
+      numBuckets = Some(2))
+    SnapshotStore.rebucket(spark, dir, out, "k", 8)
+
+    // new generation: 8 buckets, identical contents, source untouched
+    assert(SnapshotStore.manifest(spark, out).get.numBuckets == 8)
+    assert(SnapshotStore.manifest(spark, dir).get.numBuckets == 2)
+    def all(d: String) = SnapshotStore.read(spark, d).get
+      .as[(Long, String)].collect().toSet
+    assert(all(out) == all(dir))
+
+    // the new store routes point lookups through the NEW bucket count
+    val hit = SnapshotStore.lookupKey(spark, out, "k", 7L).get
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((7L, "v7")))
+    assert(hit.inputFiles.forall(_.contains("/dst/")))
+
+    // and upserts continue from version 0 of the new generation
+    SnapshotStore.upsertVersion(spark,
+      Seq((7L, "v7b")).toDF("k", "v"), "k", None, out, 1L)
+    assert(SnapshotStore.lookupKey(spark, out, "k", 7L).get
+      .as[(Long, String)].collect().toSeq == Seq((7L, "v7b")))
+  }
 }
