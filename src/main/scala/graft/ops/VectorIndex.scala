@@ -242,14 +242,20 @@ object VectorIndex extends QueryModule {
       .collect().map(_.getInt(0)).toSet
     val corpus = SnapshotStore.readBuckets(s, dir, probed).getOrElse(
       sys.error(s"no committed index at $dir"))
-    // per-query 4×16 lookup table: narrow broadcast map, 64 rows/query
-    // (books rows already carry their subspace label m; dropDuplicates
-    // collapses the multi-cell rows a nprobe>1 assignment produces)
-    val lut = qa.select(col("va").as("lq"), col("qe"))
+    // per-query 64-entry lookup table CARRIED AS AN ARRAY on the query
+    // row (512 B), not joined per candidate: real ADC is a map-side
+    // table lookup — a (candidate × subspace) join formulation measured
+    // 2.2 GB of shuffle at 10× where this one ships only the query rows.
+    // array_sort on (m, c, ld2) structs fixes the layout at
+    // position (m−1)·16 + c, so scoring is four 0-based array reads.
+    val lutA = qa.select(col("va").as("lq"), col("qe"))
       .dropDuplicates("lq")
       .crossJoin(broadcast(books))
-      .select(col("lq"), col("m").as("lm"), col("c").as("lc"),
-        subdist("qe", "semb").as("ld2"))
+      .select(col("lq"), struct(col("m"), col("c"),
+        subdist("qe", "semb").as("ld2")).as("e3"))
+      .groupBy(col("lq"))
+      .agg(expr("transform(array_sort(collect_list(e3)), s -> s.ld2)")
+        .as("lut"))
     val capped = corpus
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col("vec_id").asc)))
@@ -258,21 +264,11 @@ object VectorIndex extends QueryModule {
     val codes = capped.select(col("vec_id").as("vb"),
       col("cell").as("cell2"), col("code1"), col("code2"),
       col("code3"), col("code4"))
-    def look(m: Int) = max(when(col("lm") === m, col("ld2")))
-    val adc = qa.join(codes,
-        col("cell") === col("cell2") && col("va") =!= col("vb"))
-      .select(col("va"), col("vb"), explode(expr(
-        """array(named_struct('m', 1, 'c', code1),
-                 named_struct('m', 2, 'c', code2),
-                 named_struct('m', 3, 'c', code3),
-                 named_struct('m', 4, 'c', code4))""")).as("mc"))
-      .select(col("va"), col("vb"), col("mc.m").as("cm"), col("mc.c").as("cc"))
-      .join(lut, col("va") === col("lq") &&
-        col("cm") === col("lm") && col("cc") === col("lc"))
-      .groupBy(col("va"), col("vb"))
-      .agg(look(1).as("p1"), look(2).as("p2"),
-        look(3).as("p3"), look(4).as("p4"))
-      .withColumn("adc_d2", col("p1") + col("p2") + col("p3") + col("p4"))
+    val adc = qa.join(lutA, col("va") === col("lq")).drop("lq", "qe", "qn")
+      .join(codes, col("cell") === col("cell2") && col("va") =!= col("vb"))
+      // fixed subspace order: lut[c1] + lut[16+c2] + lut[32+c3] + lut[48+c4]
+      .withColumn("adc_d2", expr(
+        "lut[code1] + lut[16 + code2] + lut[32 + code3] + lut[48 + code4]"))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("va"))
           .orderBy(col("adc_d2").asc, col("vb").asc)))
