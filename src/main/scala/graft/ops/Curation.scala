@@ -436,6 +436,64 @@ object Curation extends QueryModule {
                UNNEST(generate_series(1, n_epochs)) AS epoch
         FROM sched
         ORDER BY source, doc_id, epoch
+      """)),
+
+    // ───── epoch-salted global shuffle: the training order itself ─────
+    // Composes with the epoch schedule above: every (doc, epoch) row
+    // gets shuffle key md5(doc_id ':' epoch) and the corpus is globally
+    // ORDERED by it — a reproducible pseudo-random training order where
+    // each epoch reshuffles independently (the epoch is the salt), no
+    // engine RNG anywhere. Physically this is a RANGE sort (sampled
+    // range partitioner, fully parallel — the ref_sort_full shape), not
+    // a single-task rank window: the data loader consumes position by
+    // file/row order, so no materialized global row number is needed —
+    // at 100 TB a global row_number would serialize through one task,
+    // the ORDER BY does not.
+    GraftQuery(
+      "curate_global_shuffle",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokenEstimate.as("n_tokens"))
+        val bySrc = toks.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("t_src"))
+        val tot = toks.agg(sum(col("n_tokens")).as("t_tot"),
+          count_distinct(col("source")).as("n_sources"))
+        toks
+          .join(bySrc, "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("n_epochs",
+            least(lit(4L), expr(
+              "((2 * t_tot) div n_sources + t_src - 1) div t_src")))
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(1L, n_epochs)")).as("epoch"))
+          .withColumn("shuffle_key",
+            md5(concat_ws(":", col("doc_id"), col("epoch"))))
+          .select(col("shuffle_key"), col("doc_id"), col("source"),
+            col("epoch"))
+          .orderBy(col("shuffle_key"), col("doc_id"), col("epoch"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source, $tokenEstimateSql AS n_tokens
+          FROM documents),
+        by_src AS (SELECT source, SUM(n_tokens) AS t_src
+                   FROM toks GROUP BY source),
+        tot AS (SELECT SUM(n_tokens) AS t_tot,
+                       COUNT(DISTINCT source) AS n_sources
+                FROM toks),
+        sched AS (
+          SELECT t.doc_id, t.source,
+                 CAST(LEAST(4, ((2 * tot.t_tot) // tot.n_sources + b.t_src - 1)
+                   // b.t_src) AS BIGINT) AS n_epochs
+          FROM toks t JOIN by_src b USING (source) CROSS JOIN tot),
+        expanded AS (
+          SELECT doc_id, source,
+                 UNNEST(generate_series(1, n_epochs)) AS epoch
+          FROM sched)
+        SELECT md5(doc_id::VARCHAR || ':' || epoch::VARCHAR) AS shuffle_key,
+               doc_id, source, CAST(epoch AS BIGINT) AS epoch
+        FROM expanded
+        ORDER BY shuffle_key, doc_id, epoch
       """))
   )
 

@@ -30,7 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast corpus size + total-token count scalars
     "text_bm25",
     // 1-row broadcast stats frames (corpus totals / budget scalars)
-    "text_search_index", "curate_mixture_epochs")
+    "text_search_index", "curate_mixture_epochs", "curate_global_shuffle")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
