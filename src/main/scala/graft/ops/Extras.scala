@@ -248,6 +248,79 @@ object Extras extends QueryModule {
         ORDER BY o_orderkey
       """)),
 
+    // ───── RANGE-interval frame: trailing 1-hour sum per user ─────
+    // The VALUE-based window frame (RANGE BETWEEN n PRECEDING), distinct
+    // from the row-count frames above: the frame holds every event
+    // whose timestamp falls in the trailing hour, however many rows
+    // that is, and ORDER-BY peers (equal timestamps) enter the frame
+    // together — standard SQL semantics both engines share. Timestamps
+    // travel as epoch-µs BIGINTs (the engine's events convention), so
+    // the frame bound is the integer 3_600_000_000 and the whole frame
+    // definition is exact integer arithmetic; the summed measure rides
+    // DECIMAL for cross-engine bit-equality. One shuffle on the user
+    // key; per-task state is the sliding frame, bounded by event rate ×
+    // 1 h — the streaming-friendly shape.
+    GraftQuery(
+      "win_time_range_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .withColumn("hour_sum",
+            sum(col("value").cast(DecimalType(18, 6))).over(w)
+              .cast("double"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("hour_sum"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, ts_us,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 AS hour_sum
+        FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+              FROM events) e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+      """)),
+
+    // ───── equi-width histogram: the profiling companion ─────
+    // 20 equal-width buckets over l_extendedprice. min/max arrive as a
+    // broadcast 1-row aggregate (the watermark-filter pattern — no
+    // driver collect); the bucket index is two IEEE double ops in
+    // identical order on both engines, then integer clamp. One narrow
+    // projection + one count shuffle on the bucket id.
+    GraftQuery(
+      "stats_histogram",
+      (s, d) => {
+        val mm = Tables.lineitem(s, d)
+          .agg(min(col("l_extendedprice")).as("mn"),
+            max(col("l_extendedprice")).as("mx"))
+        Tables.lineitem(s, d)
+          .select(col("l_extendedprice").as("x"))
+          .crossJoin(broadcast(mm))
+          .select(least(lit(19L), floor(
+            (col("x") - col("mn")) * lit(20.0) / (col("mx") - col("mn"))))
+            .cast("long").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH mm AS (
+          SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+          FROM lineitem)
+        SELECT CAST(LEAST(19, FLOOR((l_extendedprice - mn) * 20.0 / (mx - mn)))
+                 AS BIGINT) AS bucket,
+               COUNT(*) AS n_rows
+        FROM lineitem CROSS JOIN mm
+        GROUP BY 1
+        ORDER BY bucket
+      """)),
+
     // ───── first / last / nth over a full-partition frame ─────
     GraftQuery(
       "win_first_last",

@@ -27,8 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast node count reaching the rank recurrence as a
     // scalar — the watermark-filter pattern again
     "graph_pagerank",
-    // 1-row broadcast corpus size + total-token count scalars
-    "text_bm25",
+    // 1-row broadcast corpus size + total-token count / min-max scalars
+    "text_bm25", "stats_histogram",
     // 1-row broadcast stats frames (corpus totals / budget scalars)
     "text_search_index", "curate_mixture_epochs", "curate_global_shuffle")
 
