@@ -264,11 +264,14 @@ object VectorIndex extends QueryModule {
     val codes = capped.select(col("vec_id").as("vb"),
       col("cell").as("cell2"), col("code1"), col("code2"),
       col("code3"), col("code4"))
+    // LUT stride = codes per subspace (16 at full corpus, fewer when the
+    // codebook seeded from a tiny corpus) — a one-int metadata count
+    val nc = (books.count() / 4).toInt
     val adc = qa.join(lutA, col("va") === col("lq")).drop("lq", "qe", "qn")
       .join(codes, col("cell") === col("cell2") && col("va") =!= col("vb"))
-      // fixed subspace order: lut[c1] + lut[16+c2] + lut[32+c3] + lut[48+c4]
+      // fixed subspace order: lut[c1] + lut[nc+c2] + lut[2nc+c3] + lut[3nc+c4]
       .withColumn("adc_d2", expr(
-        "lut[code1] + lut[16 + code2] + lut[32 + code3] + lut[48 + code4]"))
+        s"lut[code1] + lut[$nc + code2] + lut[${2 * nc} + code3] + lut[${3 * nc} + code4]"))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("va"))
           .orderBy(col("adc_d2").asc, col("vb").asc)))

@@ -153,6 +153,60 @@ class VectorIndexSpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("ADC retrieval quality: dominated by the exact probe, floored") {
+    val e = normed(sfTiny)
+    val dir = scratchDir("vx_adcq") + "/idx"
+    VectorIndex.build(spark, e, dir, k = 8)
+    // brute-force exact NN (the SimilaritySpec pattern)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("va")).orderBy(col("cos").desc, col("vb").asc)
+    val exact = a.join(b, col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        (expr("vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("va", "vb").as[(Long, Long)].collect().toMap
+    def recall(res: Map[Long, Long]): Double =
+      exact.count { case (v, nn) => res.get(v).contains(nn) }.toDouble /
+        exact.size
+    val plain = recall(VectorIndex.query(spark, e, dir)
+      .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap)
+    val adc = recall(VectorIndex.queryAdc(spark, e, dir)
+      .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap)
+    // ADC re-ranks a top-8-by-approximation SUBSET of the same cells the
+    // exact probe searches exhaustively, so it can never beat it; the
+    // floor pins that 4-byte codes still carry real signal
+    assert(adc <= plain + 1e-9, s"adc=$adc plain=$plain")
+    assert(adc > 0.1, s"ADC recall collapsed: $adc (plain $plain)")
+  }
+
+  test("ADC surfaces a planted near-duplicate (lossless small codebook)") {
+    // crafted 8-vector geometry (SimilaritySpec's fixture recipe):
+    // vector 1 is a near-dup of vector 0; with ≤16 corpus vectors every
+    // sub-slice is its own codebook entry, so quantization is lossless
+    // and the ADC probe must return it
+    val d = scratchDir("vx_adcfix")
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f), 0),
+      (1L, Array.tabulate(64)(i =>
+        if (i == 0) 1.0f else if (i == 1) 0.02f else 0.0f), 0),
+      (2L, Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f), 0),
+      (3L, Array.tabulate(64)(i => if (i == 2) 1.0f else 0.0f), 1),
+      (4L, Array.tabulate(64)(i => if (i == 3) 1.0f else 0.0f), 1),
+      (5L, Array.tabulate(64)(i => if (i == 4) 1.0f else 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val e = normed(d)
+    val dir = s"$d/idx"
+    VectorIndex.build(spark, e, dir, k = 2)
+    val r = VectorIndex.queryAdc(spark, e.filter(col("vec_id") === 0), dir)
+      .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
+    assert(r.get(0L).contains(1L), s"expected near-dup 1, got $r")
+  }
+
   test("re-embedding a vector upserts its row (same key, maybe same cell)") {
     val e = normed(sfTiny)
     val dir = scratchDir("vx_reemb") + "/idx"
