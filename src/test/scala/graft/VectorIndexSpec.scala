@@ -183,6 +183,31 @@ class VectorIndexSpec extends SparkSpec {
     assert(adc > 0.1, s"ADC recall collapsed: $adc (plain $plain)")
   }
 
+  test("ADC recall is monotone in rerank depth") {
+    val e = normed(sfTiny)
+    val dir = scratchDir("vx_adcmono") + "/idx"
+    VectorIndex.build(spark, e, dir, k = 8)
+    // exact in-cell answer = the plain probe; ADC at depth r re-ranks
+    // its top-r approximation of the same candidate set, so agreement
+    // with the plain probe can only improve as r grows
+    val plain = VectorIndex.query(spark, e, dir)
+      .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
+    def agree(r: Int): Double = {
+      val m = VectorIndex.queryAdc(spark, e, dir, rerank = r)
+        .select("vec_id", "ann_id").as[(Long, Long)].collect().toMap
+      plain.count { case (v, nn) => m.get(v).contains(nn) }.toDouble /
+        plain.size
+    }
+    val (a1, a4, a8) = (agree(1), agree(4), agree(8))
+    info(f"ADC agreement with exact probe: rerank1=$a1%.3f rerank4=$a4%.3f rerank8=$a8%.3f")
+    assert(a1 <= a4 + 1e-9 && a4 <= a8 + 1e-9, s"$a1 / $a4 / $a8")
+    // measured 0.09 / 0.25 / 0.40 with md5-seed sub-codebooks on the
+    // random driver corpus (~62-vector cells): honest coarse-quantizer
+    // quality — the production lever is k-means codebooks + deeper
+    // rerank, same machinery. Floor pins signal, not aspiration.
+    assert(a8 > 0.25, s"depth-8 ADC agreement collapsed: $a8")
+  }
+
   test("ADC surfaces a planted near-duplicate (lossless small codebook)") {
     // crafted 8-vector geometry (SimilaritySpec's fixture recipe):
     // vector 1 is a near-dup of vector 0; with ≤16 corpus vectors every
