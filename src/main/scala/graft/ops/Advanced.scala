@@ -89,6 +89,75 @@ object Advanced extends QueryModule {
         FROM w WHERE is_click = 1 ORDER BY event_id
       """)),
 
+    // ───── as-of join with tolerance: stale matches void, not kept ─────
+    // The pandas merge_asof(tolerance=...) surface: each click takes the
+    // most recent view ONLY if it happened within the last 10 minutes;
+    // an older view is no match at all (NULL id and gap), which is the
+    // semantics a sessionized attribution pipeline actually wants — a
+    // view from last week must not claim this click. Same union+window
+    // single-shuffle formulation as join_asof_click_view (no range
+    // nested-loop, per-user state = one running value); the tolerance
+    // is one integer comparison applied AFTER the window, so the plan
+    // shape is identical.
+    GraftQuery(
+      "join_asof_tolerance",
+      (s, d) => {
+        val e = eventsUs(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            lit(1).as("is_click"), lit(null).cast("long").as("view_id"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            lit(0).as("is_click"), col("event_id").as("view_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("is_click").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tolUs = 600000000L // 10 min
+        clicks.unionByName(views)
+          .withColumn("raw_view_id",
+            last(col("view_id"), ignoreNulls = true).over(w))
+          .withColumn("raw_view_ts",
+            last(when(col("is_click") === 0, col("ts_us")),
+              ignoreNulls = true).over(w))
+          .filter(col("is_click") === 1)
+          .withColumn("in_tol",
+            col("raw_view_ts").isNotNull &&
+              (col("ts_us") - col("raw_view_ts")) <= tolUs)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            when(col("in_tol"), col("raw_view_id")).as("asof_view_id"),
+            when(col("in_tol"), col("ts_us") - col("raw_view_ts"))
+              .as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type
+          FROM events),
+        u AS (
+          SELECT event_id, user_id, ts_us, 1 AS is_click, NULL::BIGINT AS view_id
+          FROM e WHERE event_type = 'click'
+          UNION ALL
+          SELECT event_id, user_id, ts_us, 0 AS is_click, event_id AS view_id
+          FROM e WHERE event_type = 'view'),
+        w AS (
+          SELECT event_id, user_id, ts_us, is_click,
+                 last_value(view_id IGNORE NULLS) OVER win AS raw_view_id,
+                 last_value(CASE WHEN is_click = 0 THEN ts_us END IGNORE NULLS)
+                   OVER win AS raw_view_ts
+          FROM u
+          WINDOW win AS (PARTITION BY user_id
+                         ORDER BY ts_us ASC, is_click ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN raw_view_ts IS NOT NULL
+                     AND ts_us - raw_view_ts <= 600000000
+                    THEN raw_view_id END AS asof_view_id,
+               CASE WHEN raw_view_ts IS NOT NULL
+                     AND ts_us - raw_view_ts <= 600000000
+                    THEN ts_us - raw_view_ts END AS gap_us
+        FROM w WHERE is_click = 1 ORDER BY event_id
+      """)),
+
     // ───── range join via binning: same-user events with close values ─────
     GraftQuery(
       "join_range_value_pairs",
