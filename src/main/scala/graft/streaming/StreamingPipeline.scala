@@ -279,8 +279,16 @@ object StreamingPipeline extends Serializable {
     * watermark passes their match window — state is O(watermark
     * horizon × arrival rate) per side, never O(stream length).
     */
+  /** `joinType` extends the same state machine to `left_outer`: a click
+    * whose match window closes with no view EMITS ONCE with null view
+    * columns — the "unattributed click" record a funnel needs, produced
+    * exactly when the view-side watermark proves no match can still
+    * arrive (never early, never withheld forever). Eviction is the same
+    * watermark bound; outer state costs nothing extra.
+    */
   def intervalJoined(clicks: DataFrame, views: DataFrame,
-      watermark: String = "1 hour", maxGapMinutes: Long = 30): DataFrame = {
+      watermark: String = "1 hour", maxGapMinutes: Long = 30,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -291,7 +299,8 @@ object StreamingPipeline extends Serializable {
         col("user_id") === col("view_user") &&
           col("click_ts") >= col("view_ts") &&
           col("click_ts") <= col("view_ts") +
-            expr(s"INTERVAL $maxGapMinutes MINUTES"))
+            expr(s"INTERVAL $maxGapMinutes MINUTES"),
+        joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
   }

@@ -230,6 +230,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched clicks on watermark") {
+    val clicks = MemoryStream[(Long, Long, Long)](spark)
+    val views  = MemoryStream[(Long, Long, Long)](spark)
+    def typed(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("event_id", "ts_us", "user_id")
+        .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id")
+    val q = StreamingPipeline.intervalJoined(typed(clicks), typed(views),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("clickview_outer")
+      .outputMode("append").start()
+    try {
+      val mu = 60L * 1000000L
+      val t0 = 86400L * 1000000L
+      views.addData((100L, t0, 1L))
+      q.processAllAvailable()
+      clicks.addData(
+        (200L, t0 + 10 * mu, 1L), // matched inner row
+        (202L, t0 + 5 * mu, 3L))  // no view for user 3 → outer row, LATER
+      q.processAllAvailable()
+      // the matched row emits promptly; the unmatched click must NOT
+      // emit yet — its match window is still open
+      def rows() = spark.table("clickview_outer")
+        .select($"click_id", $"view_id".cast("string"))
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows() === Set((200L, Some("100"))),
+        s"outer row emitted before its window closed: ${rows()}")
+      // advance BOTH watermarks far past click 202's window: the state
+      // store proves no match can arrive and emits the null row once
+      clicks.addData((300L, t0 + 300 * mu, 9L))
+      views.addData((301L, t0 + 300 * mu, 9L))
+      q.processAllAvailable()
+      clicks.addData((302L, t0 + 301 * mu, 9L))
+      views.addData((303L, t0 + 301 * mu, 9L))
+      q.processAllAvailable()
+      assert(rows().contains((202L, None)),
+        s"unmatched click never emitted: ${rows()}")
+    } finally q.stop()
+  }
+
   test("streaming NEAR-dup dedup collapses band collisions across micro-batches") {
     val mem = MemoryStream[(Long, String)](spark)
     val docs = mem.toDF().toDF("doc_id", "text")
