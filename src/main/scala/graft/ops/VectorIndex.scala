@@ -54,21 +54,23 @@ object VectorIndex extends QueryModule {
   private def centroidsDir(dir: String) = s"$dir/_centroids"
   private def codebooksDir(dir: String) = s"$dir/_pq_codebooks"
 
-  /** Squared L2 between the m-th 16-dim sub-slices of two float-array
-    * columns (`m` is a 1-based column in scope) — the same
-    * left-to-right fold as `sim_ann_pq`, bit-stable across engines.
+  /** Squared L2 between the m-th 16-dim slice of a full vector column
+    * and a codebook SUB-vector column (`m` is a 1-based column in
+    * scope) — the same left-to-right fold as `sim_ann_pq` (whose SQL
+    * slices the seed by m; the codebook's `sub` IS that slice), so the
+    * values are bit-stable across engines.
     */
-  private def subdist(a: String, b: String) = expr(
-    s"""aggregate(zip_with(slice($a, (m-1)*16 + 1, 16),
-                           slice($b, (m-1)*16 + 1, 16),
+  private def subdist(a: String, sub: String = "sub") = expr(
+    s"""aggregate(zip_with(slice($a, (m-1)*16 + 1, 16), $sub,
          (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
                  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
        CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
 
   /** The frozen PQ sub-codebooks: for each of 4 subspaces, 16 seed
-    * sub-vectors (md5 order — `sim_ann_pq`'s quantizer) as
-    * `(m 1..4, c 0..15, semb)`; `semb` stays the FULL seed vector and
-    * the m-th slice is taken at use, so one frame serves all subspaces.
+    * SUB-vectors (the m-th 16-dim slice of the md5-ordered seeds —
+    * `sim_ann_pq`'s quantizer) as `(m 1..4, c 0..15, sub)`. Carrying
+    * the slice (not the full seed) is what lets a k-means refinement
+    * (`kmeansSubCodebooks`) replace entries per subspace independently.
     */
   private[graft] def pqCodebooks(vecs: DataFrame): DataFrame =
     vecs
@@ -78,8 +80,53 @@ object VectorIndex extends QueryModule {
       .withColumn("c", (row_number().over(
         Window.orderBy(md5(col("sid").cast("string")).asc, col("sid").asc))
         - 1).cast("int"))
-      .select(col("c"), col("semb"),
-        explode(expr("sequence(1, 4)")).as("m"))
+      .select(col("c"), col("semb"), explode(expr("sequence(1, 4)")).as("m"))
+      .select(col("c"), col("m"),
+        expr("slice(semb, (m-1)*16 + 1, 16)").as("sub"))
+
+  /** Per-subspace Lloyd's k-means refinement of the PQ sub-codebooks —
+    * the standard production quantizer (Jégou et al. 2011 train their
+    * codebooks; the md5 seeds are the oracle-pinned default). All 4
+    * subspaces train in ONE frame per round:
+    *   assign:   broadcast ≤64 codebook rows, narrow argmin-L2 map;
+    *   recenter: posexplode each assigned 16-dim slice → mean per
+    *             (m, c, pos) — one skinny shuffle with map-side
+    *             combine — then rebuild the 16-float arrays.
+    * Cells that lose every member keep their previous sub-vector, so
+    * no codebook entry ever vanishes; rounds are plan-truncated
+    * (`stageIterative`). Validated by measured ADC agreement
+    * (VectorIndexSpec), not the value-level oracle, which pins the
+    * seed path — the same posture as the IVF k-means centroids.
+    */
+  private[graft] def kmeansSubCodebooks(vecs: DataFrame,
+                                        iters: Int): DataFrame = {
+    var books = pqCodebooks(vecs)
+    for (_ <- 0 until iters) {
+      val assignRows = vecs.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(books))
+        .select(col("vec_id"), col("embedding"), col("m"), col("c"),
+          subdist("embedding").as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("d2").asc, col("c").asc)))
+        .filter(col("rn") === 1)
+      val recentered = assignRows
+        .select(col("m"), col("c"),
+          posexplode(expr("slice(embedding, (m-1)*16 + 1, 16)"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("m"), col("c"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mx"))
+        .groupBy(col("m"), col("c"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, mx))), s -> cast(s.mx AS FLOAT))")
+          .as("nsub"))
+      books = graft.Materialize.stageIterative(
+        books.join(recentered, Seq("m", "c"), "left")
+          .select(col("m"), col("c"),
+            coalesce(col("nsub"), col("sub")).as("sub")))
+    }
+    books
+  }
 
   /** PQ-encode vectors against frozen codebooks: adds `code1..code4`
     * (nearest sub-centroid per subspace, ties to the lowest code).
@@ -88,7 +135,7 @@ object VectorIndex extends QueryModule {
   private def encode(vecs: DataFrame, books: DataFrame): DataFrame = {
     val d2 = vecs.crossJoin(broadcast(books))
       .select(vecs.columns.map(col) :+ col("m") :+ col("c") :+
-        subdist("embedding", "semb").as("d2"): _*)
+        subdist("embedding").as("d2"): _*)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"), col("m"))
           .orderBy(col("d2").asc, col("c").asc)))
@@ -146,14 +193,20 @@ object VectorIndex extends QueryModule {
     * `vecs`; pass a k-means codebook for learned cells.
     */
   def build(s: SparkSession, vecs: DataFrame, dir: String, k: Int,
-            seeds: Option[DataFrame] = None): Unit = {
+            seeds: Option[DataFrame] = None,
+            pqKmeansIters: Int = 0): Unit = {
     val cents = seeds.getOrElse(seedCentroids(vecs, k))
     cents.repartition(1).write.mode("errorifexists")
       .parquet(centroidsDir(dir))
     // PQ sub-codebooks freeze with the coarse quantizer: the index
     // always carries its 4-byte codes, so the ADC probe path is
-    // available without re-reading (or re-shipping) full vectors
-    pqCodebooks(vecs).repartition(1).write.mode("errorifexists")
+    // available without re-reading (or re-shipping) full vectors.
+    // pqKmeansIters > 0 freezes LEARNED sub-codebooks instead (the
+    // production quantizer; the seed default stays oracle-pinned).
+    val books =
+      if (pqKmeansIters > 0) kmeansSubCodebooks(vecs, pqKmeansIters)
+      else pqCodebooks(vecs)
+    books.repartition(1).write.mode("errorifexists")
       .parquet(codebooksDir(dir))
     ingest(s, vecs, dir)
   }
@@ -252,7 +305,7 @@ object VectorIndex extends QueryModule {
       .dropDuplicates("lq")
       .crossJoin(broadcast(books))
       .select(col("lq"), struct(col("m"), col("c"),
-        subdist("qe", "semb").as("ld2")).as("e3"))
+        subdist("qe").as("ld2")).as("e3"))
       .groupBy(col("lq"))
       .agg(expr("transform(array_sort(collect_list(e3)), s -> s.ld2)")
         .as("lut"))
