@@ -18,6 +18,7 @@ object SparkEntry {
     ops.Analytics,
     ops.Dedup,
     ops.Curation,
+    ops.Selection,
     ops.TextAnalysis,
     ops.Similarity,
     ops.VectorIndex,

@@ -227,6 +227,42 @@ object Advanced extends QueryModule {
         FROM g ORDER BY event_id
       """)),
 
+    // ───── sequential pattern detection: strictly-rising value runs ─────
+    // The MATCH_RECOGNIZE-shaped ask ("find users with three rising
+    // readings in a row") expressed with lag windows — the pattern
+    // length is a plan constant, so the k-step pattern is k−1 lag
+    // columns and one conjunctive filter, all inside ONE window pass.
+    // Doubles are only COMPARED (no arithmetic), so cross-engine
+    // equality is exact. Scale: one shuffle on the user key, one
+    // ordered scan per user — per-task state is the k-row lag buffer,
+    // the streaming-friendly shape (the same detector runs on a stream
+    // with flatMapGroupsWithState carrying the last k values).
+    GraftQuery(
+      "win_streak_detect",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("p1", lag(col("value"), 1).over(w))
+          .withColumn("p2", lag(col("value"), 2).over(w))
+          .filter(col("value") > col("p1") && col("p1") > col("p2"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_rising_triples"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT user_id, value,
+                 LAG(value, 1) OVER w AS p1,
+                 LAG(value, 2) OVER w AS p2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        SELECT user_id, COUNT(*) AS n_rising_triples
+        FROM l WHERE value > p1 AND p1 > p2
+        GROUP BY user_id ORDER BY user_id
+      """)),
+
     // ───── salted two-stage aggregation (skew-resistant sum) ─────
     GraftQuery(
       "agg_salted_sum",

@@ -378,6 +378,107 @@ object Analytics extends QueryModule {
         FROM customer ORDER BY c_custkey
       """)),
 
+    // ───── exact per-group mode with deterministic tie-break ─────
+    // The modal l_quantity per return flag: highest occurrence count
+    // wins, ties broken by the SMALLER value — spelled out on both
+    // engines (DuckDB's mode() leaves ties unspecified, so the oracle
+    // states the same two-level ranking instead). Scale: one partial-
+    // agg shuffle on (group, value) — counts combine map-side — then a
+    // per-group TakeOrdered of the tiny (group, value, cnt) frame; the
+    // raw rows never shuffle twice. Quantities ride integer cents so
+    // value ordering is exact.
+    GraftQuery(
+      "agg_mode_exact",
+      (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("qc"))
+          .groupBy(col("l_returnflag"), col("qc"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("cnt").desc, col("qc").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("qc").as("mode_qty_cents"),
+            col("cnt").as("n_occurrences"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT l_returnflag,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+                 COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        ranked AS (
+          SELECT l_returnflag, qc, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY cnt DESC, qc ASC) AS rn
+          FROM counts)
+        SELECT l_returnflag, qc AS mode_qty_cents, cnt AS n_occurrences
+        FROM ranked WHERE rn = 1
+        ORDER BY l_returnflag
+      """)),
+
+    // ───── exact-stats Pearson correlation ─────
+    // corr(quantity, extendedprice) per return flag from the six
+    // sufficient statistics. Same exactness strategy as agg_regression
+    // — integer-cent inputs, exact sums — with one escalation: Σy² of
+    // price cents overflows int64 at sf0.1 already (1e14 per row ×
+    // 6e5 rows), so the square sums ride 128-bit exact integers
+    // (DECIMAL(38,0) in Spark, HUGEINT in DuckDB — both exact, both
+    // cast to the same IEEE double at the end; at 100 TB Σy² ≈ 1e24,
+    // still 14 orders inside the 38-digit range). The final corr is
+    // one identical double expression tree over the exact stats; sqrt
+    // is IEEE-correctly-rounded on both JVMs and libm, so the value
+    // hash-matches. Scale: one partial-agg shuffle carrying 6 numbers
+    // per group.
+    GraftQuery(
+      "stats_corr",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("xc"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("yc"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+            sum(col("xc") * col("yc")).as("sxy"),
+            sum(col("xc") * col("xc")).as("sxx"),
+            sum(col("yc").cast(DecimalType(38, 0)) * col("yc")).as("syy_dec"))
+          .select(col("l_returnflag"), col("n"),
+            expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                     sqrt(CAST(n AS DOUBLE) * CAST(syy_dec AS DOUBLE) -
+                          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""")
+              .as("corr_qty_price"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        WITH pts AS (
+          SELECT l_returnflag,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+          FROM lineitem),
+        sums AS (
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+                 CAST(SUM(xc * yc) AS BIGINT) AS sxy,
+                 CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+                 SUM(CAST(yc AS HUGEINT) * yc) AS syy_dec
+          FROM pts GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE) * CAST(syy_dec AS DOUBLE) -
+                     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 AS corr_qty_price
+        FROM sums ORDER BY l_returnflag
+      """)),
+
     // ───── grouped closed-form OLS (price vs quantity per flag) ─────
     // The statistical-aggregate family beyond plain sums: per-group
     // slope/intercept from the five sufficient statistics. Exactness

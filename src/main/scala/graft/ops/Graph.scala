@@ -125,6 +125,45 @@ object Graph extends QueryModule {
     rank
   }
 
+  /** Weighted single-source shortest paths: `rounds` synchronous
+    * Bellman-Ford relaxations over directed `edges` (u, v, w) with
+    * non-negative integer weights. After k rounds every node holds the
+    * exact shortest distance among paths of ≤ k edges — the bounded-
+    * horizon contract (matching bfs's maxHops), and the full shortest
+    * path once `rounds` ≥ graph diameter. All-integer arithmetic
+    * (BIGINT adds, MIN merges), so the result is bit-exact on any
+    * engine or partitioning — the property float edge weights can
+    * never give.
+    *
+    * Scale shape: parallel edges collapse to their min weight up front
+    * (one edge-key agg); each round is ONE equi-join shuffle (dist ×
+    * edges on the source id — the edge frame is staged hash-partitioned
+    * on `u`, so only the O(nodes) dist side moves) plus one MIN
+    * aggregation on the node id. No driver-side state; rounds is a
+    * fixed small constant, so the unrolled plan stays analyzer-cheap
+    * without iterative truncation.
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = Materialize.stage(
+      edges.toDF("u", "v", "w")
+        .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+        .repartition(col("u")))
+    var dist = seeds.toDF("node").distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      // by-NAME column references throughout: after round 1 the dist
+      // plan embeds the edge frame, so dataset-qualified refs like
+      // e("v") trip DetectAmbiguousSelfJoin; the joined frame's column
+      // names (node, dist) ⊎ (u, v, w) are disjoint, so names are exact
+      val relaxed = dist.join(e, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
   /** Per-node triangle counts over an undirected simple graph (edges
     * given in either or both directions; self-loops and multi-edges
     * dropped). Returns (node, triangles) for every node in ≥1 triangle.
@@ -278,6 +317,62 @@ object Graph extends QueryModule {
                FROM nodes nd CROSS JOIN nn
                LEFT JOIN s3 s ON s.node = nd.node)
         SELECT node AS part, pr FROM r3 ORDER BY part
+      """)),
+
+    // ───── weighted shortest paths over the co-line graph ─────
+    // 3 Bellman-Ford rounds from the smallest part key, edge weight =
+    // the destination line's quantity (an integral double in TPC-H —
+    // cast to BIGINT so every relaxation is exact integer math). The
+    // oracle is the same recurrence unrolled as plain SQL — like
+    // graph_pagerank it needs no recursion for a fixed horizon, so it
+    // ALSO runs in the Spark SQL sweep. Distances after k rounds =
+    // exact min over ≤k-edge paths, the bounded-horizon contract that
+    // makes a fixed-round answer well-defined (a fixpoint oracle would
+    // disagree wherever the diameter exceeds the horizon).
+    GraftQuery(
+      "graph_sssp",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_quantity"))
+        val a = li.toDF("ok", "ln", "u", "q")
+        val b = li.toDF("ok2", "ln2", "v", "qv")
+        val adj = a.join(b,
+            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
+              a("u") =!= b("v"))
+          .select(col("u"), col("v"), col("qv").cast("long").as("w"))
+        val seeds = li.agg(min(col("l_partkey")).as("node"))
+        sssp(adj, seeds, rounds = 3)
+          .select(col("node").as("part"), col("dist"))
+          .orderBy(col("part"))
+      },
+      Some("""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v,
+                 CAST(b.l_quantity AS BIGINT) AS w
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        e AS (SELECT u, v, MIN(w) AS w FROM adj GROUP BY u, v),
+        d0 AS (SELECT MIN(l_partkey) AS node, CAST(0 AS BIGINT) AS dist
+               FROM lineitem),
+        r1 AS (SELECT node, MIN(dist) AS dist FROM (
+                 SELECT node, dist FROM d0
+                 UNION ALL
+                 SELECT e.v AS node, d.dist + e.w AS dist
+                 FROM d0 d JOIN e ON e.u = d.node) GROUP BY node),
+        r2 AS (SELECT node, MIN(dist) AS dist FROM (
+                 SELECT node, dist FROM r1
+                 UNION ALL
+                 SELECT e.v AS node, d.dist + e.w AS dist
+                 FROM r1 d JOIN e ON e.u = d.node) GROUP BY node),
+        r3 AS (SELECT node, MIN(dist) AS dist FROM (
+                 SELECT node, dist FROM r2
+                 UNION ALL
+                 SELECT e.v AS node, d.dist + e.w AS dist
+                 FROM r2 d JOIN e ON e.u = d.node) GROUP BY node)
+        SELECT node AS part, dist FROM r3 ORDER BY part
       """)),
 
     // ───── degree-oriented triangle counting on the co-line graph ─────

@@ -216,6 +216,43 @@ object Joins extends QueryModule {
           WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+      """)),
+
+    // ───── manually salted join (the skew fallback) ─────
+    // The replicate-and-salt pattern for when ONE join key is so hot
+    // that even AQE's skew split can't help (AQE splits oversized
+    // sort-merge partitions, but a single key's rows still meet in one
+    // task per split boundary rule — and broadcast isn't available
+    // because the dim side is too big to ship whole). Fact rows get a
+    // deterministic salt in [0, R) from an internal hash of their OWN
+    // row key (murmur3 — engine-internal, never oracle-visible), so a
+    // hot customer's orders spread over R reducers; the dim side
+    // replicates each row R times so every (custkey, salt) cell finds
+    // its match. Join output — and therefore the oracle — is
+    // bit-identical to the plain join: salting only re-partitions the
+    // work. Cost: R× the dim shuffle volume, the explicit price of
+    // bounding the hottest reducer at 1/R of the key's rows.
+    GraftQuery(
+      "join_salted_skew",
+      (s, d) => {
+        val R = 8
+        val o = Tables.orders(s, d)
+          .withColumn("salt", pmod(hash(col("o_orderkey")), lit(R)))
+        val c = Tables.customer(s, d)
+          .withColumn("salt", explode(expr(s"sequence(0, ${R - 1})")))
+        o.join(c, o("o_custkey") === c("c_custkey") &&
+            o("salt") === c("salt"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 2).as("revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
       """))
   )
 }

@@ -188,6 +188,73 @@ object Similarity extends QueryModule {
         LIMIT 10
       """)),
 
+    // ───── Matryoshka truncated-prefix retrieval (MRL two-stage) ─────
+    // The dimension-truncation axis of ANN (Kusupati et al. 2022:
+    // Matryoshka representations order information by prefix, so the
+    // first 16 of 64 dims are themselves a usable embedding): stage 1
+    // scores the corpus by cosine over the 16-dim PREFIX — a 4×-cheaper
+    // scan — and keeps a 4× oversampled candidate heap (top-40); stage
+    // 2 re-ranks ONLY those 40 by exact full-dimension cosine and keeps
+    // the top-10. Complements sim_ann_pq (compression per subspace) and
+    // sim_ann_ivf (partition pruning): this one prunes DIMENSIONS.
+    // Both stages are the same deterministic left-to-right double folds
+    // as sim_topk_cosine, so the whole cascade is value-pinned — the
+    // oracle states the identical two-stage plan. Scale: at 100 TB the
+    // prefix lives as its OWN stored column (written once at index
+    // build), so stage 1's scan reads 1/4 of the vector bytes and the
+    // full vectors are fetched for 40 rows only; both heaps are
+    // TakeOrdered, never a global sort.
+    GraftQuery(
+      "sim_matryoshka_topk",
+      (s, d) => {
+        val p = normed(s, d)
+          .withColumn("pre", expr("slice(embedding, 1, 16)"))
+          .withColumn("pnrm", expr("sqrt(vec_dot(pre, pre))"))
+        val q = p.filter(col("vec_id") === 0).select(
+          col("embedding").as("qe"), col("nrm").as("qn"),
+          col("pre").as("qp"), col("pnrm").as("qpn"))
+        val cand = p.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("nrm"), col("qe"), col("qn"),
+            (expr("vec_dot(qp, pre)") / (col("qpn") * col("pnrm")))
+              .as("pcos"))
+          .orderBy(col("pcos").desc, col("vec_id").asc)
+          .limit(40)
+        cand.select(col("vec_id"), col("label"),
+            (expr("vec_dot(qe, embedding)") / (col("qn") * col("nrm")))
+              .as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""
+        WITH $normedSql,
+        p AS (
+          SELECT vec_id, label, embedding, nrm,
+                 embedding[1:16] AS pre,
+                 sqrt(list_reduce(list_transform(embedding[1:16],
+                   x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS pnrm
+          FROM e),
+        q AS (SELECT embedding AS qe, nrm AS qn, pre AS qp, pnrm AS qpn
+              FROM p WHERE vec_id = 0),
+        cand AS (
+          SELECT p.vec_id, p.label, p.embedding, p.nrm,
+                 list_reduce(list_transform(generate_series(1, 16),
+                   i -> q.qp[i]::DOUBLE * p.pre[i]::DOUBLE),
+                   (x, y) -> x + y) / (q.qpn * p.pnrm) AS pcos
+          FROM p CROSS JOIN q
+          WHERE p.vec_id <> 0
+          ORDER BY pcos DESC, p.vec_id ASC
+          LIMIT 40)
+        SELECT c.vec_id, c.label,
+               list_reduce(list_transform(generate_series(1, len(c.embedding)),
+                 i -> q.qe[i]::DOUBLE * c.embedding[i]::DOUBLE),
+                 (x, y) -> x + y) / (q.qn * c.nrm) AS cosine
+        FROM cand c CROSS JOIN q
+        ORDER BY cosine DESC, c.vec_id ASC
+        LIMIT 10
+      """)),
+
     // ───── blocked kNN join: top-3 neighbors per vector within label ─────
     GraftQuery(
       "sim_knn_per_label",

@@ -285,6 +285,12 @@ object StreamingPipeline extends Serializable {
     * exactly when the view-side watermark proves no match can still
     * arrive (never early, never withheld forever). Eviction is the same
     * watermark bound; outer state costs nothing extra.
+    *
+    * `full_outer` completes the family: unmatched VIEWS also emit once
+    * (null click columns) when the click-side watermark closes their
+    * window — the "view that converted nothing" record, the other half
+    * of funnel accounting. The emitted `user_id` coalesces across sides
+    * so outer rows from either side still carry their key.
     */
   def intervalJoined(clicks: DataFrame, views: DataFrame,
       watermark: String = "1 hour", maxGapMinutes: Long = 30,
@@ -301,8 +307,9 @@ object StreamingPipeline extends Serializable {
           col("click_ts") <= col("view_ts") +
             expr(s"INTERVAL $maxGapMinutes MINUTES"),
         joinType)
-      .select(col("click_id"), col("user_id"), col("click_ts"),
-        col("view_id"), col("view_ts"))
+      .select(col("click_id"),
+        coalesce(col("user_id"), col("view_user")).as("user_id"),
+        col("click_ts"), col("view_id"), col("view_ts"))
   }
 
   /** Streaming curation: the BATCH quality-gate rule ladder applied to

@@ -46,6 +46,25 @@ class GraphSpec extends SparkSpec {
     assert(dists(Seq(7L -> 8L), Seq(99L), 5) === Map(99L -> 0))
   }
 
+  test("weighted sssp: relaxation beats the direct edge, horizon bounds path length") {
+    // 1→2 (5), 2→3 (1), 1→3 (10), 3→4 (1): the 2-edge path to 3 costs 6,
+    // beating the direct 10; node 4 needs 3 edges for its cheapest path
+    val g = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 1L))
+    def run(rounds: Int) = Materialize.scoped {
+      Graph.sssp(g.toDF("u", "v", "w"), Seq(1L).toDF("node"), rounds)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(run(3) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 7L))
+    // 2-round horizon: 4 is reachable only via 1→3→4 (11) within 2 edges
+    assert(run(2) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 11L))
+    // parallel edges collapse to their min weight before relaxing
+    val multi = g ++ Seq((1L, 2L, 2L))
+    assert(Materialize.scoped {
+      Graph.sssp(multi.toDF("u", "v", "w"), Seq(1L).toDF("node"), 3)
+        .as[(Long, Long)].collect().toMap
+    }(2L) === 2L)
+  }
+
   test("fixed-point pagerank: hand-computed chain after one round") {
     // chain 1→2→3, N=3: base = (15 × 1e12) DIV 300 = 5e10; each
     // contribution is (1e12 DIV 3) DIV 1 = 333333333333, damped

@@ -28,7 +28,10 @@ class PlanAuditSpec extends SparkSpec {
     // scalar — the watermark-filter pattern again
     "graph_pagerank",
     // 1-row broadcast corpus size + total-token count / min-max scalars
-    "text_bm25", "stats_histogram",
+    // (text_collocations' lift denominator, sim_matryoshka_topk's query
+    // vector — both the watermark-filter pattern)
+    "text_bm25", "stats_histogram", "text_collocations",
+    "sim_matryoshka_topk",
     // 1-row broadcast stats frames (corpus totals / budget scalars)
     "text_search_index", "curate_mixture_epochs", "curate_global_shuffle")
 

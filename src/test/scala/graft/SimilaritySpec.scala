@@ -47,6 +47,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("cosine") > 0.999)
   }
 
+  test("sim_matryoshka_topk: re-ranked cosines are EXACT full-dim cosines, order is brute-force order on survivors") {
+    val brute = SparkEntry.queries("sim_topk_cosine")(spark, sfTiny)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toMap
+    val mat = SparkEntry.queries("sim_matryoshka_topk")(spark, sfTiny)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect()
+    assert(mat.length == 10)
+    // stage 2 is the same full-dimension fold as the brute-force query:
+    // any id both return must carry the bit-identical cosine
+    mat.foreach { case (id, c) =>
+      brute.get(id).foreach(b => assert(b == c, s"vec $id: $b != $c")) }
+    // descending, deterministic tiebreak already pinned by the oracle
+    val cs = mat.map(_._2)
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    // on RANDOM vectors a 16-dim prefix is a lossy retriever (that's
+    // the MRL trade), so top-1 preservation is asserted on the planted
+    // fixture instead, where the near-dup shares the prefix: the
+    // cascade must surface it first, exactly like brute force
+    val fixtureTop = SparkEntry.queries("sim_matryoshka_topk")(spark, dir)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect()
+    assert(fixtureTop.head._1 == 1L && fixtureTop.head._2 > 0.999)
+  }
+
   test("sim_knn_per_label: neighbors stay inside the label block") {
     val rows = SparkEntry.queries("sim_knn_per_label")(spark, dir)
       .select("vec_id", "nn_id").as[(Long, Long)].collect()

@@ -36,6 +36,8 @@ class SqlRegistrySweepSpec extends SparkSpec {
     "list_distinct"      -> "array_distinct",
     "list_sort"          -> "sort_array",
     "list_contains"      -> "array_contains",
+    "list_max"           -> "array_max",
+    "list_min"           -> "array_min",
     "array_to_string"    -> "array_join",
     "json_extract_string" -> "get_json_object",
     "unnest"             -> "explode",
@@ -199,6 +201,32 @@ class SqlRegistrySweepSpec extends SparkSpec {
     * mechanical bridge; still full literal-SQL result parity.
     */
   private val sparkSqlOverrides: Map[String, String] = Map(
+    // the DuckDB oracle's 128-bit exact Σy² rides HUGEINT (no Spark
+    // spelling); Spark's exact 128-bit integer is DECIMAL(38,0) — the
+    // same math the DataFrame operator uses
+    "stats_corr" -> """
+      WITH pts AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        FROM lineitem),
+      sums AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+               CAST(SUM(xc * yc) AS BIGINT) AS sxy,
+               CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+               SUM(CAST(yc AS DECIMAL(38,0)) * yc) AS syy_dec
+        FROM pts GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              sqrt(CAST(n AS DOUBLE) * CAST(syy_dec AS DOUBLE) -
+                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr_qty_price
+      FROM sums ORDER BY l_returnflag
+    """,
     // the DuckDB oracle leans on QUALIFY (no Spark spelling) and the
     // '0x…'::BIGINT hex cast (Spark needs conv()); same KMV math
     "agg_kmv_distinct" -> """

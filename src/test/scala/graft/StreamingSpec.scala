@@ -269,6 +269,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join emits unmatched rows from BOTH sides") {
+    val clicks = MemoryStream[(Long, Long, Long)](spark)
+    val views  = MemoryStream[(Long, Long, Long)](spark)
+    def typed(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("event_id", "ts_us", "user_id")
+        .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id")
+    val q = StreamingPipeline.intervalJoined(typed(clicks), typed(views),
+        joinType = "full_outer")
+      .writeStream.format("memory").queryName("clickview_full")
+      .outputMode("append").start()
+    try {
+      val mu = 60L * 1000000L
+      val t0 = 86400L * 1000000L
+      views.addData(
+        (100L, t0, 1L),          // matched by click 200
+        (101L, t0, 4L))          // user with no click → view-side outer row
+      q.processAllAvailable()
+      clicks.addData(
+        (200L, t0 + 10 * mu, 1L), // matched inner row
+        (202L, t0 + 5 * mu, 3L))  // no view for user 3 → click-side outer row
+      q.processAllAvailable()
+      def rows() = spark.table("clickview_full")
+        .select($"click_id".cast("string"), $"user_id",
+          $"view_id".cast("string"))
+        .as[(Option[String], Long, Option[String])].collect().toSet
+      // only the matched row emits while windows are open
+      assert(rows() === Set((Some("200"), 1L, Some("100"))),
+        s"outer rows emitted before their windows closed: ${rows()}")
+      // advance BOTH watermarks past every open window: each side's
+      // state store proves no match can arrive and emits its null row
+      for (t <- Seq(300L, 301L)) {
+        clicks.addData((400L + t, t0 + t * mu, 9L))
+        views.addData((500L + t, t0 + t * mu, 9L))
+        q.processAllAvailable()
+      }
+      val r = rows()
+      assert(r.contains((Some("202"), 3L, None)),
+        s"unmatched click never emitted: $r")
+      assert(r.contains((None, 4L, Some("101"))),
+        s"unmatched view never emitted: $r")
+    } finally q.stop()
+  }
+
   test("streaming NEAR-dup dedup collapses band collisions across micro-batches") {
     val mem = MemoryStream[(Long, String)](spark)
     val docs = mem.toDF().toDF("doc_id", "text")

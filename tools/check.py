@@ -34,7 +34,8 @@ def cmp_vals(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+    if hasattr(a, "__len__") and hasattr(b, "__len__") and \
+            not isinstance(a, str) and not isinstance(b, str):
         return list(a) == list(b)
     return a == b or str(a) == str(b)
 
