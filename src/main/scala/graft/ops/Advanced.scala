@@ -614,6 +614,66 @@ object Advanced extends QueryModule {
         SELECT a.grp, a.m, a.est_distinct, ex.exact_distinct
         FROM allsk a JOIN ex USING (grp)
         ORDER BY a.grp
+      """)),
+
+    // ───── count-min sketch: mergeable frequency estimation ─────
+    // The frequency sibling of agg_kmv_distinct (Cormode & Muthukrishnan
+    // 2005): depth-4 × width-1024 counter grid, each row incrementing
+    // one bucket per depth (bucket = md5 of depth-salted key), point
+    // estimate = MIN over depths of the probed counters. Like the KMV
+    // sketch — and unlike engine-private HLL state — the grid is pure
+    // md5 arithmetic, so both engines build the IDENTICAL sketch and
+    // the ESTIMATES hash-match (the CMS guarantee est ≥ exact is also
+    // emitted and must hold as ≥ 0 slack on both). Scale: the build is
+    // one partial-agg shuffle whose post-combine volume is ≤ 4×1024
+    // counters per partition REGARDLESS of row count — the sketch is
+    // the mergeable state a streaming or federated frequency monitor
+    // ships instead of raw keys. Probes read ≤ depth rows per key via
+    // one broadcast-joined lookup of the known probe set.
+    GraftQuery(
+      "agg_cms_freq",
+      (s, d) => {
+        val (depth, width) = (4, 1024)
+        def bucket(k: String, dn: String) =
+          expr(s"cast(conv(substring(md5(concat(cast($dn as string), ':', $k)), 1, 8), 16, 10) as bigint) % $width")
+        val rows = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("key"))
+          .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
+          .select(col("d"), bucket("key", "d").as("b"))
+        val grid = rows.groupBy(col("d"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val probes = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("key")).distinct()
+          .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
+          .select(col("key"), col("d"), bucket("key", "d").as("b"))
+        val est = probes.join(grid, Seq("d", "b"))
+          .groupBy(col("key")).agg(min(col("cnt")).as("cms_est"))
+        val exact = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("key"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        est.join(exact, Seq("key"))
+          .select(col("key"), col("cms_est"), col("exact_cnt"),
+            (col("cms_est") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("key"))
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT o_orderpriority AS key, d,
+                 (('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || o_orderpriority), 1, 8))::BIGINT) % 1024 AS b
+          FROM orders CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS d)),
+        grid AS (
+          SELECT d, b, COUNT(*) AS cnt FROM keyed GROUP BY d, b),
+        probes AS (
+          SELECT DISTINCT key, d, b FROM keyed),
+        est AS (
+          SELECT key, MIN(cnt) AS cms_est
+          FROM probes JOIN grid USING (d, b) GROUP BY key),
+        exact AS (
+          SELECT o_orderpriority AS key, COUNT(*) AS exact_cnt
+          FROM orders GROUP BY 1)
+        SELECT key, cms_est, exact_cnt, cms_est - exact_cnt AS overcount
+        FROM est JOIN exact USING (key)
+        ORDER BY key
       """))
   )
 }

@@ -479,6 +479,78 @@ object Analytics extends QueryModule {
         FROM sums ORDER BY l_returnflag
       """)),
 
+    // ───── higher central moments: skewness / excess kurtosis ─────
+    // Same exact-sufficient-statistics discipline as stats_corr pushed
+    // to the 3rd/4th powers: per-row cube/quad of the integer cents fit
+    // int64 (5000⁴ ≈ 6e14), their SUMS ride 128-bit exactness
+    // (DECIMAL(38,0) / HUGEINT — Σx⁴ passes int64 at sf0.1 already and
+    // Σx³ would at cluster scale), and the central-moment algebra is
+    // one shared double expression tree over the exact sums. m2^(3/2)
+    // is spelled m2·sqrt(m2) — sqrt is IEEE-correctly-rounded on both
+    // engines; pow() is NOT guaranteed to be and never appears. One
+    // partial-agg shuffle carrying 5 numbers per group.
+    GraftQuery(
+      "stats_moments",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("xc"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
+            sum(col("xc") * col("xc")).as("s2"),
+            sum((col("xc") * col("xc") * col("xc"))
+              .cast(DecimalType(38, 0))).as("s3"),
+            sum((col("xc") * col("xc") * col("xc") * col("xc"))
+              .cast(DecimalType(38, 0))).as("s4"))
+          .withColumn("mean",
+            expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("m2",
+            expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean"))
+          .withColumn("m3",
+            expr("""CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+                    3 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                    2 * mean * mean * mean"""))
+          .withColumn("m4",
+            expr("""CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) -
+                    4 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                    6 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) -
+                    3 * mean * mean * mean * mean"""))
+          .select(col("l_returnflag"), col("n"), col("mean"),
+            expr("m3 / (m2 * sqrt(m2))").as("skewness"),
+            expr("m4 / (m2 * m2) - 3").as("kurtosis"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        WITH pts AS (
+          SELECT l_returnflag,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+          FROM lineitem),
+        sums AS (
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xc) AS BIGINT) AS sx,
+                 CAST(SUM(xc * xc) AS BIGINT) AS s2,
+                 SUM(CAST(xc * xc * xc AS HUGEINT)) AS s3,
+                 SUM(CAST(xc * xc * xc * xc AS HUGEINT)) AS s4
+          FROM pts GROUP BY l_returnflag),
+        m AS (
+          SELECT *, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+          FROM sums),
+        c AS (
+          SELECT l_returnflag, n, mean,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean AS m2,
+                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+                   3 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                   2 * mean * mean * mean AS m3,
+                 CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) -
+                   4 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                   6 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) -
+                   3 * mean * mean * mean * mean AS m4
+          FROM m)
+        SELECT l_returnflag, n, mean,
+               m3 / (m2 * sqrt(m2)) AS skewness,
+               m4 / (m2 * m2) - 3 AS kurtosis
+        FROM c ORDER BY l_returnflag
+      """)),
+
     // ───── grouped closed-form OLS (price vs quantity per flag) ─────
     // The statistical-aggregate family beyond plain sums: per-group
     // slope/intercept from the five sufficient statistics. Exactness

@@ -319,6 +319,59 @@ object Graph extends QueryModule {
         SELECT node AS part, pr FROM r3 ORDER BY part
       """)),
 
+    // ───── native recursive CTE: per-order chain walk ─────
+    // Spark 4.1 DOES run WITH RECURSIVE … UNION ALL (what it cannot run
+    // is UNION-distinct recursion — the cycle-termination form the
+    // dialectExceptions document); this query exercises that surface
+    // end-to-end as LITERAL SQL on both engines: walk each order's
+    // line-number chain from line 1, accumulating quantity in integer
+    // cents. Recursion depth = max lines per order (7 in TPC-H), far
+    // under the engine's recursion limit, and the anchor/step are plain
+    // equi-joins — each recursion level is one shuffle of the frontier
+    // against the staged lineitem view, the same per-round shape as
+    // bfs(). Acyclic by construction (ln strictly increases), so UNION
+    // ALL terminates on both engines. Semantically this equals the
+    // running-sum window (win_running_sum's shape) — the point is the
+    // RECURSIVE SPELLING: a warehouse client's hierarchy walk runs
+    // unmodified.
+    GraftQuery(
+      "graph_chain_walk",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""
+          WITH RECURSIVE walk AS (
+            SELECT l_orderkey AS o_orderkey, l_linenumber,
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS cum_qty_cents
+            FROM lineitem WHERE l_linenumber = 1
+            UNION ALL
+            SELECT w.o_orderkey, l.l_linenumber,
+                   w.cum_qty_cents +
+                     CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM walk w JOIN lineitem l
+              ON l.l_orderkey = w.o_orderkey
+             AND l.l_linenumber = w.l_linenumber + 1)
+          SELECT o_orderkey, l_linenumber, cum_qty_cents
+          FROM walk ORDER BY o_orderkey, l_linenumber
+        """)
+      },
+      Some("""
+        WITH RECURSIVE walk AS (
+          SELECT l_orderkey AS o_orderkey, l_linenumber,
+                 CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cum_qty_cents
+          FROM lineitem WHERE l_linenumber = 1
+          UNION ALL
+          SELECT w.o_orderkey, l.l_linenumber,
+                 w.cum_qty_cents +
+                   CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+          FROM walk w JOIN lineitem l
+            ON l.l_orderkey = w.o_orderkey
+           AND l.l_linenumber = w.l_linenumber + 1)
+        SELECT o_orderkey, l_linenumber, cum_qty_cents
+        FROM walk ORDER BY o_orderkey, l_linenumber
+      """)),
+
     // ───── weighted shortest paths over the co-line graph ─────
     // 3 Bellman-Ford rounds from the smallest part key, edge weight =
     // the destination line's quantity (an integral double in TPC-H —

@@ -218,6 +218,49 @@ object Joins extends QueryModule {
         ORDER BY l_returnflag
       """)),
 
+    // ───── banded range join (equi-join decomposition of a theta) ─────
+    // All GLOBAL value-proximity pairs |va − vb| ≤ ε across purchases —
+    // no blocking key like join_range_value_pairs' user_id exists, so a
+    // naive phrasing is a full O(n²) nested-loop cross product. The
+    // banding decomposition makes it an EQUI join: every value maps to
+    // grid cell floor(v/ε); a qualifying pair's cells differ by at most
+    // 1, so replicating ONE side into its 3 adjacent cells (fixed 3×
+    // fanout) and equi-joining on the cell finds every candidate, and
+    // each pair exactly once (the probe row's single cell meets exactly
+    // one of the build row's three replicas). The exact |va − vb| ≤ ε
+    // filter then drops the false candidates. Work is Σ per-cell
+    // products — data-proximity-bounded, not n² — and the shuffle is a
+    // plain hash exchange on the cell id; the oracle states the theta
+    // join directly. floor(v/ε) is two IEEE ops in identical order on
+    // both engines, so cell boundaries agree exactly.
+    GraftQuery(
+      "join_banded_range",
+      (s, d) => {
+        val eps = 0.05
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("value"))
+        val a = p.select(col("event_id").as("ea"), col("value").as("va"))
+          .withColumn("cell", floor(col("va") / eps))
+        val b = p.select(col("event_id").as("eb"), col("value").as("vb"))
+          .withColumn("c0", floor(col("vb") / eps))
+          .withColumn("cell", explode(expr("array(c0 - 1L, c0, c0 + 1L)")))
+        a.join(b, Seq("cell"))
+          .filter(col("ea") < col("eb") &&
+            abs(col("va") - col("vb")) <= eps)
+          .select(col("ea"), col("eb"), col("va"), col("vb"))
+          .orderBy(col("ea"), col("eb"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_id, value FROM events WHERE event_type = 'purchase')
+        SELECT a.event_id AS ea, b.event_id AS eb,
+               a.value AS va, b.value AS vb
+        FROM p a JOIN p b
+          ON a.event_id < b.event_id AND abs(a.value - b.value) <= 0.05
+        ORDER BY ea, eb
+      """)),
+
     // ───── manually salted join (the skew fallback) ─────
     // The replicate-and-salt pattern for when ONE join key is so hot
     // that even AQE's skew split can't help (AQE splits oversized

@@ -227,6 +227,58 @@ class SqlRegistrySweepSpec extends SparkSpec {
                AS corr_qty_price
       FROM sums ORDER BY l_returnflag
     """,
+    // same HUGEINT → DECIMAL(38,0) respelling for the power sums
+    "stats_moments" -> """
+      WITH pts AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        FROM lineitem),
+      sums AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xc) AS BIGINT) AS sx,
+               CAST(SUM(xc * xc) AS BIGINT) AS s2,
+               SUM(CAST(xc * xc * xc AS DECIMAL(38,0))) AS s3,
+               SUM(CAST(xc * xc * xc * xc AS DECIMAL(38,0))) AS s4
+        FROM pts GROUP BY l_returnflag),
+      m AS (
+        SELECT *, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+        FROM sums),
+      c AS (
+        SELECT l_returnflag, n, mean,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean AS m2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+                 3 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                 2 * mean * mean * mean AS m3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) -
+                 4 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) +
+                 6 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) -
+                 3 * mean * mean * mean * mean AS m4
+        FROM m)
+      SELECT l_returnflag, n, mean,
+             m3 / (m2 * sqrt(m2)) AS skewness,
+             m4 / (m2 * m2) - 3 AS kurtosis
+      FROM c ORDER BY l_returnflag
+    """,
+    // '0x…'::BIGINT hex cast → conv(); same CMS grid math
+    "agg_cms_freq" -> """
+      WITH keyed AS (
+        SELECT o_orderpriority AS key, d,
+               CAST(conv(substring(md5(CAST(d AS STRING) || ':' || o_orderpriority), 1, 8), 16, 10) AS BIGINT) % 1024 AS b
+        FROM orders CROSS JOIN (SELECT explode(sequence(0, 3)) AS d)),
+      grid AS (
+        SELECT d, b, COUNT(*) AS cnt FROM keyed GROUP BY d, b),
+      probes AS (
+        SELECT DISTINCT key, d, b FROM keyed),
+      est AS (
+        SELECT key, MIN(cnt) AS cms_est
+        FROM probes JOIN grid USING (d, b) GROUP BY key),
+      exact AS (
+        SELECT o_orderpriority AS key, COUNT(*) AS exact_cnt
+        FROM orders GROUP BY 1)
+      SELECT key, cms_est, exact_cnt, cms_est - exact_cnt AS overcount
+      FROM est JOIN exact USING (key)
+      ORDER BY key
+    """,
     // the DuckDB oracle leans on QUALIFY (no Spark spelling) and the
     // '0x…'::BIGINT hex cast (Spark needs conv()); same KMV math
     "agg_kmv_distinct" -> """
