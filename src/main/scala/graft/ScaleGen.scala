@@ -118,6 +118,19 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // customer re-keys c_custkey in lockstep with orders' o_custkey so
+    // the fact→dim join stays consistent; nation keys are shared
+    // dimensions and stay as-is (per-nation density grows with the
+    // corpus, like a real 10× book of business)
+    Tables.customer(spark, src)
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("c_custkey") + col("k") * 10000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     Tables.lineitem(spark, src)
       .crossJoin(broadcast(reps))
       .select(

@@ -337,7 +337,16 @@ object Graph extends QueryModule {
     GraftQuery(
       "graph_chain_walk",
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        // staged once: every recursion level joins the frontier against
+        // this view, and without the cache each level re-scans parquet
+        Materialize.stage(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+          .createOrReplaceTempView("lineitem")
+        // the default recursion ROW limit (1M accumulated rows) is a
+        // debugging guard, not a scale bound — the walk's total row
+        // count is exactly |lineitem|, so size the limit to the data
+        // (hit at 10× sf0.1 already; correctness is unaffected)
+        s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
         s.sql("""
           WITH RECURSIVE walk AS (
             SELECT l_orderkey AS o_orderkey, l_linenumber,
