@@ -158,6 +158,85 @@ object Advanced extends QueryModule {
         FROM w WHERE is_click = 1 ORDER BY event_id
       """)),
 
+    // ───── as-of join, NEAREST direction (pandas direction='nearest') ─────
+    // Each click matches its temporally closest view in EITHER
+    // direction, ties to the earlier (backward) one — the calibration-
+    // lookup semantics (sensor reading ↔ nearest reference sample).
+    // Same single-shuffle union+window formulation run BOTH ways: the
+    // backward candidate is the running last view, the forward
+    // candidate the mirrored running first over the reversed frame; one
+    // final comparison picks the winner. A same-instant view sorts
+    // before the click, so backward sees it at gap 0 and the ≤ tie rule
+    // lands it backward, which is also why forward missing it is
+    // harmless. Per-user state stays two scalars.
+    GraftQuery(
+      "join_asof_nearest",
+      (s, d) => {
+        val e = eventsUs(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            lit(1).as("is_click"), lit(null).cast("long").as("view_id"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            lit(0).as("is_click"), col("event_id").as("view_id"))
+        val ord = Seq(col("ts_us").asc, col("is_click").asc, col("event_id").asc)
+        val wBack = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFwd = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        clicks.unionByName(views)
+          .withColumn("b_id", last(col("view_id"), ignoreNulls = true).over(wBack))
+          .withColumn("b_ts", last(when(col("is_click") === 0, col("ts_us")),
+            ignoreNulls = true).over(wBack))
+          .withColumn("f_id", first(col("view_id"), ignoreNulls = true).over(wFwd))
+          .withColumn("f_ts", first(when(col("is_click") === 0, col("ts_us")),
+            ignoreNulls = true).over(wFwd))
+          .filter(col("is_click") === 1)
+          .withColumn("takeBack",
+            col("b_ts").isNotNull && (col("f_ts").isNull ||
+              (col("ts_us") - col("b_ts")) <= (col("f_ts") - col("ts_us"))))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            when(col("takeBack"), col("b_id")).otherwise(col("f_id"))
+              .as("nearest_view_id"),
+            when(col("takeBack"), col("ts_us") - col("b_ts"))
+              .otherwise(col("f_ts") - col("ts_us")).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type
+          FROM events),
+        u AS (
+          SELECT event_id, user_id, ts_us, 1 AS is_click, NULL::BIGINT AS view_id
+          FROM e WHERE event_type = 'click'
+          UNION ALL
+          SELECT event_id, user_id, ts_us, 0 AS is_click, event_id AS view_id
+          FROM e WHERE event_type = 'view'),
+        w AS (
+          SELECT event_id, user_id, ts_us, is_click,
+                 last_value(view_id IGNORE NULLS) OVER wb AS b_id,
+                 last_value(CASE WHEN is_click = 0 THEN ts_us END IGNORE NULLS)
+                   OVER wb AS b_ts,
+                 first_value(view_id IGNORE NULLS) OVER wf AS f_id,
+                 first_value(CASE WHEN is_click = 0 THEN ts_us END IGNORE NULLS)
+                   OVER wf AS f_ts
+          FROM u
+          WINDOW wb AS (PARTITION BY user_id
+                        ORDER BY ts_us ASC, is_click ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id
+                        ORDER BY ts_us ASC, is_click ASC, event_id ASC
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                          OR ts_us - b_ts <= f_ts - ts_us)
+                    THEN b_id ELSE f_id END AS nearest_view_id,
+               CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                          OR ts_us - b_ts <= f_ts - ts_us)
+                    THEN ts_us - b_ts ELSE f_ts - ts_us END AS gap_us
+        FROM w WHERE is_click = 1 ORDER BY event_id
+      """)),
+
     // ───── range join via binning: same-user events with close values ─────
     GraftQuery(
       "join_range_value_pairs",

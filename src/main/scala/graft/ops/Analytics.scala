@@ -378,6 +378,89 @@ object Analytics extends QueryModule {
         FROM customer ORDER BY c_custkey
       """)),
 
+    // ───── ntile: equal-frequency quartile assignment ─────
+    // Quartiles of order value within each status, summarized per
+    // bucket. NTILE's distribution rule (first n mod k buckets get one
+    // extra row) is SQL-standard and engine-identical GIVEN a total
+    // order, so the ORDER BY carries the orderkey tiebreak — without
+    // it, equal prices could legally land in different buckets per
+    // engine. One shuffle on the status key; the per-group sort is the
+    // window's cost; the summary agg rides the same partitioning.
+    GraftQuery(
+      "win_ntile_buckets",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"),
+            ntile(4).over(w).as("quartile"))
+          .groupBy(col("o_orderstatus"), col("quartile"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+          .orderBy(col("o_orderstatus"), col("quartile"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT o_orderstatus, o_totalprice,
+                 NTILE(4) OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice ASC, o_orderkey ASC)
+                   AS quartile
+          FROM orders)
+        SELECT o_orderstatus, quartile, COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM q GROUP BY o_orderstatus, quartile
+        ORDER BY o_orderstatus, quartile
+      """)),
+
+    // ───── running EXACT distinct count (first-occurrence flag) ─────
+    // "How many distinct event types has this user exercised as of each
+    // event" — the running COUNT(DISTINCT) window SQL engines refuse to
+    // evaluate directly. The standard decomposition: flag each (user,
+    // type)'s FIRST row (row_number = 1 under the event-time order),
+    // then a running sum of flags under the same order. Both windows
+    // key on the user (the second on a prefix of the first's key), so
+    // the data shuffles once and per-task state is one counter — the
+    // streaming-friendly shape, and exactly how a stream would
+    // maintain it (seen-set per user bounded by the type domain).
+    GraftQuery(
+      "win_running_distinct",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("is_first",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .withColumn("n_types_seen", sum(col("is_first")).over(wRun))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("n_types_seen"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_ns(ts) // 1000 AS ts_us
+          FROM events),
+        f AS (
+          SELECT event_id, user_id, ts_us,
+                 CASE WHEN ROW_NUMBER() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts_us ASC, event_id ASC) = 1
+                   THEN 1 ELSE 0 END AS is_first
+          FROM e)
+        SELECT event_id, user_id, ts_us,
+               CAST(SUM(is_first) OVER (PARTITION BY user_id
+                 ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_types_seen
+        FROM f ORDER BY event_id
+      """)),
+
     // ───── exact per-group mode with deterministic tie-break ─────
     // The modal l_quantity per return flag: highest occurrence count
     // wins, ties broken by the SMALLER value — spelled out on both

@@ -347,6 +347,76 @@ object Extras extends QueryModule {
         ORDER BY o_orderkey
       """)),
 
+    // ───── token-distribution drift: per-source χ² vs the corpus ─────
+    // The distribution-shift monitor a training pipeline runs per
+    // ingest batch: how far each source's token frequencies sit from
+    // the corpus-wide profile, χ² over the top-50 corpus tokens.
+    // Frequencies are fixed-point parts-per-million BIGINTs (integer
+    // div — the rounding IS the metric's definition, identical on both
+    // engines), each term (p−q)²/(p+q+1) is exact integer arithmetic
+    // (diff² ≤ 1e12, 50 terms ≪ int64), so the statistic hash-matches
+    // with no float summation anywhere. Scale: one token-count shuffle
+    // per keying (corpus, per-source), a TakeOrdered top-50, and a
+    // broadcast-sized (source × 50) probe — the sources dimension is
+    // metadata-sized by nature.
+    GraftQuery(
+      "stats_chisq_sources",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val corpus = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("ct"))
+        val corpusTot = corpus.agg(sum(col("ct")).as("t")) // 1 row
+        val top = corpus
+          .orderBy(col("ct").desc, col("tok").asc).limit(50)
+        val srcTot = toks.groupBy(col("source"))
+          .agg(count(lit(1)).as("ts"))
+        val srcCnt = toks.join(broadcast(top.select(col("tok"))), Seq("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("cs"))
+        srcTot.crossJoin(broadcast(top))
+          .join(srcCnt, Seq("source", "tok"), "left")
+          .na.fill(0L, Seq("cs"))
+          .crossJoin(broadcast(corpusTot))
+          .select(col("source"),
+            expr("(cs * 1000000L) DIV ts").as("p_ppm"),
+            expr("(ct * 1000000L) DIV t").as("q_ppm"))
+          .select(col("source"),
+            expr("((p_ppm - q_ppm) * (p_ppm - q_ppm)) DIV (p_ppm + q_ppm + 1)")
+              .as("term"))
+          .groupBy(col("source"))
+          .agg(sum(col("term")).as("chisq_fp"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source, UNNEST(string_split(text, ' ')) AS tok
+          FROM documents),
+        corpus AS (
+          SELECT tok, COUNT(*) AS ct FROM toks GROUP BY tok),
+        corpus_tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS t FROM corpus),
+        top AS (
+          SELECT tok, ct FROM corpus
+          ORDER BY ct DESC, tok ASC LIMIT 50),
+        src_tot AS (
+          SELECT source, COUNT(*) AS ts FROM toks GROUP BY source),
+        src_cnt AS (
+          SELECT source, tok, COUNT(*) AS cs
+          FROM toks JOIN (SELECT tok FROM top) USING (tok)
+          GROUP BY source, tok),
+        ppm AS (
+          SELECT st.source,
+                 (COALESCE(sc.cs, 0) * 1000000) // st.ts AS p_ppm,
+                 (top.ct * 1000000) // ct2.t AS q_ppm
+          FROM src_tot st CROSS JOIN top
+          LEFT JOIN src_cnt sc ON sc.source = st.source AND sc.tok = top.tok
+          CROSS JOIN corpus_tot ct2)
+        SELECT source,
+               CAST(SUM(((p_ppm - q_ppm) * (p_ppm - q_ppm))
+                 // (p_ppm + q_ppm + 1)) AS BIGINT) AS chisq_fp
+        FROM ppm GROUP BY source ORDER BY source
+      """)),
+
     // ───── column profiling: the data-quality scan every lake runs ─────
     // Per-column null count, exact distinct cardinality, and min/max in
     // ONE aggregation pass (multiple COUNT DISTINCTs expand the scan,

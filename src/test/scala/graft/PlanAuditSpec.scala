@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     // vector — both the watermark-filter pattern)
     "text_bm25", "stats_histogram", "text_collocations",
     "sim_matryoshka_topk",
+    // 50-row top-token frame + 1-row corpus total, both broadcast
+    "stats_chisq_sources",
     // 1-row broadcast stats frames (corpus totals / budget scalars)
     "text_search_index", "curate_mixture_epochs", "curate_global_shuffle")
 
