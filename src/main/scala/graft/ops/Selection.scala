@@ -28,6 +28,26 @@ object Selection extends QueryModule {
   private val ChunkW = 32
   private val ChunkS = 24
 
+  /** The chunk projection itself, shared verbatim by the registered
+    * query and the STREAMING splitter (`StreamingPipeline.chunkedDocs`)
+    * — a narrow stateless explode, so the exact same expression tree
+    * runs in both execution modes and stream/batch chunk boundaries
+    * cannot drift. Input needs (doc_id, text) plus any carried columns;
+    * output adds (chunk_id, chunk_start, n_chunk_toks, chunk_text).
+    */
+  private[graft] def chunked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("k", explode(expr(
+        s"sequence(0L, if(n <= $ChunkW, 0L, (n - $ChunkW + ${ChunkS - 1}) div $ChunkS))")))
+      .withColumn("chunk_id", col("k").cast("long"))
+      .withColumn("chunk_start", (col("k") * ChunkS).cast("long"))
+      .withColumn("n_chunk_toks",
+        least(lit(ChunkW.toLong), col("n") - col("k") * ChunkS).cast("long"))
+      .withColumn("chunk_text",
+        expr(s"array_join(slice(toks, int(k * $ChunkS) + 1, $ChunkW), ' ')"))
+      .drop("toks", "n", "k")
+
   override def queries: Seq[GraftQuery] = Seq(
 
     // ───── deterministic train/val/test split ─────
@@ -169,18 +189,9 @@ object Selection extends QueryModule {
     GraftQuery(
       "text_chunk_windows",
       (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .withColumn("n", size(col("toks")).cast("long"))
-          .withColumn("k", explode(expr(
-            s"sequence(0L, if(n <= $ChunkW, 0L, (n - $ChunkW + ${ChunkS - 1}) div $ChunkS))")))
-          .select(col("doc_id"),
-            col("k").cast("long").as("chunk_id"),
-            (col("k") * ChunkS).cast("long").as("chunk_start"),
-            least(lit(ChunkW.toLong), col("n") - col("k") * ChunkS)
-              .cast("long").as("n_chunk_toks"),
-            expr(s"array_join(slice(toks, int(k * $ChunkS) + 1, $ChunkW), ' ')")
-              .as("chunk_text"))
+        chunked(Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+            col("n_chunk_toks"), col("chunk_text"))
           .orderBy(col("doc_id"), col("chunk_id")),
       Some(s"""
         WITH t AS (

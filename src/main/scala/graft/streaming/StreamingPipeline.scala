@@ -331,6 +331,21 @@ object StreamingPipeline extends Serializable {
       .select(col("doc_id"), col("source"), col("ts"), col("n_tokens"),
         col("body_md5"))
 
+  /** Streaming RAG splitter: the BATCH chunk projection
+    * (`Selection.chunked` — same expression tree, so stream and batch
+    * chunk boundaries are identical by construction) applied to a
+    * document stream, each chunk keyed `doc_id·10⁶ + chunk_id` so a
+    * chunk is a first-class document for every downstream consumer —
+    * feed the result to `runSearchIndexIngest` for a chunk-level
+    * inverted index or (with an embedding stage) `runAnnIndexIngest`
+    * for chunk-level ANN. Stateless and narrow: no watermark needed,
+    * no state store, chunking cost rides the ingest scan.
+    */
+  def chunkedDocs(docs: DataFrame): DataFrame =
+    graft.ops.Selection.chunked(docs)
+      .withColumn("chunk_key",
+        col("doc_id") * lit(1000000L) + col("chunk_id"))
+
   /** Continuous upsert into a `SnapshotStore` table: each micro-batch
     * merges on `key` (highest `seqCol` wins within a batch), committed
     * as snapshot version = batchId. foreachBatch delivery is

@@ -85,6 +85,36 @@ class SearchIndexSpec extends SparkSpec {
     assert(probeRows(dir) == probeRows(wantDir))
   }
 
+  test("streamed chunk-level index equals a batch build over batch chunks") {
+    // docs stream → chunkedDocs (the streaming RAG splitter) → inverted
+    // index keyed by chunk: the full retrieval-ingest composition. The
+    // streamed result must equal building the index from BATCH-chunked
+    // docs in one shot — stream/batch chunking parity plus exactly-once
+    // ingest, end to end.
+    val dir  = scratchDir("si_chunk") + "/idx"
+    val ckpt = scratchDir("si_chunk_ckpt") + "/cp"
+    val land = scratchDir("si_chunk_land")
+    val subset = docs.filter(col("doc_id") < 100)
+
+    subset.write.mode("overwrite").parquet(s"$land/b0")
+    val chunkStream = graft.streaming.StreamingPipeline.chunkedDocs(
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+          .parquet(s"$land/*"))
+      .select(col("chunk_key").as("doc_id"), col("chunk_text").as("text"))
+    // seed the index empty (build needs a frame; zero rows is fine)
+    SearchIndex.build(spark, docs.limit(0), dir)
+    graft.streaming.StreamingPipeline.runSearchIndexIngest(
+      spark, chunkStream, dir, ckpt).awaitTermination()
+
+    val wantDir = scratchDir("si_chunk_want") + "/idx"
+    SearchIndex.build(spark,
+      graft.streaming.StreamingPipeline.chunkedDocs(subset)
+        .select(col("chunk_key").as("doc_id"), col("chunk_text").as("text")),
+      wantDir)
+    assert(probeRows(dir) == probeRows(wantDir))
+    assert(probeRows(dir).nonEmpty)
+  }
+
   test("stats sidecar tracks signed doc/token totals") {
     val dir = scratchDir("si_stats") + "/idx"
     val four = docs.limit(0).unionByName(
