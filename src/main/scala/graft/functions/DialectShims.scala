@@ -94,6 +94,12 @@ object DialectShims {
       else Length(child)
     }))
 
+    ext.injectFunction(fn("strlen", classOf[OctetLength], children => {
+      require(children.size == 1,
+        s"strlen requires 1 argument, got ${children.size}")
+      OctetLength(children.head)
+    }))
+
     ext.injectFunction(fn("sha256", classOf[Sha2], children => {
       require(children.size == 1, s"sha256 requires 1 argument, got ${children.size}")
       Sha2(children.head, Literal(256))

@@ -247,6 +247,79 @@ object SearchIndex extends QueryModule {
                s_join + s_filter + s_group AS bm25
         FROM piv
         ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+      """)),
+
+    // ───── chunk-level retrieval: the RAG index under the hash gate ─────
+    // The full retrieval composition — docs → 32/24 chunk windows
+    // (Selection.chunked, the SAME expression tree the streaming
+    // splitter runs) → inverted index keyed by chunk → BM25 probe —
+    // value-pinned end to end: the oracle is the direct BM25 statement
+    // over the chunk SET derived in SQL, so index build + probe must
+    // answer exactly what direct chunk scoring answers. Chunk-level
+    // stats (N = chunks, dl = chunk length) change every BM25 term vs
+    // the doc-level index, so this is a distinct semantics, not a rerun.
+    // Scale shape identical to text_search_index: the (chunk, term)
+    // shuffle is the linear build cost; probes read ≤ |query terms|
+    // term shards at any corpus size.
+    GraftQuery(
+      "text_search_chunks",
+      (s, d) => {
+        val dir = Sources.scratch(d, "chunkidx_")
+        new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new Path(dir), true)
+        val chunks = graft.ops.Selection.chunked(
+            Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .select((col("doc_id") * lit(1000000L) + col("chunk_id")).as("doc_id"),
+            col("chunk_text").as("text"))
+        build(s, chunks, dir)
+        probe(s, dir, Seq("join", "filter", "group"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        chunks AS (
+          SELECT doc_id * 1000000 + k AS doc_id,
+                 array_to_string(toks[k * 24 + 1 : k * 24 + 32], ' ') AS text
+          FROM (
+            SELECT doc_id, toks, n,
+                   UNNEST(generate_series(0, CASE WHEN n <= 32 THEN 0
+                     ELSE (n - 32 + 23) // 24 END)) AS k
+            FROM base) c),
+        t1 AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM chunks) u
+          WHERE tok <> ''),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM t1
+          WHERE tok IN ('join', 'filter', 'group')
+          GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM t1 GROUP BY doc_id),
+        tot AS (SELECT COUNT(*) AS tot FROM t1),
+        n AS (SELECT COUNT(*) AS n FROM chunks),
+        dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        scored AS (
+          SELECT f.doc_id, f.tok,
+                 (44 * f.tf * n.n * tot.tot)::DOUBLE /
+                   (d.df * (20 * f.tf * tot.tot + 6 * tot.tot
+                     + 18 * l.dl * n.n))::DOUBLE AS score
+          FROM tf f JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
+          CROSS JOIN n CROSS JOIN tot),
+        piv AS (
+          SELECT doc_id,
+                 COALESCE(MAX(CASE WHEN tok = 'join' THEN score END), 0.0)
+                   AS s_join,
+                 COALESCE(MAX(CASE WHEN tok = 'filter' THEN score END), 0.0)
+                   AS s_filter,
+                 COALESCE(MAX(CASE WHEN tok = 'group' THEN score END), 0.0)
+                   AS s_group
+          FROM scored GROUP BY doc_id)
+        SELECT doc_id, s_join, s_filter, s_group,
+               s_join + s_filter + s_group AS bm25
+        FROM piv
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
       """))
   )
 }

@@ -100,6 +100,50 @@ object Sources extends QueryModule {
         FROM events ORDER BY event_id
       """)),
 
+    // ───── raw-file ingest: the binaryFile source (multimodal path) ─────
+    // The lake's raw-object ingest surface: files land as opaque bytes
+    // and enter the engine via `format("binaryFile")` as (path, length,
+    // content) rows — exactly how image/audio corpora arrive before the
+    // mm_* decode operators take over. The round trip stages each doc's
+    // text as its own file (a distributed partitioned text write — one
+    // dir per key, never a driver loop), reads the directory back as
+    // binary, recovers the key from the file PATH, and proves
+    // byte-level fidelity by sha256: the oracle computes the same
+    // digest from the table directly (the text sink appends one
+    // newline, stated explicitly on both sides). Corpus is capped to
+    // doc_id < 200 because one-file-per-record is the SMALL-corpus
+    // layout by design — at scale raw bytes ride parquet binary
+    // columns (mm_binary_meta) and this source is the on-ramp.
+    GraftQuery(
+      "src_binaryfile_ingest",
+      (s, d) => {
+        val tmp = scratch(d, "binf_")
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+          .repartition(4)
+          .write.mode("overwrite").partitionBy("doc_id").text(tmp)
+        s.read.format("binaryFile").load(s"$tmp/doc_id=*")
+          .select(
+            regexp_extract(col("path"), "doc_id=(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            col("length").as("n_bytes"),
+            sha2(col("content"), 256).as("sha"))
+          .groupBy(col("doc_id"))
+          // a doc's dir may hold several part files only if the writer
+          // split it (it cannot: one row per doc) — the agg makes the
+          // one-file-per-doc contract checkable as n_files
+          .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("n_bytes"),
+            min(col("sha")).as("sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, CAST(1 AS BIGINT) AS n_files,
+               CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+               sha256(text || chr(10)) AS sha
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id
+      """)),
+
     // ───── S3: date-partitioned parquet append sink + pruned read-back ─────
     // Writes the orders table partitioned by month, reads back ONE
     // partition; the scan must prune to that directory (visible as

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     // 50-row top-token frame + 1-row corpus total, both broadcast
     "stats_chisq_sources",
     // 1-row broadcast stats frames (corpus totals / budget scalars)
-    "text_search_index", "curate_mixture_epochs", "curate_global_shuffle")
+    "text_search_index", "text_search_chunks", "curate_mixture_epochs",
+    "curate_global_shuffle")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
