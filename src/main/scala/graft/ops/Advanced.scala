@@ -306,6 +306,49 @@ object Advanced extends QueryModule {
         FROM g ORDER BY event_id
       """)),
 
+    // ───── gaps & islands: consecutive-activity streaks per user ─────
+    // The retention metric ("longest run of consecutive active days")
+    // via the classic island key day − DENSE_RANK(day): consecutive
+    // days share a constant difference, so each maximal run collapses
+    // to one group — no self-join, no iteration, exact integer day
+    // arithmetic from the epoch-µs timestamps. One shuffle on the user
+    // key carrying (user, day) pairs — events of a day collapse first,
+    // so volume is active-days, not events.
+    GraftQuery(
+      "win_gap_islands",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        days.withColumn("isl", col("day") - dense_rank().over(w))
+          .groupBy(col("user_id"), col("isl"))
+          .agg(count(lit(1)).as("streak"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("streak")).as("n_active_days"),
+            count(lit(1)).as("n_islands"),
+            max(col("streak")).as("longest_streak"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+          FROM events),
+        isl AS (
+          SELECT user_id, day,
+                 day - DENSE_RANK() OVER (PARTITION BY user_id
+                                          ORDER BY day ASC) AS isl
+          FROM days),
+        runs AS (
+          SELECT user_id, isl, COUNT(*) AS streak
+          FROM isl GROUP BY user_id, isl)
+        SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_active_days,
+               COUNT(*) AS n_islands,
+               CAST(MAX(streak) AS BIGINT) AS longest_streak
+        FROM runs GROUP BY user_id ORDER BY user_id
+      """)),
+
     // ───── sequential pattern detection: strictly-rising value runs ─────
     // The MATCH_RECOGNIZE-shaped ask ("find users with three rising
     // readings in a row") expressed with lag windows — the pattern

@@ -312,6 +312,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static point-in-time enrichment picks the dim version valid at EVENT time") {
+    // the SCD-2 history is a static lake table; a fact stream enriches
+    // against the version whose validity interval covers the fact's
+    // OWN timestamp — not the current version. The same
+    // Layout.pointInTimeJoin used in batch runs unmodified as a
+    // stream-static join (no state store, no watermark: the static
+    // side re-resolves per micro-batch, which is also how a dim
+    // UPDATED between batches takes effect).
+    val dim = Seq[(Long, String, Long, java.lang.Long)](
+      (1L, "A", 0L, 100L), (1L, "B", 100L, null))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val facts = MemoryStream[(Long, Long, Long)](spark)
+    val q = graft.pipeline.Layout.pointInTimeJoin(
+        facts.toDF().toDF("fact_id", "k", "f_ts"), dim, "k", "f_ts")
+      .select($"fact_id", $"attr")
+      .writeStream.format("memory").queryName("pit_enrich")
+      .outputMode("append").start()
+    try {
+      facts.addData((10L, 1L, 50L), (11L, 1L, 150L), (12L, 2L, 50L))
+      q.processAllAvailable()
+      val rows = spark.table("pit_enrich")
+        .as[(Long, String)].collect().toSet
+      // fact 10 at t=50 sees version A, fact 11 at t=150 sees B; fact
+      // 12's key has no history and must not fabricate a row
+      assert(rows === Set((10L, "A"), (11L, "B")))
+    } finally q.stop()
+  }
+
   test("streaming NEAR-dup dedup collapses band collisions across micro-batches") {
     val mem = MemoryStream[(Long, String)](spark)
     val docs = mem.toDF().toDF("doc_id", "text")
