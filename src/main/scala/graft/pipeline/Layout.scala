@@ -823,6 +823,78 @@ object Layout extends QueryModule {
         ORDER BY o_orderkey
       """)),
 
+    // ───── incremental JOIN-view maintenance over CDC ─────
+    // The join half of the materialized-view story: orders ⋈ customer
+    // materialized at v1, the ORDERS store advanced by the same CDC
+    // recipe as sink_view_maintain (updates + deletes + inserts), and
+    // the view MAINTAINED — churned fact buckets drop whole and their
+    // new contents re-join a bucket-PRUNED customer read (the dim is
+    // keyed by the join column, so only the buckets the delta's keys
+    // hash into are served). The oracle computes the merged final
+    // state joined directly, so maintained ≡ recomputed is value-
+    // pinned. Neither the fact table nor the view is ever rescanned.
+    GraftQuery(
+      "sink_join_view_maintain",
+      (s, d) => {
+        val tmp = Sources.scratch(d, "joinmaint_")
+        new Path(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new Path(tmp), true)
+        val aDir = s"$tmp/orders"; val bDir = s"$tmp/customer"
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey").as("ck"),
+            col("o_totalprice"))
+        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, aDir, 1L)
+        SnapshotStore.upsertVersion(s,
+          Tables.customer(s, d)
+            .select(col("c_custkey").as("ck"), col("c_mktsegment")),
+          "ck", None, bDir, 0L)
+        val oldView = SnapshotStore.joinView(s, aDir, "o_orderkey",
+          bDir, "ck", "ck")
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0 &&
+            pmod(col("o_orderkey"), lit(151)) =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+          .withColumn("_op", lit("u"))
+        val deletes = base
+          .filter(pmod(col("o_orderkey"), lit(151)) === 0)
+          .withColumn("_op", lit("d"))
+        val inserts = base
+          .filter(pmod(col("o_orderkey"), lit(193)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("_op", lit("u"))
+        SnapshotStore.upsertVersion(s,
+          updates.unionByName(deletes).unionByName(inserts),
+          "o_orderkey", None, aDir, 2L, opCol = Some("_op"))
+        SnapshotStore.maintainJoin(s, aDir, "o_orderkey", 1L, 2L,
+            bDir, "ck", "ck", oldView, "_ab", "_bb")
+          .select(col("o_orderkey"), col("ck"), col("o_totalprice"),
+            col("c_mktsegment"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey AS ck, o_totalprice FROM orders),
+        upd AS (
+          SELECT o_orderkey, ck, o_totalprice + 100000.0 AS o_totalprice
+          FROM base WHERE o_orderkey % 97 = 0 AND o_orderkey % 151 <> 0),
+        del AS (
+          SELECT o_orderkey FROM base WHERE o_orderkey % 151 = 0),
+        ins AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, ck, o_totalprice
+          FROM base WHERE o_orderkey % 193 = 0),
+        touched AS (
+          SELECT o_orderkey FROM upd UNION ALL SELECT o_orderkey FROM del
+          UNION ALL SELECT o_orderkey FROM ins),
+        merged AS (
+          SELECT o_orderkey, ck, o_totalprice
+          FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins)
+        SELECT m.o_orderkey, m.ck, m.o_totalprice, c.c_mktsegment
+        FROM merged m JOIN customer c ON c.c_custkey = m.ck
+        ORDER BY m.o_orderkey
+      """)),
+
     // ───── incremental materialized-view maintenance over CDC ─────
     // v1 = base; the per-customer (count, spend) view is aggregated once
     // at v1; v2 applies the sink_upsert_delete CDC recipe; the view at

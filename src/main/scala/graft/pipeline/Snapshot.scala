@@ -553,6 +553,80 @@ object SnapshotStore {
     merged.filter(col(cntCol) > 0)
   }
 
+  /** Materialize the inner equi-join view A ⋈ B over two committed
+    * stores, each row tagged with BOTH sides' owning bucket ids
+    * (`_ab`, `_bb`) — the provenance `maintainJoin` needs to drop and
+    * rebuild exactly the slices a delta invalidated. `joinCol` is a
+    * column both stores carry (it may equal either store's key or
+    * neither).
+    */
+  def joinView(spark: SparkSession, aDir: String, aKey: String,
+               bDir: String, bKey: String, joinCol: String): DataFrame = {
+    val mA = manifest(spark, aDir).getOrElse(
+      sys.error(s"no committed store at $aDir"))
+    val mB = manifest(spark, bDir).getOrElse(
+      sys.error(s"no committed store at $bDir"))
+    val a = read(spark, aDir).get
+      .withColumn("_ab", bucketExpr(aKey, mA.numBuckets))
+    val b = read(spark, bDir).get
+      .withColumn("_bb", bucketExpr(bKey, mB.numBuckets))
+    a.join(b, Seq(joinCol))
+  }
+
+  /** Incrementally maintain a `joinView` after ONE side advanced
+    * `fromVersion` → `toVersion` — the JOIN half of the materialized-
+    * view story (`maintainAgg` is the aggregate half; compose them for
+    * aggregate-over-join views). `tagCol` names the view column
+    * carrying the churned side's bucket ids (`"_ab"` when A advanced,
+    * `"_bb"` when B advanced), `otherTag` the static side's.
+    *
+    * Correctness shape: the store's unit of change IS the bucket —
+    * every view row whose churn-side bucket the span rewrote is
+    * dropped whole, and the span's NEW bucket contents re-join against
+    * the other side. No per-row diffing, no multiset bookkeeping:
+    * inserts, updates, and tombstoned deletes all fall out of
+    * drop-and-rebuild, and the result is row-identical to a full
+    * recompute (SnapshotSpec pins both churn directions).
+    *
+    * Cost shape at 100 TB: O(churned-bucket rows ⋈ other side) — the
+    * view and the churn side are never rescanned. The OTHER side's
+    * read is bucket-PRUNED when its store key equals the join column
+    * (the fact→dim direction: dim keyed by the join key serves only
+    * the buckets the delta's keys hash into — the same ≤ numBuckets
+    * driver-side ints as the upsert's touched-set); when it is keyed
+    * otherwise the full other side joins (the dim→fact direction is
+    * inherently O(facts matching changed keys) — bucket the fact store
+    * by the join column if that direction dominates your churn).
+    */
+  def maintainJoin(spark: SparkSession,
+                   churnDir: String, churnKey: String,
+                   fromVersion: Long, toVersion: Long,
+                   otherDir: String, otherKey: String,
+                   joinCol: String, oldView: DataFrame,
+                   tagCol: String, otherTag: String): DataFrame = {
+    val f = fs(spark, churnDir)
+    val (_, m2, churned) = spanChurn(f, spark, churnDir, fromVersion, toVersion)
+    if (churned.isEmpty) return oldView
+    val mO = manifest(spark, otherDir).getOrElse(
+      sys.error(s"no committed store at $otherDir"))
+    val kept = oldView.filter(!col(tagCol).isin(churned.toSeq: _*))
+    churnedRows(spark, churnDir, m2, churned) match {
+      case None => kept
+      case Some(rows) =>
+        val nr = rows.withColumn(tagCol, bucketExpr(churnKey, m2.numBuckets))
+        val other =
+          if (otherKey == joinCol) {
+            val touched = nr
+              .select(bucketExpr(joinCol, mO.numBuckets).as("_tb"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            readBuckets(spark, otherDir, touched).get
+          } else read(spark, otherDir).get
+        kept.unionByName(
+          nr.join(other.withColumn(otherTag, bucketExpr(otherKey, mO.numBuckets)),
+            Seq(joinCol)))
+    }
+  }
+
   /** Re-bucket a hash-bucketed store into a NEW store dir with a
     * different bucket count — the scale-out reindex for when a growing
     * table's per-bucket size outgrows a sane task (the manifest pins

@@ -108,6 +108,53 @@ class SnapshotSpec extends SparkSpec {
     assert(history.size == 5)
   }
 
+  test("maintainJoin tracks a full recompute through churn on EITHER side") {
+    val root = scratchDir("snap_joinview")
+    val aDir = s"$root/facts"; val bDir = s"$root/dim"
+    // facts keyed by ok, joined to dim on ck (= dim's OWN key, so the
+    // fact-churn direction reads the dim bucket-pruned)
+    SnapshotStore.upsertVersion(spark,
+      (1L to 40L).map(i => (i, i % 7, i * 10)).toDF("ok", "ck", "amt"),
+      "ok", None, aDir, version = 0L)
+    SnapshotStore.upsertVersion(spark,
+      (0L to 6L).map(c => (c, s"seg$c")).toDF("ck", "seg"),
+      "ck", None, bDir, version = 0L)
+
+    def recompute(): Set[(Long, Long, Long, String)] =
+      SnapshotStore.joinView(spark, aDir, "ok", bDir, "ck", "ck")
+        .select($"ok", $"ck", $"amt", $"seg")
+        .as[(Long, Long, Long, String)].collect().toSet
+    def viewRows(v: org.apache.spark.sql.DataFrame) =
+      v.select($"ok", $"ck", $"amt", $"seg")
+        .as[(Long, Long, Long, String)].collect().toSet
+
+    val v0 = SnapshotStore.joinView(spark, aDir, "ok", bDir, "ck", "ck")
+      .persist()
+    assert(viewRows(v0) == recompute() && viewRows(v0).nonEmpty)
+
+    // FACT churn: update ok=3's amount, insert ok=100, delete ok=5
+    SnapshotStore.upsertVersion(spark,
+      Seq((3L, 3L % 7, 999L, "u"), (100L, 2L, 123L, "u"),
+        (5L, 5L % 7, 0L, "d")).toDF("ok", "ck", "amt", "_op"),
+      "ok", None, aDir, version = 1L, opCol = Some("_op"))
+    val v1 = SnapshotStore.maintainJoin(spark, aDir, "ok", 0L, 1L,
+      bDir, "ck", "ck", v0, "_ab", "_bb").persist()
+    assert(viewRows(v1) == recompute())
+    assert(viewRows(v1).exists(r => r._1 == 3L && r._3 == 999L))
+    assert(!viewRows(v1).exists(_._1 == 5L))
+
+    // DIM churn: rename seg2, delete ck=6 (all its facts drop out)
+    SnapshotStore.upsertVersion(spark,
+      Seq((2L, "SEG2!", "u"), (6L, "x", "d")).toDF("ck", "seg", "_op"),
+      "ck", None, bDir, version = 1L, opCol = Some("_op"))
+    val v2 = SnapshotStore.maintainJoin(spark, bDir, "ck", 0L, 1L,
+      aDir, "ok", "ck", v1, "_bb", "_ab")
+    assert(viewRows(v2) == recompute())
+    assert(viewRows(v2).exists(_._4 == "SEG2!"))
+    assert(!viewRows(v2).exists(_._2 == 6L))
+    v0.unpersist(); v1.unpersist()
+  }
+
   test("a version colliding BELOW the committed head fails loudly") {
     // a reset checkpoint replaying old batch ids against a surviving
     // snapshot dir must error, not silently discard the batches
