@@ -248,6 +248,45 @@ object Extras extends QueryModule {
         ORDER BY o_orderkey
       """)),
 
+    // ───── rolling exact median over a 5-row frame ─────
+    // Order statistics over a sliding frame — the robust-smoothing
+    // companion to win_moving_avg's mean. No engine has a native
+    // rolling exact median, but both can COLLECT the frame (≤5 values
+    // — per-row state is the frame, a plan constant) and pick the
+    // sorted middle; the LOWER median ((n+1) DIV 2, 1-based) makes
+    // even-sized leading frames deterministic. Values are only sorted
+    // and selected, never added, so doubles compare exactly. One
+    // shuffle on the user key, one ordered scan.
+    GraftQuery(
+      "win_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(-4, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .withColumn("frame", collect_list(col("value")).over(w))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            expr("array_sort(frame)[cast((size(frame) + 1) div 2 as int) - 1]")
+              .as("med5"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+          FROM events),
+        f AS (
+          SELECT event_id, user_id, ts_us,
+                 list(value) OVER (PARTITION BY user_id
+                   ORDER BY ts_us ASC, event_id ASC
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS frame
+          FROM e)
+        SELECT event_id, user_id, ts_us,
+               list_sort(frame)[CAST((len(frame) + 1) // 2 AS INTEGER)] AS med5
+        FROM f ORDER BY event_id
+      """)),
+
     // ───── RANGE-interval frame: trailing 1-hour sum per user ─────
     // The VALUE-based window frame (RANGE BETWEEN n PRECEDING), distinct
     // from the row-count frames above: the frame holds every event

@@ -319,6 +319,58 @@ object Graph extends QueryModule {
         SELECT node AS part, pr FROM r3 ORDER BY part
       """)),
 
+    // ───── one message-passing round: neighbor feature aggregation ─────
+    // The GraphSAGE/GCN layer shape on an engine: every node aggregates
+    // its in-neighbors' feature (here the part's total shipped
+    // quantity, integer cents) into (count, sum, integer mean) — ONE
+    // join shuffle (features × edges on the source id) + one
+    // aggregation on the destination id, the exact dataflow a
+    // distributed GNN featurizer runs per layer; stacking L layers = L
+    // such rounds. All-integer, so the round is bit-exact on any
+    // engine or partitioning. At 100 TB the edge frame is the big
+    // side and shuffles once per layer on its join key; features are
+    // O(nodes) and move with map-side combine.
+    GraftQuery(
+      "graph_neighbor_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_quantity"))
+        val a = li.toDF("ok", "ln", "u", "q")
+        val b = li.toDF("ok2", "ln2", "v", "qv")
+        val adj = a.join(b,
+            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
+              a("u") =!= b("v"))
+          .select(col("u"), col("v"))
+        val feat = li.groupBy(col("l_partkey").as("node"))
+          .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)")
+            .as("f"))
+        adj.join(feat, adj("u") === feat("node"))
+          .groupBy(col("v").as("part"))
+          .agg(count(lit(1)).as("n_in"), sum(col("f")).as("sum_in"))
+          .select(col("part"), col("n_in"), col("sum_in"),
+            expr("sum_in DIV n_in").as("mean_in"))
+          .orderBy(col("part"))
+      },
+      Some("""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        feat AS (
+          SELECT l_partkey AS node,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS f
+          FROM lineitem GROUP BY l_partkey)
+        SELECT adj.v AS part, COUNT(*) AS n_in,
+               CAST(SUM(feat.f) AS BIGINT) AS sum_in,
+               CAST(SUM(feat.f) AS BIGINT) // COUNT(*) AS mean_in
+        FROM adj JOIN feat ON feat.node = adj.u
+        GROUP BY adj.v ORDER BY part
+      """)),
+
     // ───── native recursive CTE: per-order chain walk ─────
     // Spark 4.1 DOES run WITH RECURSIVE … UNION ALL (what it cannot run
     // is UNION-distinct recursion — the cycle-termination form the

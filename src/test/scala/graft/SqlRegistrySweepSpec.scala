@@ -38,6 +38,7 @@ class SqlRegistrySweepSpec extends SparkSpec {
     "list_contains"      -> "array_contains",
     "list_max"           -> "array_max",
     "list_min"           -> "array_min",
+    "list"               -> "collect_list",
     "array_to_string"    -> "array_join",
     "json_extract_string" -> "get_json_object",
     "unnest"             -> "explode",
