@@ -390,10 +390,13 @@ object Graph extends QueryModule {
       "graph_chain_walk",
       (s, d) => {
         // staged once: every recursion level joins the frontier against
-        // this view, and without the cache each level re-scans parquet
+        // this view, and without the cache each level re-scans parquet.
+        // A PRIVATE view name — replacing the catalog's `lineitem` view
+        // with this 3-column projection would silently narrow the table
+        // for every later literal-SQL consumer in the same session
         Materialize.stage(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
-          .createOrReplaceTempView("lineitem")
+          .createOrReplaceTempView("graft_walk_lineitem")
         // the default recursion ROW limit (1M accumulated rows) is a
         // debugging guard, not a scale bound — the walk's total row
         // count is exactly |lineitem|, so size the limit to the data
@@ -404,12 +407,12 @@ object Graph extends QueryModule {
             SELECT l_orderkey AS o_orderkey, l_linenumber,
                    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
                      AS cum_qty_cents
-            FROM lineitem WHERE l_linenumber = 1
+            FROM graft_walk_lineitem WHERE l_linenumber = 1
             UNION ALL
             SELECT w.o_orderkey, l.l_linenumber,
                    w.cum_qty_cents +
                      CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
-            FROM walk w JOIN lineitem l
+            FROM walk w JOIN graft_walk_lineitem l
               ON l.l_orderkey = w.o_orderkey
              AND l.l_linenumber = w.l_linenumber + 1)
           SELECT o_orderkey, l_linenumber, cum_qty_cents
