@@ -378,6 +378,60 @@ object Analytics extends QueryModule {
         FROM customer ORDER BY c_custkey
       """)),
 
+    // ───── exact discrete quartiles (p25/p50/p75) per group ─────
+    // The exact counterpart of agg_approx_quantile for when the SLA
+    // says "the real p99, not an estimate": discrete quantile = the
+    // value at 1-based rank ceil(q·n) under a total order. Ranks are
+    // exact integers, values are PICKED (never summed), so the result
+    // is engine-identical. One shuffle on the group key; the per-group
+    // sort is the inherent cost of exact order statistics (that cost
+    // is exactly why agg_approx_quantile exists for the common case).
+    GraftQuery(
+      "agg_quartiles_exact",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val ranked = Tables.orders(s, d)
+          .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("o_orderstatus"))))
+        ranked
+          .filter(col("rn") === expr("CAST(ceil(0.25 * n) AS BIGINT)") ||
+            col("rn") === expr("CAST(ceil(0.50 * n) AS BIGINT)") ||
+            col("rn") === expr("CAST(ceil(0.75 * n) AS BIGINT)"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            min(when(col("rn") === expr("CAST(ceil(0.25 * n) AS BIGINT)"),
+              col("o_totalprice"))).as("p25"),
+            min(when(col("rn") === expr("CAST(ceil(0.50 * n) AS BIGINT)"),
+              col("o_totalprice"))).as("p50"),
+            min(when(col("rn") === expr("CAST(ceil(0.75 * n) AS BIGINT)"),
+              col("o_totalprice"))).as("p75"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT o_orderstatus, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM orders)
+        SELECT o_orderstatus,
+               MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                   THEN o_totalprice END) AS p25,
+               MIN(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                   THEN o_totalprice END) AS p50,
+               MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                   THEN o_totalprice END) AS p75
+        FROM ranked
+        WHERE rn = CAST(ceil(0.25 * n) AS BIGINT)
+           OR rn = CAST(ceil(0.50 * n) AS BIGINT)
+           OR rn = CAST(ceil(0.75 * n) AS BIGINT)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+      """)),
+
     // ───── ntile: equal-frequency quartile assignment ─────
     // Quartiles of order value within each status, summarized per
     // bucket. NTILE's distribution rule (first n mod k buckets get one

@@ -28,6 +28,9 @@ object Selection extends QueryModule {
   private val ChunkW = 32
   private val ChunkS = 24
 
+  /** Curation's token-estimate expression, inlined for the card's SQL. */
+  private val tokenEstimateSqlInline = Curation.tokenEstimateSql
+
   /** The chunk projection itself, shared verbatim by the registered
     * query and the STREAMING splitter (`StreamingPipeline.chunkedDocs`)
     * — a narrow stateless explode, so the exact same expression tree
@@ -270,6 +273,50 @@ object Selection extends QueryModule {
         CROSS JOIN tot
         ORDER BY lift DESC, x ASC, y ASC
         LIMIT 30
+      """)),
+
+    // ───── the dataset card: one-row corpus summary ─────
+    // The summary block a dataset release ships (HF dataset-card
+    // numbers): corpus size, source/language breadth, token volume,
+    // English share, and the exact-duplicate rate — in ONE aggregation
+    // pass (multiple COUNT DISTINCTs expand the scan like
+    // stats_profile; each partial is a counter). All-integer outputs
+    // (shares in ppm by integer division), so the card is bit-stable
+    // across engines and runs — a reproducibility statement, not just
+    // a convenience.
+    GraftQuery(
+      "curate_dataset_card",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"), Curation.tokenEstimate.as("n_toks"),
+            md5(col("text")).as("body"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_toks")).as("est_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum((col("lang") === "en").cast("long")).as("n_en"),
+            countDistinct(col("body")).as("n_unique_bodies"))
+          .select(col("n_docs"), col("n_sources"), col("n_langs"),
+            col("est_tokens"), col("n_chars"),
+            expr("(n_en * 1000000L) DIV n_docs").as("en_ppm"),
+            (col("n_docs") - col("n_unique_bodies")).as("n_exact_dups"),
+            expr("((n_docs - n_unique_bodies) * 1000000L) DIV n_docs")
+              .as("dup_ppm")),
+      Some(s"""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM($tokenEstimateSqlInline) AS BIGINT) AS est_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000)
+                 // COUNT(*) AS BIGINT) AS en_ppm,
+               COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups,
+               CAST(((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000)
+                 // COUNT(*) AS BIGINT) AS dup_ppm
+        FROM documents
       """)),
 
     // ───── int8 scalar quantization of embeddings ─────
