@@ -29,6 +29,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // recursion accumulates exactly the data it walks (graph_chain_walk's
+      // total is |lineitem|), so the 1M-row debug default trips on real
+      // data scales; sized here ONCE as the engine-wide bound rather than
+      // mutated per-query (a per-query set would leak — the conf is read
+      // lazily at execution, after any try/finally restore)
+      .config("spark.sql.cteRecursionRowLimit", "2000000000")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

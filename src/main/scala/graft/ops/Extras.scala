@@ -401,10 +401,14 @@ object Extras extends QueryModule {
     GraftQuery(
       "stats_chisq_sources",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        val corpus = toks.groupBy(col("tok"))
-          .agg(count(lit(1)).as("ct"))
+        // staged: three aggregations (corpus counts, per-source totals,
+        // per-source top-token counts) consume this explode — unstaged,
+        // the most expensive pass (the body explode) would run three
+        // times; `corpus` likewise feeds its total AND the top-50 heap
+        val toks = graft.Materialize.stage(Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok")))
+        val corpus = graft.Materialize.stage(toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("ct")))
         val corpusTot = corpus.agg(sum(col("ct")).as("t")) // 1 row
         val top = corpus
           .orderBy(col("ct").desc, col("tok").asc).limit(50)

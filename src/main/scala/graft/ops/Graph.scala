@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{GraftQuery, Materialize, QueryModule, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph traversal — the general recursive-query surface.
@@ -215,6 +215,27 @@ object Graph extends QueryModule {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+
+  /** The co-line adjacency every registered graph query walks: parts on
+    * ADJACENT lines of the same order (sparser than all-pairs
+    * co-purchase, whose edge count is Σ k² per order). One definition —
+    * the ln+1 window and the u ≠ v guard live HERE only; `weighted`
+    * adds the destination line's quantity as an integer edge weight.
+    */
+  private def coLineAdj(s: SparkSession, d: String,
+                        weighted: Boolean = false): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+    val a = li.toDF("ok", "ln", "u", "q")
+    val b = li.toDF("ok2", "ln2", "v", "qv")
+    val adj = a.join(b,
+      a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
+        a("u") =!= b("v"))
+    if (weighted) adj.select(col("u"), col("v"), col("qv").cast("long").as("w"))
+    else adj.select(col("u"), col("v"))
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
 
     // ───── bounded reachability over a derived co-line graph ─────
@@ -227,16 +248,10 @@ object Graph extends QueryModule {
     GraftQuery(
       "graph_reach",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val a = li.toDF("ok", "ln", "u")
-        val b = li.toDF("ok2", "ln2", "v")
-        val adj = a.join(b,
-            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
-              a("u") =!= b("v"))
-          .select(col("u"), col("v"))
+        val adj = coLineAdj(s, d)
         val undirected = adj.union(adj.select(col("v").as("u"), col("u").as("v")))
-        val seeds = li.agg(min(col("l_partkey")).as("node"))
+        val seeds = Tables.lineitem(s, d)
+          .agg(min(col("l_partkey")).as("node"))
         bfs(undirected, seeds, maxHops = 4)
           .select(col("node").as("part"), col("hops"))
           .orderBy(col("part"))
@@ -271,14 +286,7 @@ object Graph extends QueryModule {
     GraftQuery(
       "graph_pagerank",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val a = li.toDF("ok", "ln", "u")
-        val b = li.toDF("ok2", "ln2", "v")
-        val adj = a.join(b,
-            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
-              a("u") =!= b("v"))
-          .select(col("u"), col("v"))
+        val adj = coLineAdj(s, d)
         pagerank(adj, iters = 3)
           .select(col("node").as("part"), col("pr"))
           .orderBy(col("part"))
@@ -333,16 +341,9 @@ object Graph extends QueryModule {
     GraftQuery(
       "graph_neighbor_agg",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-            col("l_quantity"))
-        val a = li.toDF("ok", "ln", "u", "q")
-        val b = li.toDF("ok2", "ln2", "v", "qv")
-        val adj = a.join(b,
-            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
-              a("u") =!= b("v"))
-          .select(col("u"), col("v"))
-        val feat = li.groupBy(col("l_partkey").as("node"))
+        val adj = coLineAdj(s, d)
+        val feat = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("node"))
           .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)")
             .as("f"))
         adj.join(feat, adj("u") === feat("node"))
@@ -397,11 +398,9 @@ object Graph extends QueryModule {
         Materialize.stage(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
           .createOrReplaceTempView("graft_walk_lineitem")
-        // the default recursion ROW limit (1M accumulated rows) is a
-        // debugging guard, not a scale bound — the walk's total row
-        // count is exactly |lineitem|, so size the limit to the data
-        // (hit at 10× sf0.1 already; correctness is unaffected)
-        s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+        // the recursion ROW limit is sized engine-wide in GraftSession
+        // (the 1M debug default trips at 10× sf0.1 already; a per-query
+        // conf.set would leak to the shared session)
         s.sql("""
           WITH RECURSIVE walk AS (
             SELECT l_orderkey AS o_orderkey, l_linenumber,
@@ -449,16 +448,9 @@ object Graph extends QueryModule {
     GraftQuery(
       "graph_sssp",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-            col("l_quantity"))
-        val a = li.toDF("ok", "ln", "u", "q")
-        val b = li.toDF("ok2", "ln2", "v", "qv")
-        val adj = a.join(b,
-            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
-              a("u") =!= b("v"))
-          .select(col("u"), col("v"), col("qv").cast("long").as("w"))
-        val seeds = li.agg(min(col("l_partkey")).as("node"))
+        val adj = coLineAdj(s, d, weighted = true)
+        val seeds = Tables.lineitem(s, d)
+          .agg(min(col("l_partkey")).as("node"))
         sssp(adj, seeds, rounds = 3)
           .select(col("node").as("part"), col("dist"))
           .orderBy(col("part"))
@@ -501,14 +493,7 @@ object Graph extends QueryModule {
     GraftQuery(
       "graph_triangles",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        val a = li.toDF("ok", "ln", "u")
-        val b = li.toDF("ok2", "ln2", "v")
-        val adj = a.join(b,
-            a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
-              a("u") =!= b("v"))
-          .select(col("u"), col("v"))
+        val adj = coLineAdj(s, d)
         triangles(adj)
           .select(col("node").as("part"), col("triangles"))
           .orderBy(col("part"))

@@ -274,18 +274,18 @@ object SearchIndex extends QueryModule {
         build(s, chunks, dir)
         probe(s, dir, Seq("join", "filter", "group"))
       },
-      Some("""
+      Some(s"""
         WITH base AS (
           SELECT doc_id, string_split(text, ' ') AS toks,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
           FROM documents),
         chunks AS (
           SELECT doc_id * 1000000 + k AS doc_id,
-                 array_to_string(toks[k * 24 + 1 : k * 24 + 32], ' ') AS text
+                 array_to_string(toks[k * ${Selection.ChunkS} + 1 : k * ${Selection.ChunkS} + ${Selection.ChunkW}], ' ') AS text
           FROM (
             SELECT doc_id, toks, n,
-                   UNNEST(generate_series(0, CASE WHEN n <= 32 THEN 0
-                     ELSE (n - 32 + 23) // 24 END)) AS k
+                   UNNEST(generate_series(0, CASE WHEN n <= ${Selection.ChunkW} THEN 0
+                     ELSE (n - ${Selection.ChunkW} + ${Selection.ChunkS - 1}) // ${Selection.ChunkS} END)) AS k
             FROM base) c),
         t1 AS (
           SELECT doc_id, tok FROM (

@@ -25,8 +25,8 @@ object Selection extends QueryModule {
     * overlap so a fact straddling a boundary appears whole in one side).
     * Plan literals on both engines.
     */
-  private val ChunkW = 32
-  private val ChunkS = 24
+  private[ops] val ChunkW = 32
+  private[ops] val ChunkS = 24
 
   /** Curation's token-estimate expression, inlined for the card's SQL. */
   private val tokenEstimateSqlInline = Curation.tokenEstimateSql

@@ -34,9 +34,15 @@ def cmp_vals(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
-    if hasattr(a, "__len__") and hasattr(b, "__len__") and \
-            not isinstance(a, str) and not isinstance(b, str):
+    # sequence cells (DuckDB lists arrive as python lists, Spark arrays as
+    # numpy arrays) compare element-wise; dicts/sets must NOT take this
+    # branch — list(dict) is keys-only and would pass differing values
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)) or \
+            type(a).__name__ == "ndarray" or type(b).__name__ == "ndarray":
         return list(a) == list(b)
+    if isinstance(a, dict) or isinstance(b, dict):
+        return isinstance(a, dict) and isinstance(b, dict) and \
+            sorted(a.items()) == sorted(b.items())
     return a == b or str(a) == str(b)
 
 
