@@ -460,6 +460,75 @@ object Extras extends QueryModule {
         FROM ppm GROUP BY source ORDER BY source
       """)),
 
+    // ───── data expectations: the contract audit gate ─────
+    // The Great-Expectations-shaped validation suite as ONE query: each
+    // rule is a row (rule name, violation count, pass flag), so a
+    // pipeline gates a load on `bool_and(pass)` and keeps the full
+    // breakdown for the incident. Rules cover the contract classes a
+    // lake actually enforces: key uniqueness (dup count), referential
+    // integrity (orphan facts via anti join), domain checks (range,
+    // enum membership), and completeness (null rate). Scale: the
+    // rules share scans — uniqueness is one key-count agg, the orphan
+    // check one shuffled anti join; everything else folds into
+    // single-pass conditional counts at scan speed.
+    GraftQuery(
+      "stats_expectations",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val dupKeys = o.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("viol"))
+          .select(lit("orders_pk_unique").as("rule"), col("viol"))
+        val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"),
+            "left_anti")
+          .agg(count(lit(1)).as("viol"))
+          .select(lit("lineitem_fk_orders").as("rule"), col("viol"))
+        val scans = o.agg(
+            sum((col("o_totalprice") <= 0).cast("long")).as("price_pos"),
+            sum((!col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+              .as("status_enum"),
+            sum(col("o_orderdate").isNull.cast("long")).as("date_nn"))
+          .select(expr(
+            "stack(3, 'orders_price_positive', price_pos, " +
+              "'orders_status_enum', status_enum, " +
+              "'orders_date_not_null', date_nn) AS (rule, viol)"))
+        dupKeys.unionByName(orphans).unionByName(scans)
+          .select(col("rule"), coalesce(col("viol"), lit(0L)).as("viol"),
+            (coalesce(col("viol"), lit(0L)) === 0L).as("pass"))
+          .orderBy(col("rule"))
+      },
+      Some("""
+        WITH dup AS (
+          SELECT 'orders_pk_unique' AS rule,
+                 CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS viol
+          FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders
+                GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+        orph AS (
+          SELECT 'lineitem_fk_orders' AS rule, COUNT(*) AS viol
+          FROM lineitem WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders)),
+        scans AS (
+          SELECT 'orders_price_positive' AS rule,
+                 CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS viol
+          FROM orders
+          UNION ALL
+          SELECT 'orders_status_enum',
+                 CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                   THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'orders_date_not_null',
+                 CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT)
+          FROM orders)
+        SELECT rule, viol, viol = 0 AS pass FROM (
+          SELECT * FROM dup UNION ALL SELECT * FROM orph
+          UNION ALL SELECT * FROM scans)
+        ORDER BY rule
+      """)),
+
     // ───── column profiling: the data-quality scan every lake runs ─────
     // Per-column null count, exact distinct cardinality, and min/max in
     // ONE aggregation pass (multiple COUNT DISTINCTs expand the scan,
