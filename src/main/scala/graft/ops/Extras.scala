@@ -401,12 +401,14 @@ object Extras extends QueryModule {
     GraftQuery(
       "stats_chisq_sources",
       (s, d) => {
-        // staged: three aggregations (corpus counts, per-source totals,
-        // per-source top-token counts) consume this explode — unstaged,
-        // the most expensive pass (the body explode) would run three
-        // times; `corpus` likewise feeds its total AND the top-50 heap
-        val toks = graft.Materialize.stage(Tables.documents(s, d)
-          .select(col("source"), explode(split(col("text"), " ")).as("tok")))
+        // the explode itself is recomputed per consumer — measured A/B
+        // at 10×: caching the token ROWS costs as much memory-write as
+        // the narrow scan+split it saves (the three consumers' SHUFFLES
+        // are distinct aggregations either way). What IS shared work is
+        // `corpus` — the token-count aggregate feeds both its total and
+        // the top-50 heap — so that one is staged.
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         val corpus = graft.Materialize.stage(toks.groupBy(col("tok"))
           .agg(count(lit(1)).as("ct")))
         val corpusTot = corpus.agg(sum(col("ct")).as("t")) // 1 row
