@@ -301,9 +301,11 @@ object Selection extends QueryModule {
             countDistinct(col("body")).as("n_unique_bodies"))
           .select(col("n_docs"), col("n_sources"), col("n_langs"),
             col("est_tokens"), col("n_chars"),
-            expr("(n_en * 1000000L) DIV n_docs").as("en_ppm"),
+            expr("if(n_docs = 0, null, (n_en * 1000000L) DIV n_docs)")
+              .as("en_ppm"),
             (col("n_docs") - col("n_unique_bodies")).as("n_exact_dups"),
-            expr("((n_docs - n_unique_bodies) * 1000000L) DIV n_docs")
+            expr("""if(n_docs = 0, null,
+                    ((n_docs - n_unique_bodies) * 1000000L) DIV n_docs)""")
               .as("dup_ppm")),
       Some(s"""
         SELECT COUNT(*) AS n_docs,
@@ -311,11 +313,13 @@ object Selection extends QueryModule {
                COUNT(DISTINCT lang) AS n_langs,
                CAST(SUM($tokenEstimateSqlInline) AS BIGINT) AS est_tokens,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-               CAST((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000)
-                 // COUNT(*) AS BIGINT) AS en_ppm,
+               CAST(CASE WHEN COUNT(*) = 0 THEN NULL ELSE
+                 (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000)
+                 // COUNT(*) END AS BIGINT) AS en_ppm,
                COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups,
-               CAST(((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000)
-                 // COUNT(*) AS BIGINT) AS dup_ppm
+               CAST(CASE WHEN COUNT(*) = 0 THEN NULL ELSE
+                 ((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000)
+                 // COUNT(*) END AS BIGINT) AS dup_ppm
         FROM documents
       """)),
 

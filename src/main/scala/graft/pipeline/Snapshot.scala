@@ -318,9 +318,20 @@ object SnapshotStore {
         merged.limit(0).write.mode("overwrite")
           .parquet(s"${versionDir(dir, version)}/${bucketDirName(b)}")
       }
+      // An EMPTY first commit (a store seeded ahead of its first data —
+      // the pattern streaming maintainers use to create the table) must
+      // still leave a READABLE snapshot: with zero owned buckets,
+      // readVersion would have no parquet paths and no schema. One
+      // zero-row schema-bearing bucket dir preserves both.
+      val owned =
+        if (head.isEmpty && touched.isEmpty) {
+          merged.limit(0).write.mode("overwrite")
+            .parquet(s"${versionDir(dir, version)}/${bucketDirName(0)}")
+          Set(0)
+        } else touched
       writeManifest(f, dir, version, Manifest(nBuckets,
         head.map(_.buckets).getOrElse(Map.empty) ++
-          touched.map(_ -> version)))
+          owned.map(_ -> version)))
       f.mkdirs(new Path(s"$dir/_commits"))
       f.create(markerPath(dir, version), false).close() // create-once: commit
       pruneData(spark, dir, retain)

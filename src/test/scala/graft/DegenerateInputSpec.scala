@@ -40,16 +40,29 @@ class DegenerateInputSpec extends SparkSpec {
     "curate_stratified_sample", "curate_token_budget", "curate_contamination",
     "curate_domain_mix", "curate_shard_plan", "curate_quality_gate",
     "curate_pipeline_e2e", "curate_pack_sequences",
-    "mm_binary_meta", "mm_decode_features", "mm_frame_sample", "mm_modality_stats")
+    "mm_binary_meta", "mm_decode_features", "mm_frame_sample", "mm_modality_stats",
+    "curate_split", "curate_global_index", "curate_importance_sample",
+    "text_chunk_windows", "text_collocations", "stats_chisq_sources",
+    "text_search_chunks")
 
   private val embQueries = Seq(
     "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",
-    "sim_ann_lsh", "sim_ann_ivf", "sim_topk_cosine")
+    "sim_ann_lsh", "sim_ann_ivf", "sim_topk_cosine",
+    "sim_quantize_int8", "sim_matryoshka_topk")
 
   for (name <- docQueries ++ embQueries)
     test(s"$name returns an empty result on an empty table, never throws") {
       assert(SparkEntry.queries(name)(spark, dir).count() === 0L)
     }
+
+  test("curate_dataset_card on an empty corpus reports zero counts, never throws") {
+    // global aggregates return ONE row on empty input by SQL semantics;
+    // the ppm ratios hit DIV 0 and must surface as NULL (honest
+    // undefined), not an exception
+    val row = SparkEntry.queries("curate_dataset_card")(spark, dir).head()
+    assert(row.getLong(row.fieldIndex("n_docs")) === 0L)
+    assert(row.isNullAt(row.fieldIndex("en_ppm")))
+  }
 
   test("text_tfidf honors spark.graft.tfidf.minDf (vocabulary cutoff knob)") {
     import org.apache.spark.sql.functions.{col, min}
