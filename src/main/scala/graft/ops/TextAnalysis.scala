@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +35,47 @@ object TextAnalysis extends QueryModule {
     "es" -> Seq("el", "la", "los", "y", "que"),
     "fr" -> Seq("le", "les", "et", "une", "dans"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  /** Documents with per-language stop-word scores and the argmax
+    * `pred_lang` — shared by `text_lang_id` (per-doc output) and
+    * `stats_confusion_matrix` (the aggregated eval view), so the
+    * heuristic has exactly one definition.
+    */
+  private def langScored(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+    val withScores = stop.foldLeft(scored) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang",
+        expr(s"size(filter(toks, t -> t IN ${inList(words)}))").cast("long"))
+    }
+    withScores.withColumn("pred_lang",
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+           col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+              col("s_de") >= col("s_zh"), "de")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh"))
+  }
+
+  /** SQL twins of `langScored`'s pieces — one definition each, shared
+    * by the text_lang_id and stats_confusion_matrix oracles.
+    */
+  private lazy val langScoredSql: String = s"""
+        scored AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("en"))})) AS BIGINT) AS s_en,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("de"))})) AS BIGINT) AS s_de,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("es"))})) AS BIGINT) AS s_es,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("fr"))})) AS BIGINT) AS s_fr,
+            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("zh"))})) AS BIGINT) AS s_zh
+          FROM documents)"""
+
+  private val langCaseSql: String = """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END"""
 
   private[ops] def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
@@ -92,49 +134,50 @@ object TextAnalysis extends QueryModule {
     // contract is the scoring semantics, which the oracle twins exactly.
     GraftQuery(
       "text_lang_id",
-      (s, d) => {
-        val scored = Tables.documents(s, d)
-          .withColumn("toks", split(col("text"), " "))
-        val withScores = stop.foldLeft(scored) { case (df, (lang, words)) =>
-          df.withColumn(s"s_$lang",
-            expr(s"size(filter(toks, t -> t IN ${inList(words)}))").cast("long"))
-        }
-        withScores
-          .withColumn("pred_lang",
-            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-                 col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
-              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
-                    col("s_de") >= col("s_zh"), "de")
-              .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
-              .when(col("s_fr") >= col("s_zh"), "fr")
-              .otherwise("zh"))
+      (s, d) =>
+        langScored(s, d)
           .select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"),
             col("s_fr"), col("s_zh"), col("pred_lang"), col("lang"),
             (col("pred_lang") === col("lang")).as("is_match"))
-          .orderBy(col("doc_id"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH $langScoredSql
+        SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+               $langCaseSql AS pred_lang,
+               lang,
+               $langCaseSql = lang AS is_match
+        FROM scored ORDER BY doc_id
+      """)),
+
+    // ───── the eval confusion matrix over the lang-id heuristic ─────
+    // The model-evaluation view every classifier ships with: actual ×
+    // predicted counts plus each cell's share of its actual-class row
+    // (recall lives on the diagonal), shares in integer ppm so the
+    // matrix is bit-stable. One narrow scoring projection (the SAME
+    // langScored definition as text_lang_id — the heuristic cannot
+    // drift between the per-doc and aggregated views), one tiny
+    // (actual, predicted) count shuffle, one window over the ≤25-row
+    // matrix.
+    GraftQuery(
+      "stats_confusion_matrix",
+      (s, d) => {
+        val m = langScored(s, d)
+          .groupBy(col("lang").as("actual"),
+            col("pred_lang").as("predicted"))
+          .agg(count(lit(1)).as("n"))
+        m.withColumn("row_ppm",
+            expr("n * 1000000L DIV sum(n) OVER (PARTITION BY actual)"))
+          .orderBy(col("actual"), col("predicted"))
       },
       Some(s"""
-        WITH scored AS (
-          SELECT doc_id, lang,
-            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("en"))})) AS BIGINT) AS s_en,
-            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("de"))})) AS BIGINT) AS s_de,
-            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("es"))})) AS BIGINT) AS s_es,
-            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("fr"))})) AS BIGINT) AS s_fr,
-            CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stop("zh"))})) AS BIGINT) AS s_zh
-          FROM documents)
-        SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
-               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                    WHEN s_fr >= s_zh THEN 'fr'
-                    ELSE 'zh' END AS pred_lang,
-               lang,
-               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                    WHEN s_fr >= s_zh THEN 'fr'
-                    ELSE 'zh' END = lang AS is_match
-        FROM scored ORDER BY doc_id
+        WITH $langScoredSql,
+        m AS (
+          SELECT lang AS actual, $langCaseSql AS predicted, COUNT(*) AS n
+          FROM scored GROUP BY 1, 2)
+        SELECT actual, predicted, n,
+               CAST(n * 1000000 // SUM(n) OVER (PARTITION BY actual)
+                 AS BIGINT) AS row_ppm
+        FROM m ORDER BY actual, predicted
       """)),
 
     // ───── rule-based content-domain tagging (feeds domain mixing) ─────
