@@ -286,11 +286,16 @@ object StreamingPipeline extends Serializable {
     * arrive (never early, never withheld forever). Eviction is the same
     * watermark bound; outer state costs nothing extra.
     *
-    * `full_outer` completes the family: unmatched VIEWS also emit once
-    * (null click columns) when the click-side watermark closes their
-    * window — the "view that converted nothing" record, the other half
-    * of funnel accounting. The emitted `user_id` coalesces across sides
-    * so outer rows from either side still carry their key.
+    * `full_outer` completes the outer family: unmatched VIEWS also emit
+    * once (null click columns) when the click-side watermark closes
+    * their window — the "view that converted nothing" record, the other
+    * half of funnel accounting. The emitted `user_id` coalesces across
+    * sides so outer rows from either side still carry their key.
+    *
+    * `left_semi` is the existence filter: clicks that had SOME view in
+    * their window, view payload never materialized — the state store
+    * can discard a view's columns the moment it proves existence, and
+    * the output schema is the click side alone.
     */
   def intervalJoined(clicks: DataFrame, views: DataFrame,
       watermark: String = "1 hour", maxGapMinutes: Long = 30,
@@ -301,13 +306,16 @@ object StreamingPipeline extends Serializable {
     val v = views.withWatermark("ts", watermark)
       .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
         col("ts").as("view_ts"))
-    c.join(v,
+    val joined = c.join(v,
         col("user_id") === col("view_user") &&
           col("click_ts") >= col("view_ts") &&
           col("click_ts") <= col("view_ts") +
             expr(s"INTERVAL $maxGapMinutes MINUTES"),
         joinType)
-      .select(col("click_id"),
+    if (joinType == "left_semi")
+      joined.select(col("click_id"), col("user_id"), col("click_ts"))
+    else
+      joined.select(col("click_id"),
         coalesce(col("user_id"), col("view_user")).as("user_id"),
         col("click_ts"), col("view_id"), col("view_ts"))
   }

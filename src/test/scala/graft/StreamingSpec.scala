@@ -312,6 +312,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT SEMI interval join keeps only clicks with a view in-window") {
+    val clicks = MemoryStream[(Long, Long, Long)](spark)
+    val views  = MemoryStream[(Long, Long, Long)](spark)
+    def typed(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("event_id", "ts_us", "user_id")
+        .select($"event_id", timestamp_micros($"ts_us").as("ts"), $"user_id")
+    val q = StreamingPipeline.intervalJoined(typed(clicks), typed(views),
+        joinType = "left_semi")
+      .writeStream.format("memory").queryName("clickview_semi")
+      .outputMode("append").start()
+    try {
+      val mu = 60L * 1000000L
+      val t0 = 86400L * 1000000L
+      views.addData((100L, t0, 1L))
+      q.processAllAvailable()
+      clicks.addData(
+        (200L, t0 + 10 * mu, 1L), // in-window view exists → kept
+        (201L, t0 + 50 * mu, 1L), // 50 min after → outside the gap
+        (202L, t0 + 5 * mu, 3L))  // no view at all
+      q.processAllAvailable()
+      val rows = spark.table("clickview_semi")
+        .select($"click_id").as[Long].collect().toSet
+      assert(rows === Set(200L))
+      // semi output is the click schema alone — no view payload columns
+      assert(spark.table("clickview_semi").columns.toSeq ==
+        Seq("click_id", "user_id", "click_ts"))
+    } finally q.stop()
+  }
+
   test("stream-static point-in-time enrichment picks the dim version valid at EVENT time") {
     // the SCD-2 history is a static lake table; a fact stream enriches
     // against the version whose validity interval covers the fact's
