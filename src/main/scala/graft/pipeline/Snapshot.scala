@@ -608,6 +608,12 @@ object SnapshotStore {
     * otherwise the full other side joins (the dim→fact direction is
     * inherently O(facts matching changed keys) — bucket the fact store
     * by the join column if that direction dominates your churn).
+    *
+    * CONTENT-bucketed other stores (written with `bucketCol`) place
+    * rows by an explicit id, not `hash(key)`, so the hash-derived
+    * prune here would read the WRONG buckets: pass an `otherKey`
+    * different from `joinCol` for those (full read) — their pruning
+    * seam is `readBuckets` with caller-known content ids.
     */
   def maintainJoin(spark: SparkSession,
                    churnDir: String, churnKey: String,
