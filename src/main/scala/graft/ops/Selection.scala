@@ -275,6 +275,53 @@ object Selection extends QueryModule {
         LIMIT 30
       """)),
 
+    // ───── vocabulary coverage: the tokenizer-budget curve ─────
+    // The question a tokenizer design answers first: how much of the
+    // corpus do the top-V token types cover? Top-200 types by
+    // occurrence count with cumulative coverage in integer ppm — the
+    // elbow of this curve sets the vocab budget, and OOV rate at any V
+    // reads off as 1e6 − cum_ppm. Exact integer math throughout (the
+    // running sum rides the ordered ≤200-row frame, not the corpus).
+    // Scale: one token-count shuffle with map-side combine, a
+    // TakeOrdered top-200 heap, a broadcast 1-row total; the window
+    // runs over 200 rows regardless of corpus size.
+    GraftQuery(
+      "text_vocab_coverage",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val tot = counts.agg(sum(col("c")).as("t")) // 1 row
+        val top = counts
+          .orderBy(col("c").desc, col("tok").asc).limit(200)
+        val w = Window.orderBy(col("c").desc, col("tok").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        top.crossJoin(broadcast(tot))
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("c").desc, col("tok").asc))
+              .cast("long"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .select(col("rank"), col("tok"), col("c"),
+            expr("cum * 1000000L DIV t").as("cum_ppm"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT tok, COUNT(*) AS c FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
+        top AS (
+          SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 200)
+        SELECT CAST(ROW_NUMBER() OVER ord AS BIGINT) AS rank, tok, c,
+               CAST(SUM(c) OVER (ORDER BY c DESC, tok ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1000000 // t AS BIGINT) AS cum_ppm
+        FROM top CROSS JOIN tot
+        WINDOW ord AS (ORDER BY c DESC, tok ASC)
+        ORDER BY rank
+      """)),
+
     // ───── the dataset card: one-row corpus summary ─────
     // The summary block a dataset release ships (HF dataset-card
     // numbers): corpus size, source/language breadth, token volume,

@@ -34,6 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_matryoshka_topk",
     // 50-row top-token frame + 1-row corpus total, both broadcast
     "stats_chisq_sources",
+    // 1-row corpus-total broadcast under the 200-row coverage frame
+    "text_vocab_coverage",
     // 1-row broadcast stats frames (corpus totals / budget scalars)
     "text_search_index", "text_search_chunks", "curate_mixture_epochs",
     "curate_global_shuffle")
