@@ -202,5 +202,11 @@ object Bench {
     println(line)
     spark.stop()
     println(line)
+    // Marker-prefixed copy as the VERY last stdout line: the driver's
+    // parser missed the bare JSON line two rounds running (sbt log
+    // framing interleaved with it); a unique prefix makes it greppable
+    // regardless of surrounding log noise. The bare line above is kept
+    // for any parser that expects the line to be pure JSON.
+    println("GRAFT_BENCH " + line)
   }
 }

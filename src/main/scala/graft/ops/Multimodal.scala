@@ -25,19 +25,45 @@ final case class MediaFeatures(
     n_frames: Long,
     sample_rate: Long)
 
+/** Features decoded from REAL media bytes by the genuine codecs below
+  * (P6 PPM, PCM WAV). Image fields are zero for audio and vice versa so
+  * both codecs share one columnar schema.
+  */
+final case class DecodedMedia(
+    doc_id: Long,
+    codec: String,
+    width: Long,
+    height: Long,
+    maxval: Long,
+    plane_r: Long,
+    plane_g: Long,
+    plane_b: Long,
+    sample_rate: Long,
+    n_samples: Long,
+    pcm_checksum: Long,
+    pcm_energy: Long)
+
 /** Multimodal-column support (SURVEY.md §2.8): image/audio/video payloads
   * modeled as opaque `binary` columns with typed metadata, plus the
   * decode / feature-extract / frame-sample plumbing a training-data
   * pipeline needs.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * DETERMINISTIC FAKE decoder (arithmetic over byte length and the first
-  * byte) — clearly marked below. Everything around it is real Spark
-  * plumbing: a typed `Dataset[MediaAsset]`, a `mapPartitions` decode with
-  * per-partition decoder initialization and bounded-size batches (the
-  * Scala analogue of `mapInPandas` arrow batches), and a columnar
-  * feature schema out. Swapping in a real codec changes only the body
-  * of `decodeStub`.
+  * Two decode tiers coexist:
+  *  - `decodeStub` is a DETERMINISTIC FAKE (arithmetic over byte length
+  *    and the first byte) standing in for heavyweight codecs (PNG/MP4)
+  *    this container doesn't ship; it exercises the plumbing contract.
+  *  - `decodePpm` / `decodeWav` are GENUINE decoders for two trivial
+  *    self-describing formats — binary P6 PPM (header tokenizer with
+  *    comment/whitespace handling, per-plane raster checksums) and PCM
+  *    RIFF/WAVE (chunk walker, fmt parse, little-endian sample math).
+  *    `mm_decode_real` stages real files on disk, ingests them through
+  *    the `binaryFile` on-ramp (same path as `src_binaryfile_ingest`),
+  *    sniffs the magic bytes, and decodes — so actual byte decoding
+  *    executes under the hash gate against a closed-form oracle.
+  * Both tiers share the real Spark plumbing: a typed Dataset, a
+  * `mapPartitions` decode with per-partition decoder initialization and
+  * bounded-size batches (the Scala analogue of `mapInPandas` arrow
+  * batches), and a columnar feature schema out.
   *
   * Scale notes (100 TB):
   *  - Blobs never shuffle: decode is a narrow mapPartitions directly on
@@ -96,6 +122,170 @@ object Multimodal extends QueryModule {
       n_frames = if (isVid) 1L + nBytes % 24 else if (isImg) 1L else 0L,
       sample_rate = if (isAud) 8000L + 100L * (first % 80) else 0L)
   }
+
+  // ───────────── real codecs: binary P6 PPM and PCM WAV ─────────────
+
+  /** Encode a real binary P6 PPM image. Dimensions derive from doc_id
+    * (w∈[4,16], h∈[3,9]); pixel byte i is (doc_id·131 + i·7) mod 256 so
+    * the oracle can state the per-plane checksums in closed form while
+    * the decoder still has to genuinely parse the header and raster.
+    * The `#`-comment line exercises the parser's comment handling.
+    */
+  private[graft] def ppmBytes(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 13).toInt
+    val h = (3 + docId % 7).toInt
+    val header = s"P6\n# graft synthetic asset $docId\n$w $h\n255\n"
+      .getBytes("US-ASCII")
+    val n = w * h * 3
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) {
+      out(header.length + i) = ((docId * 131 + i * 7) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Encode a real 16-bit PCM mono RIFF/WAVE file. Sample i is
+    * ((doc_id·7 + i·13) mod 65536) − 32768 — again closed-form for the
+    * oracle, real little-endian bytes for the decoder.
+    */
+  private[graft] def wavBytes(docId: Long): Array[Byte] = {
+    val sr = (8000 + (docId % 8) * 1000).toInt
+    val n = (64 + docId % 100).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1)            // PCM
+    bb.putShort(1)            // mono
+    bb.putInt(sr)             // sample rate
+    bb.putInt(sr * 2)         // byte rate
+    bb.putShort(2)            // block align
+    bb.putShort(16)           // bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((docId * 7 + i * 13) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** GENUINE P6 PPM decoder: validates the magic, tokenizes the header
+    * (arbitrary whitespace, `#`-to-newline comments, per the netpbm
+    * spec), reads width/height/maxval, then walks the raster computing
+    * unsigned per-plane byte checksums. Works on any spec-compliant
+    * 8-bit P6 file, not just the synthetic ones above.
+    */
+  private[graft] def decodePpm(docId: Long, bytes: Array[Byte]): DecodedMedia = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      s"not a P6 PPM (doc $docId)")
+    var pos = 2
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    def nextInt(): Int = {
+      // skip whitespace and comments
+      var skipping = true
+      while (skipping) {
+        while (pos < bytes.length && isWs(bytes(pos))) pos += 1
+        if (pos < bytes.length && bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else skipping = false
+      }
+      var v = 0
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        s"malformed PPM header (doc $docId)")
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(maxval > 0 && maxval < 256, s"only 8-bit PPM supported (doc $docId)")
+    pos += 1 // exactly one whitespace byte separates header from raster
+    val n = w * h * 3
+    require(bytes.length - pos >= n, s"truncated PPM raster (doc $docId)")
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < n) {
+      val v = (bytes(pos + i) & 0xff).toLong
+      (i % 3: @annotation.switch) match {
+        case 0 => r += v
+        case 1 => g += v
+        case _ => b += v
+      }
+      i += 1
+    }
+    DecodedMedia(docId, "ppm", w, h, maxval, r, g, b, 0L, 0L, 0L, 0L)
+  }
+
+  /** GENUINE PCM WAV decoder: validates RIFF/WAVE magics, walks the
+    * chunk list (skipping unknown chunks with even-byte padding, per
+    * the RIFF spec), parses the fmt chunk (PCM, 16-bit required), and
+    * folds the data chunk into sample count / checksum / energy.
+    */
+  private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): DecodedMedia = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", s"not a RIFF file (doc $docId)")
+    bb.getInt // riff payload size (unused; chunk walk is bounds-checked)
+    require(fourCC() == "WAVE", s"not a WAVE file (doc $docId)")
+    var sampleRate = 0L; var channels = 0; var bits = 0
+    var nSamples = 0L; var checksum = 0L; var energy = 0L
+    var sawFmt = false; var sawData = false
+    while (bb.remaining >= 8) {
+      val id = fourCC(); val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining,
+        s"truncated $id chunk (doc $docId)")
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          val audioFormat = bb.getShort.toInt
+          require(audioFormat == 1, s"only PCM supported (doc $docId)")
+          channels = bb.getShort.toInt
+          sampleRate = bb.getInt.toLong
+          bb.getInt   // byte rate
+          bb.getShort // block align
+          bits = bb.getShort.toInt
+          require(bits == 16, s"only 16-bit PCM supported (doc $docId)")
+          bb.position(fmtEnd) // tolerate fmt extensions
+          sawFmt = true
+        case "data" =>
+          require(sawFmt, s"data chunk before fmt (doc $docId)")
+          nSamples = size / (2L * channels)
+          var i = 0L
+          while (i < nSamples * channels) {
+            val s = bb.getShort.toLong
+            checksum += s; energy += s * s
+            i += 1
+          }
+          if (size % 2 == 1) bb.get // RIFF even-byte padding
+          sawData = true
+        case _ =>
+          bb.position(bb.position() + size + (size % 2))
+      }
+    }
+    require(sawData, s"no data chunk (doc $docId)")
+    DecodedMedia(docId, "wav", 0L, 0L, 0L, 0L, 0L, 0L,
+      sampleRate, nSamples, checksum, energy)
+  }
+
+  /** Content sniffer: dispatch on magic bytes, never on metadata — a
+    * real ingest can't trust file extensions.
+    */
+  private[graft] def decodeMedia(docId: Long, bytes: Array[Byte]): DecodedMedia =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      decodePpm(docId, bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I'
+      && bytes(2) == 'F' && bytes(3) == 'F')
+      decodeWav(docId, bytes)
+    else sys.error(s"unrecognized media magic (doc $docId)")
 
   /** Batched decode: the mapPartitions plumbing around the stub. */
   def decodeFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
@@ -157,6 +347,103 @@ object Multimodal extends QueryModule {
                     THEN 8000 + 100 * (ascii(substr(text, 1, 1)) % 80)
                     ELSE 0 END AS sample_rate
         FROM documents ORDER BY doc_id
+      """)),
+
+    // ───── REAL decode: genuine PPM/WAV codecs over staged files ─────
+    // Stages one real media file per asset (even doc_id → binary P6
+    // PPM, odd → 16-bit PCM WAV), ingests the directory through the
+    // `binaryFile` on-ramp (the src_binaryfile_ingest path — bytes
+    // round-trip through the filesystem, so the decoder can share no
+    // state with the encoder), sniffs each file's magic, and decodes
+    // with the real parsers above. The oracle states the same features
+    // in closed form from the generation arithmetic; matching hashes
+    // prove the parse (header tokenization, chunk walk, endianness,
+    // plane interleave) is byte-correct. Corpus capped at doc_id < 200
+    // to match the one-file-per-record small-corpus layout of the
+    // binaryFile source; at scale blobs ride parquet binary columns
+    // and only the decode call sites change.
+    GraftQuery(
+      "mm_decode_real",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.pipeline.Sources.scratch(d, "mmreal_")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"))
+          .repartition(4)
+          .as[Long]
+          .foreachPartition { (ids: Iterator[Long]) =>
+            // executor-side file writes: each doc_id lands in exactly
+            // one partition, so no two tasks touch the same file; a
+            // retried task rewrites identical deterministic bytes
+            ids.foreach { id =>
+              val (ext, bytes) =
+                if (id % 2 == 0) ("ppm", ppmBytes(id)) else ("wav", wavBytes(id))
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$tmp/asset_$id.$ext"), bytes)
+            }
+          }
+        implicit val enc = org.apache.spark.sql.Encoders.product[DecodedMedia]
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "asset_*")
+          .load(tmp)
+          .select(
+            regexp_extract(col("path"), "asset_(\\d+)\\.", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            // per-partition decoder init would go here for stateful codecs
+            rows.grouped(BatchSize).flatMap(_.map { case (id, bytes) =>
+              decodeMedia(id, bytes)
+            })
+          }
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0),
+        img_k AS (
+          SELECT doc_id, w, h,
+                 UNNEST(generate_series(0, w * h * 3 - 1)) AS k
+          FROM img),
+        img_f AS (
+          SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+                 CAST(SUM(CASE WHEN k % 3 = 0
+                          THEN (doc_id * 131 + k * 7) % 256 ELSE 0 END) AS BIGINT) AS plane_r,
+                 CAST(SUM(CASE WHEN k % 3 = 1
+                          THEN (doc_id * 131 + k * 7) % 256 ELSE 0 END) AS BIGINT) AS plane_g,
+                 CAST(SUM(CASE WHEN k % 3 = 2
+                          THEN (doc_id * 131 + k * 7) % 256 ELSE 0 END) AS BIGINT) AS plane_b
+          FROM img_k GROUP BY doc_id),
+        wav AS (
+          SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS sr, 64 + doc_id % 100 AS n
+          FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1),
+        wav_k AS (
+          SELECT doc_id, sr, n,
+                 UNNEST(generate_series(0, n - 1)) AS i
+          FROM wav),
+        wav_f AS (
+          SELECT doc_id, MAX(sr) AS sample_rate, CAST(MAX(n) AS BIGINT) AS n_samples,
+                 CAST(SUM((doc_id * 7 + i * 13) % 65536 - 32768) AS BIGINT) AS pcm_checksum,
+                 CAST(SUM(((doc_id * 7 + i * 13) % 65536 - 32768)
+                        * ((doc_id * 7 + i * 13) % 65536 - 32768)) AS BIGINT) AS pcm_energy
+          FROM wav_k GROUP BY doc_id)
+        SELECT doc_id, 'ppm' AS codec,
+               CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+               CAST(255 AS BIGINT) AS maxval, plane_r, plane_g, plane_b,
+               CAST(0 AS BIGINT) AS sample_rate, CAST(0 AS BIGINT) AS n_samples,
+               CAST(0 AS BIGINT) AS pcm_checksum, CAST(0 AS BIGINT) AS pcm_energy
+        FROM img_f
+        UNION ALL
+        SELECT doc_id, 'wav' AS codec,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(sample_rate AS BIGINT), n_samples, pcm_checksum, pcm_energy
+        FROM wav_f
+        ORDER BY doc_id
       """)),
 
     // ───── per-modality feature statistics over decoded features ─────

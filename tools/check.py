@@ -39,7 +39,15 @@ def cmp_vals(a, b) -> bool:
     # branch — list(dict) is keys-only and would pass differing values
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)) or \
             type(a).__name__ == "ndarray" or type(b).__name__ == "ndarray":
-        return list(a) == list(b)
+        # recurse per element: built-in list equality would miss NaN==NaN
+        # inside array cells and raises on nested ndarrays (ambiguous
+        # truthiness); both sides must be sequences of equal length
+        try:
+            la, lb = list(a), list(b)
+        except TypeError:
+            return False
+        return len(la) == len(lb) and \
+            all(cmp_vals(x, y) for x, y in zip(la, lb))
     if isinstance(a, dict) or isinstance(b, dict):
         return isinstance(a, dict) and isinstance(b, dict) and \
             sorted(a.items()) == sorted(b.items())
