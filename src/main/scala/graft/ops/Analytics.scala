@@ -560,16 +560,19 @@ object Analytics extends QueryModule {
     // ───── exact-stats Pearson correlation ─────
     // corr(quantity, extendedprice) per return flag from the six
     // sufficient statistics. Same exactness strategy as agg_regression
-    // — integer-cent inputs, exact sums — with one escalation: Σy² of
-    // price cents overflows int64 at sf0.1 already (1e14 per row ×
-    // 6e5 rows), so the square sums ride 128-bit exact integers
-    // (DECIMAL(38,0) in Spark, HUGEINT in DuckDB — both exact, both
-    // cast to the same IEEE double at the end; at 100 TB Σy² ≈ 1e24,
-    // still 14 orders inside the 38-digit range). The final corr is
-    // one identical double expression tree over the exact stats; sqrt
-    // is IEEE-correctly-rounded on both JVMs and libm, so the value
-    // hash-matches. Scale: one partial-agg shuffle carrying 6 numbers
-    // per group.
+    // — integer-cent inputs, exact sums — with the headroom-limited
+    // sums escalated to 128-bit exact integers (DECIMAL(38,0) in
+    // Spark, HUGEINT in DuckDB — both exact, both cast to the same
+    // IEEE double at the end). Per-row products fit int64 (xy ≤ 5e10,
+    // x² ≤ 2.5e7, y² ≤ 1e14); it's their SUMS that outgrow it: Σy²
+    // already at sf0.1, and Σxy (~5e22), Σx² (~2.5e19), Σy (~1e19)
+    // within the ~1e12-row 100 TB regime — so all four ride 128-bit.
+    // Σx tops out near 5e15 at that scale and stays int64. At 100 TB
+    // the largest 128-bit sum ≈ 1e26, 12 orders inside the 38-digit
+    // range. The final corr is one identical double expression tree
+    // over the exact stats; sqrt is IEEE-correctly-rounded on both
+    // JVMs and libm, so the value hash-matches. Scale: one partial-agg
+    // shuffle carrying 6 numbers per group.
     GraftQuery(
       "stats_corr",
       (s, d) =>
@@ -579,9 +582,10 @@ object Analytics extends QueryModule {
             expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("yc"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
-            sum(col("xc") * col("yc")).as("sxy"),
-            sum(col("xc") * col("xc")).as("sxx"),
+            sum(col("xc")).as("sx"),
+            sum(col("yc").cast(DecimalType(38, 0))).as("sy"),
+            sum((col("xc") * col("yc")).cast(DecimalType(38, 0))).as("sxy"),
+            sum((col("xc") * col("xc")).cast(DecimalType(38, 0))).as("sxx"),
             sum(col("yc").cast(DecimalType(38, 0)) * col("yc")).as("syy_dec"))
           .select(col("l_returnflag"), col("n"),
             expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
@@ -600,9 +604,10 @@ object Analytics extends QueryModule {
           FROM lineitem),
         sums AS (
           SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
-                 CAST(SUM(xc * yc) AS BIGINT) AS sxy,
-                 CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+                 CAST(SUM(xc) AS BIGINT) AS sx,
+                 SUM(CAST(yc AS HUGEINT)) AS sy,
+                 SUM(CAST(xc * yc AS HUGEINT)) AS sxy,
+                 SUM(CAST(xc * xc AS HUGEINT)) AS sxx,
                  SUM(CAST(yc AS HUGEINT) * yc) AS syy_dec
           FROM pts GROUP BY l_returnflag)
         SELECT l_returnflag, n,

@@ -494,6 +494,125 @@ object Curation extends QueryModule {
                doc_id, source, CAST(epoch AS BIGINT) AS epoch
         FROM expanded
         ORDER BY shuffle_key, doc_id, epoch
+      """)),
+
+    // ───── the FULL corpus build: the training-data product, hash-pinned ─────
+    // curate_pipeline_e2e stops at the shard manifest; this is the whole
+    // thing a pretraining run consumes, one oracle row set: quality gate
+    // → exact dedup (train split only, doc_id % 20 <> 0) → bloom-membrane
+    // DECONTAMINATION against the eval suite (% 20 = 0) → per-source
+    // epoch repeat schedule → epoch-salted global shuffle key → PHYSICAL
+    // sharded write (one dir per leading shuffle-key hex digit) → read
+    // back THROUGH the layout. Every stage reuses its standalone query's
+    // exact definition (withGateReason/gateCtes, the dedup canon-min,
+    // grams/gramsSql, the mixture-epoch integer schedule, the md5 salt),
+    // so composed and standalone can never drift; the final ORDER BY
+    // shuffle_key is the actual training order. The shard column read
+    // back from DIRECTORY NAMES proves the physical layout encodes the
+    // plan. Plan shape at 100 TB: narrow gate, one hash shuffle (dedup),
+    // the bloom membrane filters posting rows AT THE SCAN before the
+    // exact-verify join, one token-sum shuffle (schedule), a narrow
+    // explode, and the sharded write's own partition shuffle — document
+    // bodies are scanned twice (gate, grams) and shuffled never.
+    GraftQuery(
+      "curate_corpus_build",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val gated = graft.Materialize.stage(
+          withGateReason(docs
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+            .select(col("doc_id"), col("source"),
+              md5(col("text")).as("text_hash"),
+              tokenEstimate.as("n_tokens"), col("reason")))
+        val survivors = gated
+          .filter(col("reason") === "keep" && col("doc_id") % 20 =!= 0)
+          .withColumn("canon_id", min(col("doc_id")).over(
+            Window.partitionBy(col("text_hash"))))
+          .filter(col("doc_id") === col("canon_id"))
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+        // decontamination membrane over the SURVIVORS' bodies only
+        val eval8 = grams(docs.filter(col("doc_id") % 20 === 0), 8)
+          .select(col("gram").as("eg")).distinct()
+        val view = s"graft_build_eval_${math.abs(d.hashCode)}"
+        eval8.select(xxhash64(col("eg")).as("g")).createOrReplaceTempView(view)
+        val survGrams = grams(
+          docs.select(col("doc_id"), col("text"))
+            .join(survivors.select(col("doc_id")), Seq("doc_id")), 8)
+        val contaminated = survGrams.filter(expr(
+            s"bloom_probe((SELECT bloom_build(g, 1048576, 6) FROM $view), xxhash64(gram))"))
+          .join(eval8, col("gram") === col("eg"))
+          .select(col("doc_id")).distinct()
+        val clean = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+        // per-source epoch schedule over the clean corpus (the
+        // curate_mixture_epochs math, budget 2× the CLEAN token total)
+        val bySrc = clean.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("t_src"))
+        val tot = clean.agg(sum(col("n_tokens")).as("t_tot"),
+          count_distinct(col("source")).as("n_sources"))
+        val expanded = clean
+          .join(bySrc, "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("n_epochs",
+            least(lit(4L), expr(
+              "((2 * t_tot) div n_sources + t_src - 1) div t_src")))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            explode(expr("sequence(1L, n_epochs)")).as("epoch"))
+          .withColumn("shuffle_key",
+            md5(concat_ws(":", col("doc_id"), col("epoch"))))
+          .withColumn("shard", substring(col("shuffle_key"), 1, 1))
+        val tmp = graft.pipeline.Sources.scratch(d, "corpus_")
+        expanded.repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+        s.read.parquet(tmp)
+          .select(col("shard").cast("string").as("shard"),
+            col("shuffle_key"), col("doc_id"), col("source"),
+            col("epoch"), col("n_tokens"))
+          .orderBy(col("shuffle_key"), col("doc_id"), col("epoch"))
+      },
+      Some(s"""
+        WITH $gateCtes,
+        kept AS (
+          SELECT d.doc_id, d.source, MD5(d.text) AS text_hash,
+                 $tokenEstimateSql AS n_tokens
+          FROM documents d JOIN g ON d.doc_id = g.doc_id
+          WHERE g.reason = 'keep' AND d.doc_id % 20 <> 0),
+        canon AS (
+          SELECT doc_id, source, n_tokens FROM (
+            SELECT doc_id, source, n_tokens,
+                   MIN(doc_id) OVER (PARTITION BY text_hash) AS canon_id
+            FROM kept) c
+          WHERE doc_id = canon_id),
+        ev AS (SELECT DISTINCT gram FROM
+               (${gramsSql("(SELECT * FROM documents WHERE doc_id % 20 = 0)", 8)}) g2),
+        surv_txt AS (
+          SELECT d.doc_id, d.text
+          FROM documents d JOIN canon c ON d.doc_id = c.doc_id),
+        contaminated AS (
+          SELECT DISTINCT t.doc_id
+          FROM (${gramsSql("surv_txt", 8)}) t JOIN ev USING (gram)),
+        clean AS (
+          SELECT c.doc_id, c.source, c.n_tokens
+          FROM canon c LEFT JOIN contaminated x ON c.doc_id = x.doc_id
+          WHERE x.doc_id IS NULL),
+        by_src AS (SELECT source, SUM(n_tokens) AS t_src
+                   FROM clean GROUP BY source),
+        tot AS (SELECT SUM(n_tokens) AS t_tot,
+                       COUNT(DISTINCT source) AS n_sources
+                FROM clean),
+        sched AS (
+          SELECT c.doc_id, c.source, c.n_tokens,
+                 CAST(LEAST(4, ((2 * tot.t_tot) // tot.n_sources + b.t_src - 1)
+                   // b.t_src) AS BIGINT) AS n_epochs
+          FROM clean c JOIN by_src b USING (source) CROSS JOIN tot),
+        expanded AS (
+          SELECT doc_id, source, n_tokens,
+                 UNNEST(generate_series(1, n_epochs)) AS epoch
+          FROM sched)
+        SELECT substr(md5(doc_id::VARCHAR || ':' || epoch::VARCHAR), 1, 1) AS shard,
+               md5(doc_id::VARCHAR || ':' || epoch::VARCHAR) AS shuffle_key,
+               doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens
+        FROM expanded
+        ORDER BY shuffle_key, doc_id, epoch
       """))
   )
 

@@ -256,7 +256,13 @@ object Extras extends QueryModule {
     // sorted middle; the LOWER median ((n+1) DIV 2, 1-based) makes
     // even-sized leading frames deterministic. Values are only sorted
     // and selected, never added, so doubles compare exactly. One
-    // shuffle on the user key, one ordered scan.
+    // shuffle on the user key, one ordered scan. NULL values are
+    // filtered explicitly on BOTH sides before framing: Spark's
+    // collect_list drops NULLs while DuckDB's list() keeps them (and
+    // list_sort collates them first), so without the filter the two
+    // engines would pick different middles on any NULL-bearing frame —
+    // the filter makes the median definition engine-independent instead
+    // of leaning on the generated data being non-null.
     GraftQuery(
       "win_rolling_median",
       (s, d) => {
@@ -264,6 +270,7 @@ object Extras extends QueryModule {
           .orderBy(col("ts_us").asc, col("event_id").asc)
           .rowsBetween(-4, Window.currentRow)
         Tables.events(s, d)
+          .filter(col("value").isNotNull)
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"), col("value"))
           .withColumn("frame", collect_list(col("value")).over(w))
@@ -275,7 +282,7 @@ object Extras extends QueryModule {
       Some("""
         WITH e AS (
           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
-          FROM events),
+          FROM events WHERE value IS NOT NULL),
         f AS (
           SELECT event_id, user_id, ts_us,
                  list(value) OVER (PARTITION BY user_id

@@ -133,7 +133,12 @@ object Selection extends QueryModule {
     // integer arithmetic, w(t) = 1e6·(target_count+1) DIV (corpus_count
     // +1), a doc's score the sum over its token OCCURRENCES, length-
     // normalized by integer division; every step is exact, so the
-    // selection is engine-independent. (Production DSIR hashes features
+    // selection is engine-independent. The 1e6·(tc+1) intermediate
+    // rides 128-bit (DECIMAL(38,0) / DuckDB's native HUGEINT sums):
+    // int64 would overflow once a token's target count passes ~9.2e12,
+    // inside the 100 TB regime. The quotient itself is ≤ 1e6 (tc ≤ sc
+    // always), so w and the per-doc score (≤ 1e6·doc_len ≈ 1e15 even
+    // for a 1e9-token doc) stay comfortably int64. (Production DSIR hashes features
     // into a fixed-width table to bound memory on a single machine; on
     // Spark the token shuffle IS the feature table, so exact word
     // features cost nothing extra and the dataflow is identical.)
@@ -152,7 +157,8 @@ object Selection extends QueryModule {
           .agg(count(lit(1)).as("sc"),
             sum(col("is_tgt").cast("long")).as("tc"))
           .select(col("tok"),
-            expr("(1000000L * (tc + 1)) DIV (sc + 1)").as("w"))
+            expr("(1000000L * CAST(tc + 1 AS DECIMAL(38,0))) DIV (sc + 1)")
+              .as("w"))
         toks.join(weights, Seq("tok"))
           .groupBy(col("doc_id"), col("source"))
           .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("score"))
@@ -168,7 +174,8 @@ object Selection extends QueryModule {
           FROM documents),
         weights AS (
           SELECT tok,
-                 (1000000 * (SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) + 1))
+                 (1000000 * (CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END)
+                               AS HUGEINT) + 1))
                    // (COUNT(*) + 1) AS w
           FROM toks GROUP BY tok)
         SELECT doc_id, source, COUNT(*) AS n_toks,

@@ -564,6 +564,172 @@ object Similarity extends QueryModule {
         ORDER BY vec_id
       """)),
 
+    // ───── self-validating ANN recall gate (learned quantizer coverage) ─────
+    // The learned-k-means IVF path is float-association-unstable, so its
+    // recall lives in specs (IvfRecallCurveSpec) — this query promotes it
+    // to the oracle surface with the agg_approx_* pattern: everything
+    // DETERMINISTIC is emitted as exact integers both engines must
+    // hash-match (per-nprobe seed-quantizer hits against the brute-force
+    // ground truth — the full recall@1 numerator, computed declaratively
+    // by the twin), while the learned path validates ITSELF in-row: each
+    // row asserts learned hits ≥ seed hits at equal nprobe (the measured
+    // ~1.3× dominance, SCALE.md §10) and ≥ an absolute floor — a recall
+    // regression flips a boolean and hash-mismatches the gate. Scale:
+    // ground truth is the exhaustive depth-K probe — brute force spelled
+    // as the cell EQUI-join (no cartesian anywhere, audit-clean),
+    // inherently n×n pairs because truth can't be pruned; at 100 TB the
+    // gate runs on a query sample. The measured paths share one ranked
+    // assignment each via an exploded nprobe column, so the whole gate
+    // is three cell joins.
+    GraftQuery(
+      "sim_ann_recall_gate",
+      (s, d) => {
+        val k = defaultIvfCells
+        val e = Materialize.stageEager(
+          normed(s, d).select(col("vec_id"), col("embedding"), col("nrm"))
+            .repartition(s.sparkContext.defaultParallelism, col("vec_id")))
+        // per-nprobe IVF top-1 under a given quantizer: one assignment
+        // (ranked to `depth` cells), candidates exploded over the given
+        // nprobe values, ties to lowest id. Probing depth = K is the
+        // EXHAUSTIVE search: every query meets every corpus vector
+        // exactly once through its primary cell, so the result is exact
+        // brute force expressed as the same cell EQUI-join (hash
+        // exchange on the cell key — no cartesian, no nested loop; the
+        // plan audit holds for the yardstick too). Cost is inherently
+        // n×n pairs — ground truth is the one thing that can't be
+        // pruned; at 100 TB the gate runs on a query SAMPLE, which
+        // changes only the filter feeding `qa`.
+        def ivfTop1(seeds: DataFrame, probes: Seq[Int],
+                    capped: Boolean): DataFrame = {
+          val depth = probes.max
+          val aw = Window.partitionBy(col("vec_id"))
+            .orderBy(col("c").desc, col("sid").asc)
+          val assign = e.crossJoin(broadcast(seeds))
+            .select(col("vec_id"), col("sid"),
+              (expr("vec_dot(embedding, semb)") / (col("nrm") * col("snrm")))
+                .as("c"))
+            .withColumn("rn", row_number().over(aw))
+            .filter(col("rn") <= depth)
+          val qa = e.join(assign, "vec_id")
+            .select(col("vec_id").as("va"), col("sid").as("cell"),
+              col("rn").as("arn"), col("embedding").as("ea"),
+              col("nrm").as("na"))
+          // the exhaustive yardstick stays UNcapped (capped-exact would
+          // silently under-count the truth if a cell ever outgrew the
+          // cap); the measured paths cap exactly like sim_ann_ivf
+          val cb0 = e.join(assign.filter(col("rn") === 1), "vec_id")
+            .select(col("vec_id").as("vb"), col("sid").as("cell2"),
+              col("embedding").as("eb"), col("nrm").as("nb"))
+          val cb =
+            if (!capped) cb0
+            else cb0
+              .withColumn("crn", row_number().over(
+                Window.partitionBy(col("cell2")).orderBy(col("vb").asc)))
+              .filter(col("crn") <= defaultIvfCellCap).drop("crn")
+          qa.join(cb, col("cell") === col("cell2") && col("va") =!= col("vb"))
+            .select(col("va"), col("arn"), col("vb"),
+              cosine("ea", "eb", "na", "nb"))
+            .select(col("va"), col("arn"), col("vb"), col("cosine"),
+              explode(array(probes.map(lit): _*)).as("nprobe"))
+            .filter(col("arn") <= col("nprobe"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("nprobe"), col("va"))
+                .orderBy(col("cosine").desc, col("vb").asc)))
+            .filter(col("rn") === 1)
+            .select(col("nprobe"), col("va"), col("vb").as("ann_id"))
+        }
+        val seeds = e
+          .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+          .limit(k)
+          .select(col("vec_id").as("sid"), col("embedding").as("semb"),
+            col("nrm").as("snrm"))
+        // ground truth: the exhaustive (depth = K, uncapped) probe
+        val exact = ivfTop1(seeds, Seq(k), capped = false)
+          .select(col("va"), col("ann_id").as("exact_nn"))
+        def hits(top1: DataFrame): DataFrame = top1
+          .join(exact, "va")
+          .groupBy(col("nprobe"))
+          .agg(sum(when(col("ann_id") === col("exact_nn"), 1L)
+            .otherwise(0L)).as("hits"))
+        val probes = Seq(1, 2, 4)
+        val seedHits = hits(ivfTop1(seeds, probes, capped = true))
+        val learnedHits =
+          hits(ivfTop1(kmeansCentroids(e, k, 5), probes, capped = true))
+            .select(col("nprobe"), col("hits").as("lhits"))
+        val n = e.select(count(lit(1)).as("n_queries"))
+        seedHits.join(learnedHits, "nprobe").crossJoin(broadcast(n))
+          .select(col("nprobe"), col("n_queries"),
+            col("hits").as("seed_hits"),
+            (col("lhits") >= col("hits")).as("learned_beats_seed"),
+            (col("lhits").cast("double") >=
+              expr("""CASE nprobe WHEN 1 THEN 0.15 WHEN 2 THEN 0.25
+                      ELSE 0.35 END""") * col("n_queries").cast("double"))
+              .as("learned_recall_ge_floor"))
+          .orderBy(col("nprobe"))
+      },
+      Some(s"""
+        WITH $normedSql,
+        seeds AS (
+          SELECT vec_id AS sid, embedding AS semb, nrm AS snrm
+          FROM e ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+          LIMIT $defaultIvfCells),
+        exact AS (
+          SELECT va, vb AS exact_nn FROM (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                     (list_reduce(list_transform(generate_series(1, 64),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                        (x, y) -> x + y) / (a.nrm * b.nrm)) DESC,
+                     b.vec_id ASC) AS rn
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id) t
+          WHERE rn = 1),
+        assign AS (
+          SELECT vec_id, sid, rn FROM (
+            SELECT e.vec_id, s.sid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     (list_reduce(list_transform(generate_series(1, 64),
+                        i -> e.embedding[i]::DOUBLE * s.semb[i]::DOUBLE),
+                        (x, y) -> x + y) / (e.nrm * s.snrm)) DESC,
+                     s.sid ASC) AS rn
+            FROM e CROSS JOIN seeds s) t
+          WHERE rn <= 4),
+        qa AS (
+          SELECT e.vec_id AS va, a.sid AS cell, a.rn AS arn,
+                 e.embedding AS ea, e.nrm AS na
+          FROM e JOIN assign a ON e.vec_id = a.vec_id),
+        cb AS (
+          SELECT vb, cell2, eb, nb FROM (
+            SELECT e.vec_id AS vb, a.sid AS cell2,
+                   e.embedding AS eb, e.nrm AS nb,
+                   ROW_NUMBER() OVER (PARTITION BY a.sid
+                                      ORDER BY e.vec_id ASC) AS crn
+            FROM e JOIN assign a ON e.vec_id = a.vec_id AND a.rn = 1) t
+          WHERE crn <= $defaultIvfCellCap),
+        np AS (SELECT UNNEST([1, 2, 4]) AS nprobe),
+        top1 AS (
+          SELECT nprobe, va, vb AS ann_id FROM (
+            SELECT np.nprobe, qa.va, cb.vb,
+                   ROW_NUMBER() OVER (PARTITION BY np.nprobe, qa.va ORDER BY
+                     (list_reduce(list_transform(generate_series(1, 64),
+                        i -> qa.ea[i]::DOUBLE * cb.eb[i]::DOUBLE),
+                        (x, y) -> x + y) / (qa.na * cb.nb)) DESC,
+                     cb.vb ASC) AS rn
+            FROM qa
+            JOIN cb ON qa.cell = cb.cell2 AND qa.va <> cb.vb
+            CROSS JOIN np
+            WHERE qa.arn <= np.nprobe) t
+          WHERE rn = 1),
+        sh AS (
+          SELECT t.nprobe,
+                 CAST(SUM(CASE WHEN t.ann_id = x.exact_nn THEN 1
+                          ELSE 0 END) AS BIGINT) AS seed_hits
+          FROM top1 t JOIN exact x ON t.va = x.va
+          GROUP BY t.nprobe)
+        SELECT sh.nprobe, (SELECT COUNT(*) FROM e) AS n_queries, sh.seed_hits,
+               TRUE AS learned_beats_seed, TRUE AS learned_recall_ge_floor
+        FROM sh ORDER BY sh.nprobe
+      """)),
+
     // ───── PQ ANN: product-quantized codes + asymmetric-distance scan ────
     // The PQ half of Jégou et al. 2011: the 64-dim embedding splits into
     // M = 4 subspaces of 16 dims; each subspace gets a 16-entry

@@ -216,24 +216,100 @@ object VectorIndex extends QueryModule {
 
   /** Incrementally add (or re-embed: same vec_id upserts) vectors.
     * O(delta + touched cells): assignment is a narrow broadcast map and
-    * the store rewrites only the cells the delta lands in.
+    * the store rewrites only the cells the delta lands in. `evolve`
+    * admits a delta carrying NEW metadata columns (a lang tag, a source
+    * id — the filtered-ANN pattern): the store null-fills old vintages
+    * via the same additive-evolution contract as `upsertVersion`, and
+    * the probe paths are unaffected because they project only the
+    * index's own columns.
     */
-  def ingest(s: SparkSession, vecs: DataFrame, dir: String): Unit =
+  def ingest(s: SparkSession, vecs: DataFrame, dir: String,
+             evolve: Boolean = false): Unit =
     ingestVersion(s, vecs, dir,
-      SnapshotStore.latestVersion(s, dir).map(_ + 1).getOrElse(0L))
+      SnapshotStore.latestVersion(s, dir).map(_ + 1).getOrElse(0L), evolve)
 
   /** `ingest` with an explicit version — the exactly-once seam for a
     * streaming writer (version = batchId; replays no-op on the marker).
     */
   def ingestVersion(s: SparkSession, vecs: DataFrame, dir: String,
-                    version: Long): Unit = {
+                    version: Long, evolve: Boolean = false): Unit = {
     val cents = readCentroids(s, dir)
     val k = cents.count().toInt
     val books = s.read.parquet(codebooksDir(dir))
     SnapshotStore.upsertVersion(s,
       encode(assign(vecs, cents, nprobe = 1).drop("rn"), books),
       key = "vec_id", seqCol = None, dir = dir, version = version,
-      bucketCol = Some("cell"), numBuckets = Some(k))
+      evolve = evolve, bucketCol = Some("cell"), numBuckets = Some(k))
+  }
+
+  // ─────────────── reindex policy (generation rollover) ───────────────
+
+  /** Mean cell occupancy of the committed index, from the store's own
+    * stats: total vectors (a parquet footer-metadata count — no data
+    * pages move) over the manifest's frozen cell count. This is the
+    * frozen-K health metric: as the corpus grows past K × cellCap the
+    * per-cell probe cap starts truncating candidates (recall decays,
+    * SCALE.md §10 measured 3.3× at 10×) — occupancy is the measurable
+    * proxy for that drift.
+    */
+  def meanOccupancy(s: SparkSession, dir: String): Double = {
+    val m = SnapshotStore.manifest(s, dir).getOrElse(
+      sys.error(s"no committed index at $dir"))
+    val n = SnapshotStore.read(s, dir).get.count()
+    n.toDouble / m.numBuckets
+  }
+
+  /** Reindex trigger: mean occupancy crossed `triggerFactor × cellCap`.
+    * At the default 0.8 the index signals before the cap actually
+    * truncates the average cell, while skewed hot cells (bounded by the
+    * same Σ cell² analysis as the ephemeral operator) ride the cap
+    * until the rebuild lands.
+    */
+  def needsReindex(s: SparkSession, dir: String,
+                   cellCap: Int = Similarity.defaultIvfCellCap,
+                   triggerFactor: Double = 0.8): Boolean =
+    meanOccupancy(s, dir) > triggerFactor * cellCap
+
+  /** Rebuild the index as a NEW GENERATION in `outDir`, re-training the
+    * coarse quantizer at K = ceil(n / targetCellSize) over the CURRENT
+    * corpus — the recovery for frozen-K drift. The old generation is
+    * never touched and stays serveable until the caller swaps probe
+    * traffic to `outDir` (the same generation pattern as
+    * `SnapshotStore.rebucket`; content-bucketed stores re-bucket through
+    * this builder, their placement rule being the quantizer itself).
+    * One full read → one bucketed write, by design. Returns the new K.
+    */
+  def reindex(s: SparkSession, dir: String, outDir: String,
+              targetCellSize: Int): Int = {
+    require(targetCellSize >= 1,
+      s"targetCellSize must be >= 1, got $targetCellSize")
+    val cur = SnapshotStore.read(s, dir).getOrElse(
+      sys.error(s"no committed index at $dir"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val n = cur.count()
+    val k = math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+    build(s, cur, outDir, k)
+    k
+  }
+
+  /** The measured auto-reindex policy: when mean occupancy crosses
+    * `triggerFactor × cellCap`, roll a new generation sized so occupancy
+    * RESETS to `targetFactor × cellCap` (trigger > target is the
+    * hysteresis — the corpus must grow trigger/target× again before the
+    * next rollover, so steady ingest produces O(log growth) rebuilds,
+    * not thrash). Returns the new generation's K, or None when the
+    * index is healthy (outDir untouched). Callers keep serving `dir`
+    * until Some(k) returns, then swap probes to `outDir`.
+    */
+  def maybeReindex(s: SparkSession, dir: String, outDir: String,
+                   cellCap: Int = Similarity.defaultIvfCellCap,
+                   triggerFactor: Double = 0.8,
+                   targetFactor: Double = 0.4): Option[Int] = {
+    require(targetFactor > 0 && targetFactor < triggerFactor,
+      s"need 0 < targetFactor < triggerFactor, got $targetFactor / $triggerFactor")
+    if (!needsReindex(s, dir, cellCap, triggerFactor)) None
+    else Some(reindex(s, dir, outDir,
+      targetCellSize = math.max(1, (targetFactor * cellCap).toInt)))
   }
 
   /** Nearest indexed neighbor (top-1, self excluded) for each query

@@ -47,8 +47,19 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, when}
   */
 object SnapshotStore {
 
-  /** Which version dir currently owns each bucket's rows. */
-  final case class Manifest(numBuckets: Int, buckets: Map[Int, Long])
+  /** Which version dir currently owns each bucket's rows. `mode`
+    * records HOW rows were placed — `hash:<key>` (the default
+    * hash-partitioned layout) or `content:<col>` (explicit content ids,
+    * e.g. IVF cells) — so read paths that assume hash placement
+    * (`lookupKey`, `maintainJoin`'s bucket prune) can verify it instead
+    * of trusting a doc-comment contract: before this was recorded, a
+    * caller hash-pruning a content-bucketed store silently read the
+    * wrong buckets and dropped rows. None only on manifests written
+    * before the field existed (readers treat that as "unknown" and take
+    * the unpruned path).
+    */
+  final case class Manifest(numBuckets: Int, buckets: Map[Int, Long],
+                            mode: Option[String] = None)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -103,10 +114,13 @@ object SnapshotStore {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     val n = lines.head.stripPrefix("buckets=").toInt
-    Manifest(n, lines.tail.filter(_.nonEmpty).map { l =>
-      val Array(b, ver) = l.split(",")
-      b.toInt -> ver.toLong
-    }.toMap)
+    val mode = lines.tail.find(_.startsWith("mode="))
+      .map(_.stripPrefix("mode="))
+    Manifest(n, lines.tail
+      .filter(l => l.nonEmpty && !l.startsWith("mode=")).map { l =>
+        val Array(b, ver) = l.split(",")
+        b.toInt -> ver.toLong
+      }.toMap, mode)
   }
 
   private def writeManifest(f: FileSystem, dir: String, v: Long,
@@ -114,7 +128,8 @@ object SnapshotStore {
     val out = f.create(manifestPath(dir, v), false)
     try out.write(
       (s"buckets=${m.numBuckets}" +:
-        m.buckets.toSeq.sortBy(_._1).map { case (b, ver) => s"$b,$ver" })
+        (m.mode.map(md => s"mode=$md").toSeq ++
+          m.buckets.toSeq.sortBy(_._1).map { case (b, ver) => s"$b,$ver" }))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -246,6 +261,16 @@ object SnapshotStore {
     // IVF cell count); once committed the manifest's count is law
     val nBuckets = head.map(_.numBuckets)
       .orElse(numBuckets).getOrElse(confBuckets(spark))
+    // placement mode is as much "law" as the bucket count: a delta
+    // placed by a different rule than the committed rows would merge
+    // against the wrong buckets and strand live rows
+    val mode = bucketCol.map(c => s"content:$c").getOrElse(s"hash:$key")
+    head.flatMap(_.mode).foreach { recorded =>
+      require(recorded == mode,
+        s"store at $dir is bucketed '$recorded' but this write places " +
+          s"'$mode' — placement is pinned at first commit (rebucket into " +
+          "a new generation to change it)")
+    }
     // explicit content bucket (e.g. IVF cell) or the default key hash;
     // a value outside [0, numBuckets) would land rows in a dir no
     // manifest tracks — fail the write, not the readers
@@ -331,7 +356,7 @@ object SnapshotStore {
         } else touched
       writeManifest(f, dir, version, Manifest(nBuckets,
         head.map(_.buckets).getOrElse(Map.empty) ++
-          owned.map(_ -> version)))
+          owned.map(_ -> version), Some(mode)))
       f.mkdirs(new Path(s"$dir/_commits"))
       f.create(markerPath(dir, version), false).close() // create-once: commit
       pruneData(spark, dir, retain)
@@ -349,6 +374,16 @@ object SnapshotStore {
   def lookupKey(spark: SparkSession, dir: String,
                 key: String, value: Any): Option[DataFrame] =
     manifest(spark, dir).map { m =>
+      // hash routing is only sound on a store hash-bucketed on THIS key;
+      // the manifest records the placement, so verify instead of trusting
+      // the caller (a content-bucketed store would route to a bucket that
+      // simply doesn't hold the key and report it absent)
+      m.mode.foreach { recorded =>
+        require(recorded == s"hash:$key",
+          s"lookupKey('$key') on a store bucketed '$recorded' — hash " +
+            "routing would read the wrong bucket; use readBuckets with " +
+            "content ids for content-bucketed stores")
+      }
       // the literal must hash under the key column's EXACT type (Murmur3
       // is type-sensitive: hash(5: int) != hash(5L)) — pull the type
       // from any bucket's footer, then route via a 1-row local eval
@@ -611,9 +646,13 @@ object SnapshotStore {
     *
     * CONTENT-bucketed other stores (written with `bucketCol`) place
     * rows by an explicit id, not `hash(key)`, so the hash-derived
-    * prune here would read the WRONG buckets: pass an `otherKey`
-    * different from `joinCol` for those (full read) — their pruning
-    * seam is `readBuckets` with caller-known content ids.
+    * prune would read the WRONG buckets. The other store's manifest
+    * records its placement mode, and the prune is taken ONLY when it
+    * confirms hash-bucketing on the join column — any other mode (or a
+    * pre-mode legacy manifest) falls back to the always-correct full
+    * read, so a mistaken `otherKey == joinCol` on a content-bucketed
+    * dim can no longer silently drop join rows. Content stores' own
+    * pruning seam is `readBuckets` with caller-known content ids.
     */
   def maintainJoin(spark: SparkSession,
                    churnDir: String, churnKey: String,
@@ -632,7 +671,7 @@ object SnapshotStore {
       case Some(rows) =>
         val nr = rows.withColumn(tagCol, bucketExpr(churnKey, m2.numBuckets))
         val other =
-          if (otherKey == joinCol) {
+          if (otherKey == joinCol && mO.mode.contains(s"hash:$otherKey")) {
             val touched = nr
               .select(bucketExpr(joinCol, mO.numBuckets).as("_tb"))
               .distinct().collect().map(_.getInt(0)).toSet
@@ -658,6 +697,11 @@ object SnapshotStore {
   def rebucket(spark: SparkSession, dir: String, outDir: String,
                key: String, newBuckets: Int): Unit = {
     require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    manifest(spark, dir).flatMap(_.mode).foreach { recorded =>
+      require(recorded == s"hash:$key",
+        s"rebucket('$key') on a store bucketed '$recorded' — content-" +
+          "bucketed stores re-bucket through their own builder")
+    }
     val cur = read(spark, dir).getOrElse(
       sys.error(s"no committed store at $dir"))
     upsertVersion(spark, cur, key, seqCol = None, outDir, version = 0L,

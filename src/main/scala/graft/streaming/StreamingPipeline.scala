@@ -648,20 +648,30 @@ object StreamingPipeline extends Serializable {
     * mid-stream would race the contract that placement is a pure
     * function of frozen centroids). Batch ids start at 0 but version 0
     * is the build commit, so batch b commits as version b + 1.
+    *
+    * A mid-stream SOURCE schema change (a restart whose feed gained
+    * columns) is absorbed by the fixed projection; to CARRY a new
+    * metadata column into the index (filtered ANN), restart with it in
+    * `carryCols` and `evolve = true` — old vintages null-fill, probes
+    * are unaffected.
     */
   def runAnnIndexIngest(
       spark: SparkSession,
       stream: DataFrame,
       indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      carryCols: Seq[String] = Nil,
+      evolve: Boolean = false): StreamingQuery =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val vecs = batch.select(col("vec_id"), col("embedding"),
-          expr("sqrt(vec_dot(embedding, embedding))").as("nrm"))
-        graft.ops.VectorIndex.ingestVersion(s, vecs, indexDir, batchId + 1)
+        val vecs = batch.select(col("vec_id") +: col("embedding") +:
+          expr("sqrt(vec_dot(embedding, embedding))").as("nrm") +:
+          carryCols.map(col): _*)
+        graft.ops.VectorIndex.ingestVersion(s, vecs, indexDir,
+          batchId + 1, evolve)
       }
       .start()
 

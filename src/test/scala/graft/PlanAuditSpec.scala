@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSpec {
     "ref_watermark_filter", "text_tfidf", "sim_topk_cosine",
     // K-row broadcast centroid / sub-codebook / lookup-table frames
     "curate_domain_mix", "sim_ann_ivf", "sim_ann_index", "sim_ann_pq",
-    "sim_ann_ivfpq",
+    "sim_ann_ivfpq", "sim_ann_recall_gate",
     // 1-row broadcast scalar frames (candidate array / total count /
     // stage counts / probe embedding) — the watermark-filter pattern,
     // not a data-path BNLJ

@@ -85,6 +85,40 @@ class SearchIndexSpec extends SparkSpec {
     assert(probeRows(dir) == probeRows(wantDir))
   }
 
+  test("mid-stream schema change: a widened CDC feed leaves the index correct") {
+    val dir  = scratchDir("si_evolve") + "/idx"
+    val ckpt = scratchDir("si_evolve_ckpt") + "/cp"
+    val land = scratchDir("si_evolve_land")
+
+    SearchIndex.build(spark, docs.filter(col("doc_id") % 4 === 0), dir)
+
+    // run 1: the original (doc_id, text) feed
+    docs.filter(col("doc_id") % 4 === 1)
+      .write.mode("overwrite").parquet(s"$land/b0")
+    graft.streaming.StreamingPipeline.runSearchIndexIngest(
+      spark,
+      spark.readStream.schema("doc_id BIGINT, text STRING")
+        .parquet(s"$land/*"), dir, ckpt).awaitTermination()
+
+    // the upstream feed gains columns (a lang tag, a source id);
+    // restart against the SAME checkpoint with the wider schema — the
+    // maintainer's fixed projection must absorb them and the index must
+    // converge to a fresh build over the union of texts
+    docs.filter(col("doc_id") % 4 >= 2)
+      .withColumn("lang", lit("en"))
+      .withColumn("src_id", col("doc_id") % 10)
+      .write.mode("overwrite").parquet(s"$land/b1")
+    graft.streaming.StreamingPipeline.runSearchIndexIngest(
+      spark,
+      spark.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, src_id BIGINT")
+        .parquet(s"$land/*"), dir, ckpt).awaitTermination()
+
+    val wantDir = scratchDir("si_evolve_want") + "/idx"
+    SearchIndex.build(spark, docs, wantDir)
+    assert(probeRows(dir) == probeRows(wantDir))
+  }
+
   test("streamed chunk-level index equals a batch build over batch chunks") {
     // docs stream → chunkedDocs (the streaming RAG splitter) → inverted
     // index keyed by chunk: the full retrieval-ingest composition. The

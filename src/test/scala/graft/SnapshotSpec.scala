@@ -155,6 +155,64 @@ class SnapshotSpec extends SparkSpec {
     v0.unpersist(); v1.unpersist()
   }
 
+  test("manifest records placement mode; hash-assuming paths verify it") {
+    val root = scratchDir("snap_mode")
+    val hashDir = s"$root/hash"; val contentDir = s"$root/content"
+    SnapshotStore.upsertVersion(spark,
+      (1L to 20L).map(i => (i, i * 10)).toDF("k", "v"),
+      "k", None, hashDir, version = 0L)
+    // content-bucketed dim whose bucket ids deliberately DISAGREE with
+    // hash(k): the exact store ADVICE flagged — a hash-derived prune
+    // would read the wrong buckets and drop join rows
+    SnapshotStore.upsertVersion(spark,
+      (0L to 6L).map(c => (c, s"seg$c", ((c + 3) % 7).toInt))
+        .toDF("ck", "seg", "cell"),
+      "ck", None, contentDir, version = 0L,
+      bucketCol = Some("cell"), numBuckets = Some(7))
+    assert(SnapshotStore.manifest(spark, hashDir).get.mode
+      === Some("hash:k"))
+    assert(SnapshotStore.manifest(spark, contentDir).get.mode
+      === Some("content:cell"))
+
+    // a delta placed under a DIFFERENT rule than the committed store
+    // must fail, not merge against the wrong buckets
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotStore.upsertVersion(spark,
+        Seq((1L, 11L)).toDF("k", "v"), "v", None, hashDir, version = 1L)
+    }
+    assert(e1.getMessage.contains("hash:k"))
+    // hash routing on a content-bucketed store must refuse
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.lookupKey(spark, contentDir, "ck", 3L)
+    }
+    assert(e2.getMessage.contains("content:cell"))
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotStore.rebucket(spark, contentDir, s"$root/g2", "ck", 4)
+    }
+    assert(e3.getMessage.contains("content:cell"))
+
+    // maintainJoin with otherKey == joinCol against the CONTENT store:
+    // before the mode check this took the wrong-bucket pruned read and
+    // silently dropped rows; now it must fall back to the full read and
+    // stay row-identical to a recompute
+    val facts = s"$root/facts"
+    SnapshotStore.upsertVersion(spark,
+      (1L to 40L).map(i => (i, i % 7, i * 10)).toDF("ok", "ck", "amt"),
+      "ok", None, facts, version = 0L)
+    val v0 = SnapshotStore.joinView(spark, facts, "ok", contentDir, "ck", "ck")
+    SnapshotStore.upsertVersion(spark,
+      Seq((3L, 3L, 999L), (100L, 2L, 123L)).toDF("ok", "ck", "amt"),
+      "ok", None, facts, version = 1L)
+    val v1 = SnapshotStore.maintainJoin(spark, facts, "ok", 0L, 1L,
+      contentDir, "ck", "ck", v0, "_ab", "_bb")
+    val expect = SnapshotStore.joinView(spark, facts, "ok", contentDir, "ck", "ck")
+      .select($"ok", $"ck", $"amt", $"seg")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val got = v1.select($"ok", $"ck", $"amt", $"seg")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expect && got.exists(r => r._1 == 3L && r._3 == 999L))
+  }
+
   test("a version colliding BELOW the committed head fails loudly") {
     // a reset checkpoint replaying old batch ids against a surviving
     // snapshot dir must error, not silently discard the batches

@@ -74,6 +74,8 @@ class SqlRegistrySweepSpec extends SparkSpec {
       t = t.replace("//", " div ")
       t = t.replaceAll("(?i)::VARCHAR", "::STRING")
       t = t.replaceAll("(?i)\\bAS VARCHAR\\b", "AS STRING")
+      // DuckDB's 128-bit integer ↔ Spark's exact 128-bit decimal
+      t = t.replaceAll("(?i)\\bAS HUGEINT\\b", "AS DECIMAL(38,0)")
       t = t.replaceAll("(?i)\\bapprox_quantile\\b", "approx_percentile")
       // IGNORE NULLS inside the call parens → Spark's boolean argument
       t.replaceAll("(?i) IGNORE NULLS\\)", ", true)")
@@ -213,9 +215,10 @@ class SqlRegistrySweepSpec extends SparkSpec {
         FROM lineitem),
       sums AS (
         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
-               CAST(SUM(xc * yc) AS BIGINT) AS sxy,
-               CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+               CAST(SUM(xc) AS BIGINT) AS sx,
+               SUM(CAST(yc AS DECIMAL(38,0))) AS sy,
+               SUM(CAST(xc * yc AS DECIMAL(38,0))) AS sxy,
+               SUM(CAST(xc * xc AS DECIMAL(38,0))) AS sxx,
                SUM(CAST(yc AS DECIMAL(38,0)) * yc) AS syy_dec
         FROM pts GROUP BY l_returnflag)
       SELECT l_returnflag, n,

@@ -96,6 +96,50 @@ class VectorIndexSpec extends SparkSpec {
       s"single-query probe should read exactly one cell dir, got $files")
   }
 
+  test("drifted index auto-reindexes into a generation matching a fresh build") {
+    val root = scratchDir("vx_reindex")
+    val g1 = s"$root/g1"; val g2 = s"$root/g2"; val fresh = s"$root/fresh"
+    val e = normed(sfTiny) // 500 vectors
+    // gen-1 frozen at K=2 over a quarter of the corpus, then 4× growth:
+    // mean occupancy 250 ≫ any sane cap — the frozen-K drift scenario
+    VectorIndex.build(spark, e.filter(pmod(col("vec_id"), lit(4)) === 0),
+      g1, k = 2)
+    VectorIndex.ingest(spark,
+      e.filter(pmod(col("vec_id"), lit(4)) =!= 0), g1)
+    assert(VectorIndex.meanOccupancy(spark, g1) === 250.0)
+
+    val cellCap = 20
+    assert(VectorIndex.needsReindex(spark, g1, cellCap))
+    // healthy index (cap far above occupancy): no rollover, outDir untouched
+    assert(VectorIndex.maybeReindex(spark, g1, g2, cellCap = 1000).isEmpty)
+    assert(SnapshotStore.latestVersion(spark, g2).isEmpty)
+
+    // drifted: roll generation 2, sized for 0.4 × cap occupancy
+    val k2 = VectorIndex.maybeReindex(spark, g1, g2, cellCap).get
+    assert(k2 === 63) // ceil(500 / (0.4 × 20))
+    // the old generation is untouched and stays serveable throughout
+    assert(SnapshotStore.read(spark, g1).get.count() === 500)
+    assert(VectorIndex.query(spark, e.limit(5), g1, cellCap = cellCap)
+      .count() === 5)
+
+    // convergence: the rolled generation IS a fresh one-shot build of the
+    // current corpus at the same K — same quantizer (md5 seed order is
+    // corpus-determined), same cell assignment, same probe answers, same
+    // probe cost (occupancy back under target, so the cap no longer
+    // truncates the average cell)
+    VectorIndex.build(spark, e, fresh, k2)
+    def contents(p: String): Set[(Long, Int)] =
+      SnapshotStore.read(spark, p).get
+        .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(contents(g2) === contents(fresh))
+    assert(VectorIndex.meanOccupancy(spark, g2) <= 0.4 * cellCap)
+    def probe(p: String): Set[(Long, Long)] =
+      VectorIndex.query(spark, e, p, cellCap = cellCap)
+        .select(col("vec_id"), col("ann_id")).as[(Long, Long)]
+        .collect().toSet
+    assert(probe(g2) === probe(fresh))
+  }
+
   test("streaming ingest commits exactly-once and converges to one-shot") {
     val e = normed(sfTiny)
     val base  = e.filter(pmod(col("vec_id"), lit(4)) =!= 3)
@@ -130,6 +174,64 @@ class VectorIndexSpec extends SparkSpec {
       SnapshotStore.read(spark, p).get.select(col("vec_id"), col("cell"))
         .as[(Long, Int)].collect().toSet
     assert(contents(dir) == contents(oneDir))
+  }
+
+  test("mid-stream schema change: wider feed absorbed; carried column evolves") {
+    val e = normed(sfTiny)
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val dir  = scratchDir("vx_evolve") + "/idx"
+    val ckpt = scratchDir("vx_evolve_ckpt") + "/cp"
+    val land = scratchDir("vx_evolve_land")
+    VectorIndex.build(spark, base, dir, k = 8)
+
+    // run 1: the original (vec_id, embedding) feed
+    Tables.embeddings(spark, sfTiny)
+      .filter(pmod(col("vec_id"), lit(4)) === 1)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$land/b0")
+    graft.streaming.StreamingPipeline.runAnnIndexIngest(
+      spark,
+      spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(s"$land/*"), dir, ckpt).awaitTermination()
+
+    // the feed gains a column; a restart WITHOUT carryCols ignores it
+    // (fixed projection — the index schema does not churn by accident)
+    Tables.embeddings(spark, sfTiny)
+      .filter(pmod(col("vec_id"), lit(4)) === 2)
+      .select(col("vec_id"), col("embedding"), lit("en").as("lang"))
+      .write.mode("overwrite").parquet(s"$land/b1")
+    def widened = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, lang STRING")
+      .parquet(s"$land/*")
+    graft.streaming.StreamingPipeline.runAnnIndexIngest(
+      spark, widened, dir, ckpt).awaitTermination()
+    assert(!SnapshotStore.read(spark, dir).get.columns.contains("lang"))
+
+    // a restart WITH carryCols + evolve lands the column: the new
+    // vintage carries values, old vintages null-fill on read
+    Tables.embeddings(spark, sfTiny)
+      .filter(pmod(col("vec_id"), lit(4)) === 3)
+      .select(col("vec_id"), col("embedding"), lit("de").as("lang"))
+      .write.mode("overwrite").parquet(s"$land/b2")
+    graft.streaming.StreamingPipeline.runAnnIndexIngest(
+      spark, widened, dir, ckpt,
+      carryCols = Seq("lang"), evolve = true).awaitTermination()
+    val all = SnapshotStore.read(spark, dir).get
+    assert(all.count() === 500)
+    assert(all.filter(col("lang") === "de").count() === 125)
+    assert(all.filter(col("lang").isNull).count() === 375)
+
+    // probes are unaffected by the evolution: identical to the one-shot
+    // index under the same frozen quantizer
+    val oneDir = scratchDir("vx_evolve_one") + "/idx"
+    VectorIndex.build(spark, e, oneDir, k = 8,
+      seeds = Some(VectorIndex.seedCentroids(base, 8)))
+    val q = e.filter(col("vec_id") < 50)
+    def probe(p: String): Set[(Long, Long)] =
+      VectorIndex.query(spark, q, p)
+        .select(col("vec_id"), col("ann_id")).as[(Long, Long)]
+        .collect().toSet
+    assert(probe(dir) === probe(oneDir))
   }
 
   test("ADC probe scans 4-byte codes, never the vectors") {
