@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NfcNormalize(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSignatures].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"minhash_sigs requires exactly 1 argument, got ${children.size}")
+        MinhashSignatures(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomFilterBuildAgg].getName, "bloom_build"),
       (children: Seq[Expression]) => children match {

@@ -561,8 +561,18 @@ object Curation extends QueryModule {
             md5(concat_ws(":", col("doc_id"), col("epoch"))))
           .withColumn("shard", substring(col("shuffle_key"), 1, 1))
         val tmp = graft.pipeline.Sources.scratch(d, "corpus_")
-        expanded.repartition(col("shard"))
-          .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+        // P3 empty-write guard, sink-shaped: partitionBy writes NO files
+        // for zero rows, which leaves the read-back unable to infer a
+        // schema (hit in practice: a corpus whose every doc fails the
+        // gate). Stage once, gate on emptiness, and land a zero-row
+        // schema-bearing file instead — the empty curated corpus is a
+        // legitimate result, not a crash.
+        val staged = graft.Materialize.stage(expanded)
+        if (staged.isEmpty)
+          staged.limit(0).write.mode("overwrite").parquet(tmp)
+        else
+          staged.repartition(col("shard"))
+            .write.mode("overwrite").partitionBy("shard").parquet(tmp)
         s.read.parquet(tmp)
           .select(col("shard").cast("string").as("shard"),
             col("shuffle_key"), col("doc_id"), col("source"),

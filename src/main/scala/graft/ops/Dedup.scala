@@ -139,12 +139,15 @@ object Dedup extends QueryModule {
     // spread the md5 work over all cores (batch path; a stream inherits
     // its source partitioning)
     val spread = par.fold(shingled)(shingled.repartition)
+    // minhash_sigs (graft.functions.MinhashSignatures): one native pass
+    // computing all 16 rotated-digest minima. Bit-identical to the
+    // nested-HOF spelling it replaced, but with a FIXED per-row cost:
+    // the interpreted HOF form re-evaluated the md5 map inside every
+    // rotation lambda whenever projection collapse inlined it (and the
+    // whole 16-min computation once per exploded band) — measured up to
+    // a 45× CPU cliff on the 40× scale corpus, run-to-run dependent.
     spread
-      .select(col("doc_id") +: c :+ expr("transform(shingles, s -> md5(s))").as("hs"): _*)
-      .select(col("doc_id") +: c :+ expr("""
-        transform(sequence(0, 15), i ->
-          array_min(transform(hs, h ->
-            concat(substring(h, 2*i + 1, 32), substring(h, 1, 2*i)))))""").as("mhs"): _*)
+      .select(col("doc_id") +: c :+ expr("minhash_sigs(shingles)").as("mhs"): _*)
       .select(col("doc_id") +: c :+ col("mhs") :+
         explode(expr("sequence(0, 3)")).as("band"): _*)
       .select(col("doc_id") +: c :+ col("band") :+

@@ -125,6 +125,34 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact, "banded candidates must recover every J>=0.8 pair here")
   }
 
+  test("native minhash_sigs is bit-identical to the nested-HOF spelling") {
+    // the expression replaced the interpreted HOF pipeline for a fixed
+    // per-row cost (StringExpressions scaladoc); this pins that the 16
+    // signature values — including empty-shingle-set nulls — are
+    // byte-for-byte what the HOF fold produced, on the real corpus plus
+    // degenerate rows
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfTiny).select($"doc_id", $"text")
+      .unionByName(Seq(
+        (90001L, "one"),            // no bigram: empty shingle set
+        (90002L, "a b"),            // single shingle
+        (90003L, "x y x y x y")     // repeated shingles collapse
+      ).toDF("doc_id", "text"))
+    val shingled = docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", array_distinct(expr(
+        """CASE WHEN size(toks) >= 2
+           THEN transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))
+           ELSE cast(array() as array<string>) END"""
+      )).as("shingles"))
+    val both = shingled.select($"doc_id",
+      expr("minhash_sigs(shingles)").as("native"),
+      expr("""transform(sequence(0, 15), i ->
+          array_min(transform(transform(shingles, s -> md5(s)), h ->
+            concat(substring(h, 2*i + 1, 32), substring(h, 1, 2*i)))))""").as("hof"))
+    assert(both.filter(not($"native" <=> $"hof")).count() === 0L)
+  }
+
   test("rotation-derived permutations: full recall on the driver corpus too") {
     // the 16 permutations share one digest (disjoint-leading-window
     // argument in Dedup.scala); this is the empirical guard that the

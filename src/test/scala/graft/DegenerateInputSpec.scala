@@ -41,14 +41,21 @@ class DegenerateInputSpec extends SparkSpec {
     "curate_domain_mix", "curate_shard_plan", "curate_quality_gate",
     "curate_pipeline_e2e", "curate_pack_sequences",
     "mm_binary_meta", "mm_decode_features", "mm_frame_sample", "mm_modality_stats",
+    "mm_decode_real",
     "curate_split", "curate_global_index", "curate_importance_sample",
     "text_chunk_windows", "text_collocations", "stats_chisq_sources",
-    "text_search_chunks")
+    "text_search_chunks",
+    // the full corpus build: an all-dropped gate (an empty curated
+    // corpus) must land a schema-bearing empty sink, not crash the
+    // read-back — hit for real on the 40× ScaleGen corpus, where every
+    // unsuffixed replica falls in the eval split and the stopword rule
+    // drops all suffixed train docs
+    "curate_corpus_build")
 
   private val embQueries = Seq(
     "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",
     "sim_ann_lsh", "sim_ann_ivf", "sim_topk_cosine",
-    "sim_quantize_int8", "sim_matryoshka_topk")
+    "sim_quantize_int8", "sim_matryoshka_topk", "sim_ann_recall_gate")
 
   for (name <- docQueries ++ embQueries)
     test(s"$name returns an empty result on an empty table, never throws") {
