@@ -796,6 +796,148 @@ object Advanced extends QueryModule {
         SELECT key, cms_est, exact_cnt, cms_est - exact_cnt AS overcount
         FROM est JOIN exact USING (key)
         ORDER BY key
+      """)),
+
+    // ───── theta-sketch set algebra: |A∩B|, |A\B|, |B\A|, |A∪B| estimates ─────
+    // The set-operation sibling of agg_kmv_distinct (Dasgupta et al.,
+    // "Theta-Sketch Framework", and the Apache DataSketches theta design):
+    // COUNT DISTINCT composes under union (merge the sketches) but NOT
+    // under intersection or difference — audience-overlap questions
+    // ("customers active in both F and O order states") normally force a
+    // full join of the raw key sets. The theta trick: keep each side's k
+    // smallest md5 hashes, set θ = min of the two k-th minima, trim both
+    // sketches to h < θ; within that common sampled region membership is
+    // exact, so |A∩B| ≈ |{h < θ in both}|·M/θ (M = 2^60, the hash range).
+    // All candidate math is md5/integer-exact; the single double division
+    // per estimate makes the artifact hash-matchable, and the exact
+    // answers are emitted beside the estimates (the agg_approx_* gate
+    // pattern). When a side holds fewer than k keys its threshold is M
+    // (the sketch IS the set and the estimates collapse toward exact).
+    //
+    // Scale shape: the per-side sketch is a k-row TakeOrdered-class state
+    // (window rank over the hashed distinct keys — partial-agg combines
+    // per partition first); everything downstream of the sketches touches
+    // ≤ 2k rows — the exchange a federated overlap monitor ships is 2·64
+    // longs REGARDLESS of key cardinality. The exact arms are one
+    // distinct + one full-outer equi-join, present only as the oracle's
+    // in-row truth.
+    GraftQuery(
+      "agg_kmv_setops",
+      (s, d) => {
+        val k = 64
+        val maxH = 1152921504606846976L // 2^60: hashes are 15 hex digits
+        val base = Tables.orders(s, d)
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .select(when(col("o_orderstatus") === "F", "a").otherwise("b")
+            .as("side"), col("o_custkey"))
+          .distinct()
+        val h = base.select(col("side"), expr(
+          "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h")).distinct()
+        val sk = h.withColumn("rn", row_number().over(
+            Window.partitionBy(col("side")).orderBy(col("h"))))
+          .filter(col("rn") <= k)
+        val theta = sk.groupBy(col("side"))
+          .agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+          .select(when(col("m") < k, lit(maxH)).otherwise(col("hk")).as("thr"))
+          .agg(min(col("thr")).as("theta"))
+        val trimmed = sk.filter(col("side") === "a").select(col("h").as("ha"))
+          .join(sk.filter(col("side") === "b").select(col("h").as("hb")),
+            col("ha") === col("hb"), "full_outer")
+          .select(coalesce(col("ha"), col("hb")).as("h"),
+            col("ha").isNotNull.as("ina"), col("hb").isNotNull.as("inb"))
+          .crossJoin(broadcast(theta))
+          .filter(col("h") < col("theta"))
+        val cnts = trimmed.groupBy(col("theta")).agg(
+          sum(when(col("ina") && col("inb"), 1L).otherwise(0L)).as("c_intersect"),
+          sum(when(col("ina") && !col("inb"), 1L).otherwise(0L)).as("c_diff_ab"),
+          sum(when(!col("ina") && col("inb"), 1L).otherwise(0L)).as("c_diff_ba"),
+          count(lit(1)).as("c_union"))
+        val exact = base.filter(col("side") === "a")
+          .select(col("o_custkey").as("ka"))
+          .join(base.filter(col("side") === "b")
+            .select(col("o_custkey").as("kb")),
+            col("ka") === col("kb"), "full_outer")
+          .agg(
+            sum(when(col("ka").isNotNull && col("kb").isNotNull, 1L)
+              .otherwise(0L)).as("e_intersect"),
+            sum(when(col("ka").isNotNull && col("kb").isNull, 1L)
+              .otherwise(0L)).as("e_diff_ab"),
+            sum(when(col("ka").isNull && col("kb").isNotNull, 1L)
+              .otherwise(0L)).as("e_diff_ba"),
+            count(lit(1)).as("e_union"))
+        val one = cnts.crossJoin(exact)
+        def arm(name: String, cC: String, eC: String): DataFrame =
+          one.select(lit(name).as("measure"), col(cC).as("c_trim"),
+            ((col(cC).cast("double") * lit(maxH.toDouble)) /
+              col("theta").cast("double")).as("est"),
+            col(eC).as("exact"))
+        arm("diff_ab", "c_diff_ab", "e_diff_ab")
+          .unionByName(arm("diff_ba", "c_diff_ba", "e_diff_ba"))
+          .unionByName(arm("intersect", "c_intersect", "e_intersect"))
+          .unionByName(arm("union", "c_union", "e_union"))
+          .orderBy(col("measure"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT DISTINCT CASE WHEN o_orderstatus = 'F' THEN 'a' ELSE 'b' END AS side,
+                 o_custkey
+          FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        h AS (
+          SELECT DISTINCT side,
+                 ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM base),
+        sk AS (
+          SELECT side, h FROM (
+            SELECT side, h,
+                   ROW_NUMBER() OVER (PARTITION BY side ORDER BY h) AS rn
+            FROM h) t WHERE rn <= 64),
+        th AS (
+          SELECT MIN(thr) AS theta FROM (
+            SELECT CASE WHEN COUNT(*) < 64 THEN 1152921504606846976
+                        ELSE MAX(h) END AS thr
+            FROM sk GROUP BY side) x),
+        trimmed AS (
+          SELECT COALESCE(a.h, b.h) AS h,
+                 a.h IS NOT NULL AS ina, b.h IS NOT NULL AS inb, theta
+          FROM (SELECT h FROM sk WHERE side = 'a') a
+          FULL OUTER JOIN (SELECT h FROM sk WHERE side = 'b') b ON a.h = b.h
+          CROSS JOIN th
+          WHERE COALESCE(a.h, b.h) < theta),
+        cnts AS (
+          SELECT theta,
+                 CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS c_intersect,
+                 CAST(SUM(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT) AS c_diff_ab,
+                 CAST(SUM(CASE WHEN inb AND NOT ina THEN 1 ELSE 0 END) AS BIGINT) AS c_diff_ba,
+                 CAST(COUNT(*) AS BIGINT) AS c_union
+          FROM trimmed GROUP BY theta),
+        ex AS (
+          SELECT CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_intersect,
+                 CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_diff_ab,
+                 CAST(SUM(CASE WHEN ka IS NULL AND kb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_diff_ba,
+                 CAST(COUNT(*) AS BIGINT) AS e_union
+          FROM (SELECT o_custkey AS ka FROM base WHERE side = 'a') a
+          FULL OUTER JOIN (SELECT o_custkey AS kb FROM base WHERE side = 'b') b
+            ON a.ka = b.kb),
+        one AS (SELECT * FROM cnts CROSS JOIN ex)
+        SELECT measure, c_trim, est, exact FROM (
+          SELECT 'diff_ab' AS measure, c_diff_ab AS c_trim,
+                 (CAST(c_diff_ab AS DOUBLE) * 1152921504606846976.0) /
+                   CAST(theta AS DOUBLE) AS est,
+                 e_diff_ab AS exact FROM one
+          UNION ALL
+          SELECT 'diff_ba', c_diff_ba,
+                 (CAST(c_diff_ba AS DOUBLE) * 1152921504606846976.0) /
+                   CAST(theta AS DOUBLE), e_diff_ba FROM one
+          UNION ALL
+          SELECT 'intersect', c_intersect,
+                 (CAST(c_intersect AS DOUBLE) * 1152921504606846976.0) /
+                   CAST(theta AS DOUBLE), e_intersect FROM one
+          UNION ALL
+          SELECT 'union', c_union,
+                 (CAST(c_union AS DOUBLE) * 1152921504606846976.0) /
+                   CAST(theta AS DOUBLE), e_union FROM one) u
+        ORDER BY measure
       """))
   )
 }

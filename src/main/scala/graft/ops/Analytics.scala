@@ -760,6 +760,76 @@ object Analytics extends QueryModule {
         SELECT event_id,
                CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
         FROM events ORDER BY event_id
+      """)),
+
+    // ───── two-sample Kolmogorov–Smirnov drift gate (exact integer CDFs) ─────
+    // Distribution drift between the English and the non-English corpus
+    // slices on binned document length (bin = n_chars div 10) — the gate a
+    // pipeline runs before training to catch a skewed refresh. KS over a
+    // BINNED domain is the production form: the bin domain is bounded by
+    // the value range, not the row count, so the final CDF walk costs the
+    // same at 100 TB as at test scale. D = max over bins of |F_a − F_b|,
+    // held as the integer cross-product |cum_a·nb − cum_b·na| in
+    // DECIMAL(38,0) (1e12-row populations square to 1e24 — past int64, the
+    // stats_corr doctrine), with ONE double division at the end, so the
+    // statistic hash-matches bit-for-bit. ks_bin is the smallest bin
+    // attaining the max (deterministic tie-break).
+    //
+    // Scale shape: one shuffle to count per bin (partial-agg combines to
+    // ≤|bins| rows per partition), then a one-partition window over the
+    // ≤|bins|-row grouped frame — metadata-class, not data-class. Totals
+    // ride the same grouped frame; the 1-row frames broadcast.
+    GraftQuery(
+      "stats_ks_drift",
+      (s, d) => {
+        val bins = Tables.documents(s, d)
+          .select(expr("n_chars div 10").as("bin"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_a"))
+          .groupBy(col("bin"))
+          .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+        val w = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bins.select(col("bin"),
+          sum(col("ca")).over(w).cast(DecimalType(38, 0)).as("cum_a"),
+          sum(col("cb")).over(w).cast(DecimalType(38, 0)).as("cum_b"))
+        val tot = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        val scored = cum.crossJoin(broadcast(tot))
+          .select(col("bin"), col("na"), col("nb"),
+            abs(col("cum_a") * col("nb") - col("cum_b") * col("na")).as("dev"))
+        val mx = scored.agg(max(col("dev")).as("mdev"))
+        scored.crossJoin(broadcast(mx))
+          .filter(col("dev") === col("mdev"))
+          .groupBy(col("na"), col("nb"))
+          .agg(min(col("bin")).as("ks_bin"), max(col("dev")).as("dmax"))
+          .select(col("na"), col("nb"), col("ks_bin"),
+            col("dmax").cast("double").as("d_num"),
+            (col("dmax").cast("double") /
+              (col("na").cast("double") * col("nb").cast("double")))
+              .as("d_stat"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT n_chars // 10 AS bin,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          FROM documents GROUP BY 1),
+        c AS (
+          SELECT bin,
+                 CAST(SUM(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_a,
+                 CAST(SUM(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_b
+          FROM b),
+        t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM b),
+        sc AS (
+          SELECT bin, na, nb, ABS(cum_a * nb - cum_b * na) AS dev
+          FROM c CROSS JOIN t),
+        m AS (SELECT MAX(dev) AS mdev FROM sc)
+        SELECT na, nb, MIN(bin) AS ks_bin,
+               CAST(MAX(dev) AS DOUBLE) AS d_num,
+               CAST(MAX(dev) AS DOUBLE) /
+                 (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d_stat
+        FROM sc CROSS JOIN m
+        WHERE dev = mdev
+        GROUP BY na, nb
       """))
   )
 }

@@ -623,6 +623,78 @@ object Curation extends QueryModule {
                doc_id, source, CAST(epoch AS BIGINT) AS epoch, n_tokens
         FROM expanded
         ORDER BY shuffle_key, doc_id, epoch
+      """)),
+
+    // ───── temperature-scaled language mix (p_i ∝ n_i^0.5 reweight) ─────
+    // The multilingual-pretraining standard: sampling a corpus by raw
+    // frequency drowns low-resource languages, so the mix draws language i
+    // with probability proportional to n_i^α (α = 0.5 here) — high-resource
+    // languages are down-weighted, the tail up-weighted. Exactness: the
+    // weight is floor(sqrt(n_i)·1e6) — IEEE-754 sqrt is correctly rounded
+    // in both engines and n_i is exactly representable below 2^53, so the
+    // BIGINT weight is bit-identical; the per-language quota is
+    // floor(T·w_i/Σw) via three IEEE double ops written in the same shape
+    // on both sides (deterministic; exact while T·w < 2^53, i.e. to ~10^9
+    // docs per language — past that the quota stays deterministic but may
+    // sit ±1 doc from the true floor). Selection inside a language is
+    // rank-by-md5(doc_id) — a deterministic pseudo-shuffle, no engine RNG.
+    //
+    // Scale shape: the count/weight/quota frames are |languages| rows
+    // (broadcast); selection is one shuffle on lang + a per-language
+    // ordered rank. At 100 TB the rank sort admits a pre-filter — keep
+    // only h < 2·quota_i/n_i of the hash space before ranking, which
+    // bounds the sort input to ~2·quota rows per language — noted here,
+    // not needed at bench scale.
+    GraftQuery(
+      "curate_temperature_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val weighted = counts.select(col("lang"), col("n_docs"),
+          floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0))
+            .cast("long").as("w"))
+        val tot = weighted.agg(sum(col("w")).as("sw"),
+          expr("CAST(sum(n_docs) div 4 AS BIGINT)").as("t"))
+        val quotas = weighted.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("w"),
+            floor((col("t").cast("double") * col("w").cast("double")) /
+              col("sw").cast("double")).cast("long").as("quota"))
+        val ranked = docs.select(col("doc_id"), col("lang"),
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+            .cast("long").as("rk"))
+        ranked.join(broadcast(quotas.select(col("lang"), col("quota"))),
+            Seq("lang"))
+          .filter(col("rk") <= col("quota"))
+          .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        w AS (
+          SELECT lang, n_docs,
+                 CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+          FROM c),
+        t AS (
+          SELECT CAST(SUM(w) AS BIGINT) AS sw,
+                 CAST(SUM(n_docs) AS BIGINT) // 4 AS t
+          FROM w),
+        q AS (
+          SELECT lang,
+                 CAST(FLOOR((CAST(t AS DOUBLE) * CAST(w AS DOUBLE)) /
+                   CAST(sw AS DOUBLE)) AS BIGINT) AS quota
+          FROM w CROSS JOIN t),
+        r AS (
+          SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM documents)
+        SELECT r.doc_id, r.lang, r.rk, q.quota
+        FROM r JOIN q USING (lang)
+        WHERE r.rk <= q.quota
+        ORDER BY r.lang, r.rk
       """))
   )
 

@@ -150,9 +150,15 @@ object Layout extends QueryModule {
     * read only those, and re-apply the ranges as a residual row filter
     * (file stats admit, never decide). The collected file list is
     * metadata-scale (≤ index rows — the same class of driver action as
-    * compaction's listing). A file whose stats are null for a range
-    * column holds only nulls there and no range predicate can admit a
-    * null, so excluding it is exact.
+    * compaction's listing), but it IS a driver array: at ~10⁶ admitted
+    * files the 100 TB form skips the collect and hands Spark a
+    * DataFrame-backed `FileIndex` (an `InMemoryFileIndex` fed from the
+    * index query's iterator, or a catalog table whose partitions ARE the
+    * index rows) so the admitted set never materializes on the driver.
+    * The pruning predicate and residual-filter contract are unchanged
+    * in that form — only the path-plumbing widens. A file whose stats
+    * are null for a range column holds only nulls there and no range
+    * predicate can admit a null, so excluding it is exact.
     */
   def prunedScan(spark: SparkSession, dataDir: String, index: DataFrame,
                  ranges: Seq[(String, Any, Any)]): DataFrame = {

@@ -193,4 +193,34 @@ class CurationSpec extends SparkSpec {
     // a window boundary on the driver corpus (packLen << doc sizes sum)
     assert(rows.exists(r => r._5 > r._3), "no doc straddles — packLen too big?")
   }
+
+  test("curate_temperature_mix: quotas filled exactly; α=0.5 flattens the mix") {
+    val sampled = SparkEntry.queries("curate_temperature_mix")(spark, sfTiny)
+      .select($"lang", $"rk", $"quota").as[(String, Long, Long)].collect()
+    val raw = Tables.documents(spark, sfTiny)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val byLang = sampled.groupBy(_._1)
+    assert(byLang.keySet === raw.keySet, "every language must be represented")
+    byLang.foreach { case (lang, rows) =>
+      val quota = rows.head._3
+      assert(rows.forall(_._3 == quota), s"$lang: quota not constant")
+      // every slot below the quota is filled (rank is dense from 1)
+      assert(rows.map(_._2).sorted.toSeq ==
+        (1L to math.min(quota, raw(lang))).toSeq, s"$lang: ranks not dense")
+    }
+    // temperature property: the dominant language's share shrinks vs raw,
+    // the scarcest language's share grows — the whole point of α < 1
+    val n = raw.values.sum.toDouble
+    val m = sampled.length.toDouble
+    val top = raw.maxBy(_._2)._1
+    val bottom = raw.minBy(_._2)._1
+    assert(byLang(top).size / m < raw(top) / n,
+      s"$top not down-weighted: ${byLang(top).size / m} vs ${raw(top) / n}")
+    assert(byLang(bottom).size / m > raw(bottom) / n,
+      s"$bottom not up-weighted: ${byLang(bottom).size / m} vs ${raw(bottom) / n}")
+    // determinism: a second run is row-identical (md5 rank, no RNG)
+    val again = SparkEntry.queries("curate_temperature_mix")(spark, sfTiny)
+      .select($"lang", $"rk", $"quota").as[(String, Long, Long)].collect()
+    assert(again.sorted.toSeq == sampled.sorted.toSeq)
+  }
 }

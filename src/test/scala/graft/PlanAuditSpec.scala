@@ -38,7 +38,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_vocab_coverage",
     // 1-row broadcast stats frames (corpus totals / budget scalars)
     "text_search_index", "text_search_chunks", "curate_mixture_epochs",
-    "curate_global_shuffle")
+    "curate_global_shuffle",
+    // 1-row broadcast scalars: KS totals/max-deviation frames, theta
+    // threshold, |languages|-row quota frame — watermark-filter pattern
+    "stats_ks_drift", "agg_kmv_setops", "curate_temperature_mix")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

@@ -100,4 +100,32 @@ class PropertiesSpec extends SparkSpec {
       assert(scanned === naive)
     }
   }
+
+  test("stats_ks_drift equals the brute-force KS over the same bins") {
+    val row = SparkEntry.queries("stats_ks_drift")(spark, sfTiny)
+      .select($"na", $"nb", $"ks_bin", $"d_num", $"d_stat")
+      .as[(Long, Long, Long, Double, Double)].head()
+    val docs = Tables.documents(spark, sfTiny)
+      .select(($"n_chars" / 10).cast("long").as("bin"),
+        ($"lang" === "en").as("isA"))
+      .as[(Long, Boolean)].collect()
+    val na = docs.count(_._2).toLong
+    val nb = docs.size - na
+    // exact CDF walk in BigInt — the reference computation
+    val binsSorted = docs.groupBy(_._1).toSeq.sortBy(_._1)
+    var (cumA, cumB) = (BigInt(0), BigInt(0))
+    var best = (BigInt(-1), Long.MaxValue)
+    binsSorted.foreach { case (bin, rows) =>
+      cumA += rows.count(_._2)
+      cumB += rows.count(!_._2)
+      val dev = (cumA * nb - cumB * na).abs
+      if (dev > best._1) best = (dev, bin)
+    }
+    assert(row._1 === na && row._2 === nb)
+    assert(row._3 === best._2, "argmax bin (smallest at max dev)")
+    assert(row._4 === best._1.toDouble)
+    assert(row._5 === best._1.toDouble / (na.toDouble * nb.toDouble))
+    // the statistic is a genuine drift signal on this corpus: 0 ≤ D ≤ 1
+    assert(row._5 >= 0.0 && row._5 <= 1.0)
+  }
 }

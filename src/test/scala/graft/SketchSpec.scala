@@ -162,4 +162,39 @@ class SketchSpec extends SparkSpec {
       .orderBy($"h").limit(k).as[Long].collect().toSeq
     assert(mergedTopK == directTopK)
   }
+
+  // ───── agg_kmv_setops (theta-sketch set algebra) ─────
+
+  test("agg_kmv_setops: partition identity, exact truth, bounded error") {
+    val rows = SparkEntry.queries("agg_kmv_setops")(spark, sfTiny)
+      .select("measure", "c_trim", "est", "exact")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rows.keySet === Set("diff_ab", "diff_ba", "intersect", "union"))
+    val (cU, estU, exU) = rows("union")
+    val parts = Seq("diff_ab", "diff_ba", "intersect").map(rows)
+    // trimmed counts partition the union region exactly (integers)
+    assert(parts.map(_._1).sum === cU, "c_trim does not partition the union")
+    // so the estimates partition too (same θ divisor; float-sum slack)
+    assert(math.abs(parts.map(_._2).sum - estU) < 1e-6 * math.max(estU, 1.0))
+    // the exact arm is a true set partition of |A∪B|
+    assert(parts.map(_._3).sum === exU, "exact columns are not a partition")
+    // independently recompute the exact overlap from the raw key sets
+    val byStatus = Tables.orders(spark, sfTiny)
+      .filter($"o_orderstatus".isin("F", "O"))
+      .select($"o_orderstatus", $"o_custkey").distinct()
+      .as[(String, Long)].collect().groupMap(_._1)(_._2)
+    val (a, b) = (byStatus("F").toSet, byStatus("O").toSet)
+    assert(rows("intersect")._3 === (a & b).size.toLong)
+    assert(rows("diff_ab")._3 === (a -- b).size.toLong)
+    assert(rows("diff_ba")._3 === (b -- a).size.toLong)
+    assert(exU === (a | b).size.toLong)
+    // k = 64 gives ~1/√(k−1) ≈ 12.7% rsd on the union-scale estimates;
+    // gate at 3σ for measures large enough to carry a relative bound
+    rows.foreach { case (m, (_, est, exact)) =>
+      if (exact >= 100)
+        assert(math.abs(est - exact) <= 0.4 * exact,
+          s"$m: est $est vs exact $exact outside 40%")
+    }
+  }
 }

@@ -204,6 +204,70 @@ class SqlRegistrySweepSpec extends SparkSpec {
     * mechanical bridge; still full literal-SQL result parity.
     */
   private val sparkSqlOverrides: Map[String, String] = Map(
+    // the DuckDB oracle's '0x…'::BIGINT hex cast has no Spark spelling
+    // (Spark needs conv()); same theta-sketch math otherwise
+    "agg_kmv_setops" -> """
+      WITH base AS (
+        SELECT DISTINCT CASE WHEN o_orderstatus = 'F' THEN 'a' ELSE 'b' END AS side,
+               o_custkey
+        FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      h AS (
+        SELECT DISTINCT side,
+               CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15),
+                 16, 10) AS BIGINT) AS h
+        FROM base),
+      sk AS (
+        SELECT side, h FROM (
+          SELECT side, h,
+                 ROW_NUMBER() OVER (PARTITION BY side ORDER BY h) AS rn
+          FROM h) t WHERE rn <= 64),
+      th AS (
+        SELECT MIN(thr) AS theta FROM (
+          SELECT CASE WHEN COUNT(*) < 64 THEN 1152921504606846976
+                      ELSE MAX(h) END AS thr
+          FROM sk GROUP BY side) x),
+      trimmed AS (
+        SELECT COALESCE(a.h, b.h) AS h,
+               a.h IS NOT NULL AS ina, b.h IS NOT NULL AS inb, theta
+        FROM (SELECT h FROM sk WHERE side = 'a') a
+        FULL OUTER JOIN (SELECT h FROM sk WHERE side = 'b') b ON a.h = b.h
+        CROSS JOIN th
+        WHERE COALESCE(a.h, b.h) < theta),
+      cnts AS (
+        SELECT theta,
+               CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS c_intersect,
+               CAST(SUM(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT) AS c_diff_ab,
+               CAST(SUM(CASE WHEN inb AND NOT ina THEN 1 ELSE 0 END) AS BIGINT) AS c_diff_ba,
+               CAST(COUNT(*) AS BIGINT) AS c_union
+        FROM trimmed GROUP BY theta),
+      ex AS (
+        SELECT CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_intersect,
+               CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_diff_ab,
+               CAST(SUM(CASE WHEN ka IS NULL AND kb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e_diff_ba,
+               CAST(COUNT(*) AS BIGINT) AS e_union
+        FROM (SELECT o_custkey AS ka FROM base WHERE side = 'a') a
+        FULL OUTER JOIN (SELECT o_custkey AS kb FROM base WHERE side = 'b') b
+          ON a.ka = b.kb),
+      one AS (SELECT * FROM cnts CROSS JOIN ex)
+      SELECT measure, c_trim, est, exact FROM (
+        SELECT 'diff_ab' AS measure, c_diff_ab AS c_trim,
+               (CAST(c_diff_ab AS DOUBLE) * 1152921504606846976.0) /
+                 CAST(theta AS DOUBLE) AS est,
+               e_diff_ab AS exact FROM one
+        UNION ALL
+        SELECT 'diff_ba', c_diff_ba,
+               (CAST(c_diff_ba AS DOUBLE) * 1152921504606846976.0) /
+                 CAST(theta AS DOUBLE), e_diff_ba FROM one
+        UNION ALL
+        SELECT 'intersect', c_intersect,
+               (CAST(c_intersect AS DOUBLE) * 1152921504606846976.0) /
+                 CAST(theta AS DOUBLE), e_intersect FROM one
+        UNION ALL
+        SELECT 'union', c_union,
+               (CAST(c_union AS DOUBLE) * 1152921504606846976.0) /
+                 CAST(theta AS DOUBLE), e_union FROM one) u
+      ORDER BY measure
+    """,
     // the DuckDB oracle's 128-bit exact Σy² rides HUGEINT (no Spark
     // spelling); Spark's exact 128-bit integer is DECIMAL(38,0) — the
     // same math the DataFrame operator uses
