@@ -830,6 +830,75 @@ object Analytics extends QueryModule {
         FROM sc CROSS JOIN m
         WHERE dev = mdev
         GROUP BY na, nb
+      """)),
+
+    // ───── Mann–Whitney U (rank-sum) drift test — exact doubled ranks ─────
+    // The location-shift sibling of stats_ks_drift: KS catches any CDF
+    // gap, U asks specifically "does one slice stochastically dominate?"
+    // (AUC = P(random en doc longer than random non-en doc)). Tied values
+    // take midranks, which are half-integers — so everything rides the
+    // DOUBLED rank: dm(v) = 2·cum_before + cnt + 1 is an exact integer,
+    // R2 = Σ c·dm is 2× the classical rank sum, and 2U = R2 − n(n+1).
+    // The per-value products reach n² (1e24 at 1e12 rows) — DECIMAL(38,0)
+    // per the stats_corr doctrine. The only floats are the final casts
+    // and ONE division for the AUC, shape-pinned on both engines.
+    // Identity 2U_a + 2U_b = 2·na·nb is the in-spec exactness witness.
+    //
+    // Scale shape: identical to stats_ks_drift — one count-per-value
+    // shuffle (partial-agg), then a one-partition walk over the grouped
+    // value domain (bounded by |distinct n_chars|, not rows); the final
+    // frame is a single global aggregate, no broadcast scalars at all.
+    GraftQuery(
+      "stats_mann_whitney",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .select(col("n_chars").as("v"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_a"))
+          .groupBy(col("v"))
+          .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+          .withColumn("cnt", col("ca") + col("cb"))
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = g.select(col("ca"), col("cb"),
+          (lit(2L) * (sum(col("cnt")).over(w) - col("cnt")) +
+            col("cnt") + lit(1L)).cast(DecimalType(38, 0)).as("dm"))
+        ranked.agg(
+            sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+            sum(col("ca").cast(DecimalType(38, 0)) * col("dm")).as("r2a"),
+            sum(col("cb").cast(DecimalType(38, 0)) * col("dm")).as("r2b"))
+          .select(col("na"), col("nb"),
+            (col("r2a") - col("na").cast(DecimalType(38, 0)) *
+              (col("na") + lit(1L))).as("u2ad"),
+            (col("r2b") - col("nb").cast(DecimalType(38, 0)) *
+              (col("nb") + lit(1L))).as("u2bd"))
+          .select(col("na"), col("nb"),
+            col("u2ad").cast("double").as("u2_a"),
+            col("u2bd").cast("double").as("u2_b"),
+            (col("u2ad").cast("double") /
+              (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+              .as("auc_a"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT n_chars AS v,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          FROM documents GROUP BY 1),
+        r AS (
+          SELECT ca, cb,
+                 CAST(2 * (SUM(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (ca + cb)) + (ca + cb) + 1 AS HUGEINT) AS dm
+          FROM g),
+        s AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                 CAST(SUM(CAST(ca AS HUGEINT) * dm) AS HUGEINT) AS r2a,
+                 CAST(SUM(CAST(cb AS HUGEINT) * dm) AS HUGEINT) AS r2b
+          FROM r)
+        SELECT na, nb,
+               CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) AS u2_a,
+               CAST(r2b - CAST(nb AS HUGEINT) * (nb + 1) AS DOUBLE) AS u2_b,
+               CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) /
+                 (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS auc_a
+        FROM s
       """))
   )
 }

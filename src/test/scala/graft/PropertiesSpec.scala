@@ -128,4 +128,33 @@ class PropertiesSpec extends SparkSpec {
     // the statistic is a genuine drift signal on this corpus: 0 ≤ D ≤ 1
     assert(row._5 >= 0.0 && row._5 <= 1.0)
   }
+
+  test("stats_mann_whitney equals brute-force midrank U; partition identity") {
+    val row = SparkEntry.queries("stats_mann_whitney")(spark, sfTiny)
+      .select($"na", $"nb", $"u2_a", $"u2_b", $"auc_a")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"n_chars", ($"lang" === "en").as("isA"))
+      .as[(Long, Boolean)].collect()
+    val na = docs.count(_._2).toLong
+    val nb = docs.size - na
+    // classical midrank U via doubled ranks in BigInt
+    var cumBefore = 0L
+    var (r2a, r2b) = (BigInt(0), BigInt(0))
+    docs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      val cnt = rows.size.toLong
+      val dm = BigInt(2 * cumBefore + cnt + 1) // doubled midrank
+      r2a += dm * rows.count(_._2)
+      r2b += dm * rows.count(!_._2)
+      cumBefore += cnt
+    }
+    val u2a = r2a - BigInt(na) * (na + 1)
+    val u2b = r2b - BigInt(nb) * (nb + 1)
+    assert(row._1 === na && row._2 === nb)
+    assert(row._3 === u2a.toDouble && row._4 === u2b.toDouble)
+    // exactness witness: 2U_a + 2U_b = 2·na·nb always
+    assert(u2a + u2b === BigInt(2) * na * nb)
+    assert(row._5 === u2a.toDouble / (2.0 * na.toDouble * nb.toDouble))
+    assert(row._5 >= 0.0 && row._5 <= 1.0)
+  }
 }
