@@ -21,6 +21,15 @@ final case class BandCanon(canonDoc: Long)
   */
 final case class BandLink(doc_id: Long, canon_doc: Long)
 
+/** Per-window drift state: the binned histogram of the metric
+  * (value-bounded — |bins| entries, never row-bounded).
+  */
+final case class DriftState(bins: Map[Long, Long])
+
+/** One closed window's drift verdict against the frozen reference. */
+final case class DriftReport(win_start_us: Long, n_obs: Long,
+    d_num: Double, d_stat: Double, drifted: Boolean)
+
 /** Structured-Streaming re-expression of the reference's incremental
   * pipeline (SURVEY.md §7.3 step 6): the hand-rolled high-watermark
   * (read sink MAX → filter → append, weather_task.py:70-99) collapses
@@ -136,6 +145,88 @@ object StreamingPipeline extends Serializable {
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Streaming drift monitor — the streaming deployment of the batch
+    * `stats_ks_drift` gate: each event-time window accumulates a binned
+    * histogram of `value` (bin = floor(value/binWidth)), and when the
+    * watermark passes the window end the two-sample KS statistic of
+    * that window against a frozen REFERENCE histogram (the
+    * training-corpus distribution) is emitted — the monitor that pages
+    * before a skewed upstream refresh poisons the next fine-tune,
+    * without ever re-reading history.
+    *
+    * Same integer CDF math as the batch query: D's numerator is the
+    * cross-product |cum_w·n_ref − cum_r·n_w| over the sorted union of
+    * bins, one double division at the end. Window populations are
+    * watermark-bounded, so the long products stay far inside int64
+    * (the batch query's DECIMAL(38,0) headroom is for unbounded
+    * corpora; a window is not one). State per OPEN window is the
+    * ≤|bins| map — value-bounded; the event-time timeout closes each
+    * window exactly once, so a report is emitted exactly once and
+    * state is O(open windows), the same bound the windowed aggs get
+    * from `withWatermark`. The reference rides the closure as a
+    * metadata-class map: it IS the bounded bin frame the batch gate
+    * walks, frozen driver-side at deploy time.
+    */
+  def driftMonitor(
+      typed: DataFrame,
+      reference: Map[Long, Long],
+      binWidth: Double = 1.0,
+      windowMinutes: Long = 60,
+      threshold: Double = 0.2,
+      watermark: String = "1 hour"): org.apache.spark.sql.Dataset[DriftReport] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[DriftState]
+    implicit val outEnc   = Encoders.product[DriftReport]
+    val winUs = windowMinutes * 60L * 1000000L
+    val nRef  = reference.values.sum
+
+    def close(winStart: Long, bins: Map[Long, Long]): DriftReport = {
+      val nW = bins.values.sum
+      var (cumW, cumR, dNum) = (0L, 0L, 0L)
+      (bins.keySet ++ reference.keySet).toSeq.sorted.foreach { b =>
+        cumW += bins.getOrElse(b, 0L)
+        cumR += reference.getOrElse(b, 0L)
+        dNum = math.max(dNum, math.abs(cumW * nRef - cumR * nW))
+      }
+      val d = if (nW == 0L || nRef == 0L) 0.0
+              else dNum.toDouble / (nW.toDouble * nRef.toDouble)
+      DriftReport(winStart, nW, dNum.toDouble, d, d > threshold)
+    }
+
+    def update(winStart: Long, rows: Iterator[Row],
+        state: GroupState[DriftState]): Iterator[DriftReport] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(winStart, s.bins))
+      } else {
+        var bins = state.getOption.map(_.bins).getOrElse(Map.empty[Long, Long])
+        rows.foreach { r =>
+          val b = r.getAs[Long]("bin")
+          bins = bins.updated(b, bins.getOrElse(b, 0L) + 1L)
+        }
+        state.update(DriftState(bins))
+        // close at window end, but never at-or-below the current
+        // watermark (Spark rejects a non-future timeout)
+        state.setTimeoutTimestamp(math.max(
+          (winStart + winUs) / 1000L,
+          state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+    }
+
+    typed
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(winUs)))
+          .as("win_start"),
+        floor(col("value") / lit(binWidth)).cast("long").as("bin"))
+      .groupByKey(r => r.getAs[Long]("win_start"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[DriftState, DriftReport](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 

@@ -521,4 +521,51 @@ class StreamingSpec extends SparkSpec {
       assert(batch(3L) === "keep") // the STREAM's dedup, not the gate, drops it
     } finally q.stop()
   }
+
+  test("drift monitor: matching window passes, skewed window pages, exactly once") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val typed = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value")
+    // reference: equal mass in bins 0 and 1
+    val reference = Map(0L -> 5L, 1L -> 5L)
+    val q = StreamingPipeline.driftMonitor(typed, reference)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      val h  = 3_600_000_000L      // 1h in µs (the monitor's window)
+      val t0 = 86400L * 1000000L   // hour-aligned, clear of epoch-0 watermark
+      mem.addData(
+        // window A (t0): 3 in bin 0, 3 in bin 1 — matches the reference
+        (1L, t0, 1L, "m", 0.2), (2L, t0 + 1, 1L, "m", 0.4),
+        (3L, t0 + 2, 1L, "m", 0.7), (4L, t0 + 3, 1L, "m", 1.1),
+        (5L, t0 + 4, 1L, "m", 1.5), (6L, t0 + 5, 1L, "m", 1.9),
+        // window B (t0+1h): all mass in bin 0 — drifted
+        (7L, t0 + h, 1L, "m", 0.1), (8L, t0 + h + 1, 1L, "m", 0.3),
+        (9L, t0 + h + 2, 1L, "m", 0.5), (10L, t0 + h + 3, 1L, "m", 0.9))
+      q.processAllAvailable()
+      // advance the watermark past both window ends (wm = max ts − 1h)
+      mem.addData((11L, t0 + 4 * h, 1L, "m", 0.5))
+      q.processAllAvailable()
+      mem.addData((12L, t0 + 4 * h + 1, 1L, "m", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("drift")
+        .select($"win_start_us", $"n_obs", $"d_num", $"d_stat", $"drifted")
+        .as[(Long, Long, Double, Double, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(rows.keySet === Set(t0, t0 + h), "exactly the two closed windows")
+      // window A: CDFs agree at every bin → D = 0, no page
+      assert(rows(t0)._2 === 6L)
+      assert(rows(t0)._4 === 0.0 && !rows(t0)._5)
+      // window B: bins {0→4}; at bin 0: |4·10 − 5·4| = 20 → D = 20/40 = 0.5
+      assert(rows(t0 + h)._2 === 4L)
+      assert(rows(t0 + h)._3 === 20.0)
+      assert(rows(t0 + h)._4 === 0.5 && rows(t0 + h)._5)
+      // exactly-once: nothing re-emits once closed
+      mem.addData((13L, t0 + 5 * h, 1L, "m", 0.5))
+      q.processAllAvailable()
+      assert(spark.table("drift").count() === 2L)
+    } finally q.stop()
+  }
 }
