@@ -198,4 +198,42 @@ class GraphSpec extends SparkSpec {
     }
     assert(got === expected.toMap)
   }
+
+  test("graph_modularity equals the brute-force Newman Q by community") {
+    val rows = SparkEntry.queries("graph_modularity")(spark, sfTiny)
+      .select($"community", $"m", $"e_in", $"dout", $"din", $"q_contrib")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    // brute force: labeled directed co-line edges from the raw tables
+    val brand = Tables.part(spark, sfTiny)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val li = Tables.lineitem(spark, sfTiny)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .as[(Long, Long, Long)].collect()
+    // (ok, ln) is NOT unique in the synthetic data — a true multimap
+    // join, exactly like the operator's equi-join
+    val byLine = li.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3))
+    val edges = li.flatMap { case (ok, ln, u) =>
+      byLine.getOrElse((ok, ln + 1), Array.empty[Long])
+        .filter(_ != u).map(v => (brand(u), brand(v)))
+    }
+    val m = edges.length.toLong
+    val eIn  = edges.filter(e => e._1 == e._2).groupBy(_._1).view.mapValues(_.length.toLong)
+    val dOut = edges.groupBy(_._1).view.mapValues(_.length.toLong)
+    val dIn  = edges.groupBy(_._2).view.mapValues(_.length.toLong)
+    var qSum = 0.0
+    rows.foreach { case (c, mq, ei, dou, din, qc) =>
+      assert(mq === m)
+      assert(ei === eIn.getOrElse(c, 0L), s"$c e_in")
+      assert(dou === dOut.getOrElse(c, 0L), s"$c dout")
+      assert(din === dIn.getOrElse(c, 0L), s"$c din")
+      val num = (BigInt(m) * ei - BigInt(dou) * din).toDouble
+      assert(qc === num / (m.toDouble * m.toDouble), s"$c q_contrib")
+      qSum += qc
+    }
+    // the summed contributions are the partition's modularity: a sane
+    // labeling of a sparse graph keeps |Q| well inside [-1, 1]
+    assert(qSum > -1.0 && qSum < 1.0)
+    // every community present in the edge frame is reported
+    assert(rows.map(_._1).toSet === (dOut.keySet ++ dIn.keySet))
+  }
 }

@@ -41,7 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     "curate_global_shuffle",
     // 1-row broadcast scalars: KS totals/max-deviation frames, theta
     // threshold, |languages|-row quota frame — watermark-filter pattern
-    "stats_ks_drift", "agg_kmv_setops", "curate_temperature_mix")
+    "stats_ks_drift", "agg_kmv_setops", "curate_temperature_mix",
+    // 1-row broadcast edge-count scalar under the community frame
+    "graph_modularity")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
