@@ -23,6 +23,7 @@ object SparkEntry {
     ops.Similarity,
     ops.VectorIndex,
     ops.SearchIndex,
+    ops.SketchStore,
     ops.Multimodal,
     ops.Advanced,
     ops.Extras,

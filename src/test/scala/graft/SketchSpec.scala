@@ -163,6 +163,47 @@ class SketchSpec extends SparkSpec {
     assert(mergedTopK == directTopK)
   }
 
+  // ───── persistent KMV sketch store ─────
+
+  test("sketch store: incremental ≡ one-shot, replay no-op, group isolation, k bound") {
+    import graft.ops.SketchStore
+    import org.apache.hadoop.fs.Path
+    def freshDir(tag: String): String = {
+      val dir = graft.pipeline.Sources.scratch(sfTiny, tag)
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(dir), true)
+      dir
+    }
+    def store(dir: String): Set[(String, Long)] =
+      graft.pipeline.SnapshotStore.read(spark, dir).get
+        .select($"grp", $"h").as[(String, Long)].collect().toSet
+    val rows = Tables.orders(spark, sfTiny)
+      .select($"o_orderpriority".as("grp"), $"o_custkey".as("key"))
+    val (inc, one) = (freshDir("skinc_"), freshDir("skone_"))
+    SketchStore.ingest(spark, rows.filter($"key" % 4 =!= 0), inc, 1L)
+    SketchStore.ingest(spark, rows.filter($"key" % 4 === 0), inc, 2L)
+    SketchStore.ingest(spark, rows, one, 1L)
+    val incRows = store(inc)
+    assert(incRows === store(one), "incremental fold must equal one-shot")
+    // the k bound holds for every group
+    incRows.groupBy(_._1).foreach { case (g, hs) =>
+      assert(hs.size <= SketchStore.k, s"$g overflows k")
+    }
+    // replay of the committed head is a no-op
+    SketchStore.ingest(spark, rows.filter($"key" % 4 === 0), inc, 2L)
+    assert(store(inc) === incRows)
+    // a batch touching ONE group leaves every other group's sketch
+    // untouched (bucket-pruned read + batch-group-restricted merge)
+    val someGrp = incRows.head._1
+    SketchStore.ingest(spark,
+      Seq((someGrp, 999999999L)).toDF("grp", "key"), inc, 3L)
+    val after = store(inc)
+    assert(after.filter(_._1 != someGrp) === incRows.filter(_._1 != someGrp))
+    // the touched group re-ranked: still ≤ k, and the union's k smallest
+    val touchedNow = after.filter(_._1 == someGrp).map(_._2)
+    assert(touchedNow.size <= SketchStore.k)
+  }
+
   // ───── agg_kmv_setops (theta-sketch set algebra) ─────
 
   test("agg_kmv_setops: partition identity, exact truth, bounded error") {

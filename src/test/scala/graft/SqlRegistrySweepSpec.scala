@@ -204,6 +204,34 @@ class SqlRegistrySweepSpec extends SparkSpec {
     * mechanical bridge; still full literal-SQL result parity.
     */
   private val sparkSqlOverrides: Map[String, String] = Map(
+    // the DuckDB oracle's hex cast again (Spark needs conv()); same
+    // one-shot KMV math otherwise
+    "agg_sketch_store" -> """
+      WITH dk AS (
+        SELECT DISTINCT o_orderpriority AS grp, o_custkey FROM orders),
+      h AS (
+        SELECT DISTINCT grp,
+               CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15),
+                 16, 10) AS BIGINT) AS h
+        FROM dk),
+      sk AS (
+        SELECT grp, h FROM (
+          SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM h) t WHERE rn <= 64),
+      per_grp AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS m,
+               CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE (63.0 * 1152921504606846976.0) / CAST(MAX(h) AS DOUBLE)
+               END AS est_distinct
+        FROM sk GROUP BY grp),
+      ex AS (
+        SELECT o_orderpriority AS grp,
+               COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY o_orderpriority)
+      SELECT grp, m, est_distinct, exact_distinct
+      FROM per_grp JOIN ex USING (grp)
+      ORDER BY grp
+    """,
     // the DuckDB oracle's '0x…'::BIGINT hex cast has no Spark spelling
     // (Spark needs conv()); same theta-sketch math otherwise
     "agg_kmv_setops" -> """
