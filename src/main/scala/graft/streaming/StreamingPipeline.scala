@@ -789,4 +789,26 @@ object StreamingPipeline extends Serializable {
           batch.sparkSession, batch, indexDir, batchId + 1, opCol)
       }
       .start()
+
+  /** Streaming maintenance of the persistent KMV sketch store
+    * (`ops.SketchStore`): each micro-batch of (grp, key) rows folds
+    * into the store at version batchId+1 — O(delta + touched buckets)
+    * per batch, replay no-ops on the version marker, exactly like the
+    * ANN and BM25 maintainers. The live distinct-count dashboard reads
+    * `SketchStore.estimates` and never touches the raw stream's
+    * history.
+    */
+  def runSketchIngest(
+      spark: SparkSession,
+      stream: DataFrame,
+      storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.SketchStore.ingest(
+          batch.sparkSession, batch.toDF(), storeDir, batchId + 1)
+      }
+      .start()
 }

@@ -204,6 +204,35 @@ class SketchSpec extends SparkSpec {
     assert(touchedNow.size <= SketchStore.k)
   }
 
+  test("streaming sketch maintainer: exactly-once replay, converges to one-shot") {
+    import graft.ops.SketchStore
+    import graft.pipeline.SnapshotStore
+    val dir  = scratchDir("sk_stream") + "/store"
+    val ckpt = scratchDir("sk_stream_ckpt") + "/cp"
+    val land = scratchDir("sk_stream_land")
+    val rows = Tables.orders(spark, sfTiny)
+      .select($"o_orderpriority".as("grp"), $"o_custkey".as("key"))
+    rows.filter($"key" % 2 === 0).write.mode("overwrite").parquet(s"$land/b0")
+    def run(): Unit = graft.streaming.StreamingPipeline.runSketchIngest(
+      spark,
+      spark.readStream.schema("grp STRING, key BIGINT").parquet(s"$land/*"),
+      dir, ckpt).awaitTermination()
+    run()
+    val v1 = SnapshotStore.latestVersion(spark, dir).get
+    run() // replay with no new files: nothing recommits
+    assert(SnapshotStore.latestVersion(spark, dir).contains(v1))
+    // a second landing file folds incrementally…
+    rows.filter($"key" % 2 === 1).write.mode("overwrite").parquet(s"$land/b1")
+    run()
+    // …and the store equals a one-shot build over everything
+    val want = scratchDir("sk_stream_want") + "/store"
+    SketchStore.ingest(spark, rows, want, 1L)
+    def store(p: String): Set[(String, Long)] =
+      SnapshotStore.read(spark, p).get
+        .select($"grp", $"h").as[(String, Long)].collect().toSet
+    assert(store(dir) === store(want))
+  }
+
   // ───── agg_kmv_setops (theta-sketch set algebra) ─────
 
   test("agg_kmv_setops: partition identity, exact truth, bounded error") {
