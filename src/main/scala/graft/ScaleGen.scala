@@ -143,6 +143,18 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // part re-keys p_partkey in lockstep with lineitem's l_partkey;
+    // descriptive columns (brand etc.) repeat, so per-brand density
+    // grows with the corpus like the other shared dimensions
+    Tables.part(spark, src)
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("p_partkey") + col("k") * 10000000L).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
     println(s"[scalegen] wrote ${factor}x corpus to $out")
     spark.stop()
   }

@@ -548,13 +548,19 @@ object Graph extends QueryModule {
           .join(broadcast(lab.toDF("uk", "cu")), col("u") === col("uk"))
           .join(broadcast(lab.toDF("vk", "cv")), col("v") === col("vk"))
           .select(col("cu"), col("cv"))
-        val m = e.agg(count(lit(1)).as("m"))
-        val eIn = e.filter(col("cu") === col("cv"))
-          .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
-        val dOut = e.groupBy(col("cu").as("community"))
-          .agg(count(lit(1)).as("dout"))
-        val dIn = e.groupBy(col("cv").as("community"))
-          .agg(count(lit(1)).as("din"))
+        // ONE edge-scale shuffle: the (cu, cv) pair counts (≤|C|² rows,
+        // partial-agg combined). m / e_in / dout / din all derive from
+        // this metadata-class frame — deriving them from `e` directly
+        // would recompute the co-line join per aggregate branch
+        // (measured 4× shuffle-read vs write at 10×)
+        val pair = e.groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("n"))
+        val m = pair.agg(sum(col("n")).as("m"))
+        val eIn = pair.filter(col("cu") === col("cv"))
+          .groupBy(col("cu").as("community")).agg(sum(col("n")).as("e_in"))
+        val dOut = pair.groupBy(col("cu").as("community"))
+          .agg(sum(col("n")).as("dout"))
+        val dIn = pair.groupBy(col("cv").as("community"))
+          .agg(sum(col("n")).as("din"))
         dOut.join(dIn, Seq("community"), "full_outer")
           .join(eIn, Seq("community"), "full_outer")
           .select(col("community"),

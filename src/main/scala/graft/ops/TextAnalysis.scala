@@ -650,6 +650,65 @@ object TextAnalysis extends QueryModule {
                s_join + s_filter + s_group AS bm25
         FROM piv
         ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+      """)),
+
+    // ───── HTML boilerplate strip (markup → clean text on-ramp) ─────
+    // The first stage of every web-corpus pipeline (C4, RefinedWeb):
+    // tag removal, entity unescape, whitespace collapse. The testdata
+    // ships no markup, so each doc is first wrapped in a deterministic
+    // HTML envelope (title carrying an &amp; entity, attributes,
+    // nested tags) — BOTH engines build the same envelope, so the
+    // stripper is exercised genuinely and the recovered text is
+    // value-pinned. The tag regex '<[^>]*>' parses identically under
+    // Java regex and RE2; entities unescape by chained replace.
+    //
+    // Scale shape: a pure narrow projection — whole-stage-codegen'd
+    // string ops on the scan, zero shuffle, zero state; the cheapest
+    // possible 100 TB query shape (the final ORDER BY is the oracle
+    // convention, not part of the operator).
+    GraftQuery(
+      "text_html_strip",
+      (s, d) => {
+        val html = concat(
+          lit("<div class=\"doc\" id=\"d"), col("doc_id"),
+          lit("\"><h1>"), col("source"), lit(" &amp; "), col("lang"),
+          lit("</h1><p>"), col("text"), lit("</p></div>"))
+        val stripped = regexp_replace(html, "<[^>]*>", " ")
+        val unescaped = Seq(
+          ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+          ("&#39;", "'"), ("&amp;", "&")
+        ).foldLeft(stripped) { case (c, (e, r)) => regexp_replace(c, e, r) }
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(regexp_extract_all(html, lit("<[^>]*>"), lit(0)))
+              .cast("long").as("n_tags"),
+            trim(regexp_replace(unescaped, " +", " ")).as("clean"))
+          .withColumn("n_chars_clean", length(col("clean")).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '<div class="doc" id="d' || doc_id || '"><h1>' || source ||
+                 ' &amp; ' || lang || '</h1><p>' || text || '</p></div>' AS html
+          FROM documents),
+        stripped AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+                 regexp_replace(html, '<[^>]*>', ' ', 'g') AS t0
+          FROM wrapped),
+        unescaped AS (
+          SELECT doc_id, n_tags,
+                 replace(replace(replace(replace(replace(
+                   t0, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', CHR(39)), '&amp;', '&') AS t1
+          FROM stripped)
+        SELECT doc_id, n_tags,
+               trim(regexp_replace(t1, ' +', ' ', 'g')) AS clean,
+               CAST(length(trim(regexp_replace(t1, ' +', ' ', 'g'))) AS BIGINT)
+                 AS n_chars_clean
+        FROM unescaped
+        ORDER BY doc_id
       """))
   )
 }

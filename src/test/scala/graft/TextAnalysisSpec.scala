@@ -215,4 +215,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s1 < s2 && s2 < s3, s"tf-monotonicity broken: $s1 $s2 $s3")
     assert(s3 - s2 < s2 - s1, "no tf saturation — k1 term lost")
   }
+
+  test("text_html_strip recovers the exact pre-markup text of every doc") {
+    val got = SparkEntry.queries("text_html_strip")(spark, sfTiny)
+      .select($"doc_id", $"n_tags", $"clean", $"n_chars_clean")
+      .as[(Long, Long, String, Long)].collect()
+    val raw = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.length === raw.size)
+    got.foreach { case (id, nTags, clean, nChars) =>
+      val (_, text, lang, source) = raw(id)
+      // the envelope wraps with exactly 6 tags; tag-free source text
+      // means the stripper must find exactly those
+      assert(nTags === 6L, s"doc $id: $nTags tags")
+      // brute-force the wrap → strip → unescape → collapse pipeline
+      val expected = s"$source & $lang ${text.trim}"
+        .replaceAll(" +", " ").trim
+      assert(clean === expected, s"doc $id")
+      assert(nChars === expected.length.toLong)
+    }
+  }
 }
