@@ -6,6 +6,14 @@ pattern, where a loaded host doubled wall times while per-query shuffle
 bytes and cpu stayed flat).
 
 usage: bench_gate.py OLD.json NEW.json [--wall-thresh 1.3] [--attr-band 0.3]
+       bench_gate.py --audit ARTIFACT.json [--srsw-thresh 2.5]
+
+--audit runs single-artifact invariants: any query whose shuffle-read
+exceeds --srsw-thresh x its shuffle-write is flagged as a
+branch-recompute suspect (a heavy subplan re-executed per aggregate
+branch -- the graph_modularity round-8 finding, where the co-line
+self-join ran once per derived aggregate and sr measured 4x sw; a
+plain self-join's reused exchange reads at most ~2x its write).
 
 Accepts either the full one-line Bench output (BENCH_FULL.json) or a
 driver BENCH_r{N}.json wrapper (the embedded line is recovered from its
@@ -38,10 +46,43 @@ def ratio(new, old):
     return new / old if old > 0 else float("inf")
 
 
+def audit(path, srsw_thresh):
+    """Single-artifact invariants; exit 1 on any violation."""
+    d = load_artifact(path)
+    bad = []
+    for q, m in sorted(d.get("metrics", {}).items()):
+        if not isinstance(m, dict):
+            continue
+        sr, sw = m.get("sr_mb", 0) or 0, m.get("sw_mb", 0) or 0
+        # sub-MB exchanges are broadcast/metadata frames — ratio is noise
+        if sw >= 1.0 and sr / sw > srsw_thresh:
+            bad.append((sr / sw, q, sr, sw))
+    for r, q, sr, sw in sorted(bad, reverse=True):
+        print(f"RECOMPUTE-SUSPECT {q}: shuffle-read {sr:.0f} MB is "
+              f"x{r:.1f} its write {sw:.0f} MB — a heavy subplan likely "
+              "re-executes per branch (collapse into one aggregation)")
+    errs = d.get("errors") or {}
+    for q, e in sorted(errs.items()):
+        print(f"ERRORED {q}: {e}")
+    n = len(d.get("queries", {}))
+    if bad or errs:
+        print(f"== audit: {len(bad)} recompute suspect(s), "
+              f"{len(errs)} error(s) over {n} queries ==")
+        sys.exit(1)
+    print(f"== audit clean: {n} queries, no recompute suspects, "
+          "no errors ==")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     opts = {a.split("=")[0]: float(a.split("=")[1])
             for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+    if "--audit" in sys.argv[1:]:
+        if len(args) != 1:
+            print(__doc__)
+            sys.exit(2)
+        audit(args[0], opts.get("--srsw-thresh", 2.5))
+        return
     if len(args) != 2:
         print(__doc__)
         sys.exit(2)
