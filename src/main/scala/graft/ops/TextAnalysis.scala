@@ -709,6 +709,110 @@ object TextAnalysis extends QueryModule {
                  AS n_chars_clean
         FROM unescaped
         ORDER BY doc_id
+      """)),
+
+    // ───── bigram-LM perplexity scoring — libm-free fixed-point log2 ─────
+    // THE classic pretraining quality filter (CCNet/Gopher style): score
+    // each doc by the negative log-likelihood of its bigrams under an
+    // add-1-smoothed LM trained on the corpus itself. Cross-engine float
+    // determinism forbids libm (ln/exp results differ in the last ulp),
+    // so log2 is computed EXACTLY in integers: ilog2 = length(bin(n))−1
+    // (identical `bin` spelling in Spark and DuckDB), chord-interpolated
+    // to 2^20 fixed point — lg2fp(n) = ilog2·2^20 + (n·2^20 div 2^ilog2)
+    // − 2^20. The chord under-reads by ≤ 0.086 bits/term (a FILTERING
+    // scorer, not an entropy report), and every term, sum, and count is
+    // a BIGINT, so the artifact hash-matches bit-for-bit; the single
+    // double division at the end is shape-pinned. Integer headroom:
+    // n·2^20 caps the smoothed counts at ~8.8e12 — past that, ride the
+    // DECIMAL(38,0) doctrine.
+    //
+    // Scale shape: bigram extraction is a narrow per-doc projection;
+    // the count shuffles carry (w1, w2, count) — never bodies; the
+    // corpus/prefix stats re-join per-doc pairs on their own keys; the
+    // vocabulary scalar broadcasts (watermark-filter pattern). Every
+    // stage is partial-agg combined and linear in tokens.
+    GraftQuery(
+      "text_perplexity",
+      (s, d) => {
+        val FP = 1048576L // 2^20 fixed point
+        def lg2(x: String): String =
+          s"(length(bin($x)) - 1) * ${FP}L + (($x) * ${FP}L) div " +
+            s"CAST(pow(2, length(bin($x)) - 1) AS BIGINT) - ${FP}L"
+        val docs = Tables.documents(s, d)
+        val pairs = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          // Spark's sequence(1, 0) DESCENDS ([1, 0]) — a 1-token doc
+          // must be excluded before the sequence, not after
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), expr(
+            "explode(transform(sequence(1, size(ws) - 1), " +
+              "i -> struct(ws[i-1] AS w1, ws[i] AS w2)))").as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val perDoc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c_db"))
+        val corpus = perDoc.groupBy(col("w1"), col("w2"))
+          .agg(sum(col("c_db")).as("cb"))
+        val prefix = corpus.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+        val vocab = docs
+          .select(explode(split(col("text"), " ")).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        perDoc.join(corpus, Seq("w1", "w2"))
+          .join(prefix, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"), col("c_db"),
+            (expr(lg2("cp + v")) - expr(lg2("cb + 1"))).as("bits_fp"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c_db")).as("n_bigrams"),
+            sum(col("c_db") * col("bits_fp")).as("nll2_fp"))
+          .select(col("doc_id"), col("n_bigrams"), col("nll2_fp"),
+            (col("nll2_fp").cast("double") /
+              (lit(1048576.0) * col("n_bigrams").cast("double")))
+              .as("bits_per_bigram"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH idx AS (
+          SELECT doc_id, text,
+                 UNNEST(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+          FROM documents),
+        pairs AS (
+          SELECT doc_id,
+                 string_split(text, ' ')[i] AS w1,
+                 string_split(text, ' ')[i + 1] AS w2
+          FROM idx),
+        per_doc AS (
+          SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c_db
+          FROM pairs GROUP BY doc_id, w1, w2),
+        corpus AS (
+          SELECT w1, w2, CAST(SUM(c_db) AS BIGINT) AS cb
+          FROM per_doc GROUP BY w1, w2),
+        prefix AS (
+          SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp
+          FROM corpus GROUP BY w1),
+        vocab AS (
+          SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t),
+        terms AS (
+          SELECT p.doc_id, p.c_db,
+                 ((length(bin(cp + v)) - 1) * 1048576
+                   + ((cp + v) * 1048576) // CAST(pow(2, length(bin(cp + v)) - 1) AS BIGINT)
+                   - 1048576)
+               - ((length(bin(cb + 1)) - 1) * 1048576
+                   + ((cb + 1) * 1048576) // CAST(pow(2, length(bin(cb + 1)) - 1) AS BIGINT)
+                   - 1048576) AS bits_fp
+          FROM per_doc p
+          JOIN corpus USING (w1, w2)
+          JOIN prefix USING (w1)
+          CROSS JOIN vocab),
+        agg AS (
+          SELECT doc_id, CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(c_db * bits_fp) AS BIGINT) AS nll2_fp
+          FROM terms GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, nll2_fp,
+               CAST(nll2_fp AS DOUBLE) /
+                 (1048576.0 * CAST(n_bigrams AS DOUBLE)) AS bits_per_bigram
+        FROM agg
+        ORDER BY doc_id
       """))
   )
 }

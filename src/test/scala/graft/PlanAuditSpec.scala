@@ -43,7 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     // threshold, |languages|-row quota frame — watermark-filter pattern
     "stats_ks_drift", "agg_kmv_setops", "curate_temperature_mix",
     // 1-row broadcast edge-count scalar under the community frame
-    "graph_modularity")
+    "graph_modularity",
+    // 1-row broadcast vocabulary scalar (add-1 smoothing denominator)
+    "text_perplexity")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

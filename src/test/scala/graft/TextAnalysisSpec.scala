@@ -237,4 +237,48 @@ class TextAnalysisSpec extends SparkSpec {
       assert(nChars === expected.length.toLong)
     }
   }
+
+  test("text_perplexity equals brute-force fixed-point bigram NLL; chord bound holds") {
+    val FP = 1048576L
+    def lg2fp(n: Long): Long = {
+      val il = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      il * FP + n * FP / (1L << il) - FP
+    }
+    val got = SparkEntry.queries("text_perplexity")(spark, sfTiny)
+      .select($"doc_id", $"n_bigrams", $"nll2_fp", $"bits_per_bigram")
+      .as[(Long, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val pairs = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Array.empty[(Long, String, String)]
+      else ws.sliding(2).map(p => (id, p(0), p(1))).toArray
+    }
+    val cb = pairs.groupBy(p => (p._2, p._3)).view.mapValues(_.length.toLong).toMap
+    val cp = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val v = docs.flatMap(_._2.split(" ", -1)).distinct.length.toLong
+    val want = pairs.groupBy(_._1).map { case (id, ps) =>
+      val nll = ps.map(p => lg2fp(cp(p._2) + v) - lg2fp(cb((p._2, p._3)) + 1)).sum
+      id -> (ps.length.toLong, nll)
+    }
+    assert(got.length === want.size)
+    got.foreach { case (id, nb, nll, bits) =>
+      val (wNb, wNll) = want(id)
+      assert(nb === wNb, s"doc $id n_bigrams")
+      assert(nll === wNll, s"doc $id nll2_fp")
+      assert(bits === wNll.toDouble / (1048576.0 * wNb.toDouble), s"doc $id")
+      // each chord term under-reads log2 by gap(x) ∈ [0, 0.086] bits
+      // (exact at power-of-2 knots, concavity between); an NLL term is
+      // a DIFFERENCE of two chords, so its error is two-sided but
+      // bounded by one gap: |fp − true| ≤ 0.086 per bigram. Positivity
+      // holds because the chord is monotone and cp+v ≥ cb+1.
+      val trueNll = pairs.filter(_._1 == id).map(p =>
+        math.log(cp(p._2) + v.toDouble) / math.log(2) -
+          math.log(cb((p._2, p._3)) + 1.0) / math.log(2)).sum
+      val fpBits = nll.toDouble / FP
+      assert(fpBits >= 0.0, s"doc $id negative NLL")
+      assert(math.abs(trueNll - fpBits) <= 0.086 * nb + 1e-9,
+        s"doc $id chord error: fp $fpBits vs true $trueNll over $nb terms")
+    }
+  }
 }
