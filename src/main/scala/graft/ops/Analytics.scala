@@ -899,6 +899,69 @@ object Analytics extends QueryModule {
                CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) /
                  (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS auc_a
         FROM s
+      """)),
+
+    // ───── Population Stability Index — the industry drift metric ─────
+    // Completes the drift-gate trio: KS = max CDF gap, Mann–Whitney =
+    // location shift, PSI = mass-weighted divergence Σ(p−q)·log(p/q) —
+    // the score every model-monitoring playbook thresholds (<0.1 stable,
+    // >0.25 page). Base-2 via the chord log2 (IntMath): with add-1
+    // smoothed bin counts, PSI₂·na·nb·2^20 =
+    // Σ (ca·nb − cb·na)·(lg2fp(ca·nb) − lg2fp(cb·na)) is an exact
+    // BIGINT (chord monotonicity makes every term ≥ 0, like the real
+    // PSI), and ONE pinned division emits the score. Integer headroom:
+    // the log argument ca·nb rides BIGINT through bin(), capping
+    // populations at ~3e9 per side — past that, pre-aggregate bins to
+    // proportions at a coarser fixed point (noted, not needed here).
+    //
+    // Scale shape: identical to the other gates — one count-per-bin
+    // shuffle, then a one-partition fold over the value-bounded bin
+    // frame; the 1-row smoothed-totals frame broadcasts.
+    GraftQuery(
+      "stats_psi_drift",
+      (s, d) => {
+        val bins = Tables.documents(s, d)
+          .select(expr("n_chars div 10").as("bin"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("is_a"))
+          .groupBy(col("bin"))
+          .agg((sum(col("is_a")) + lit(1L)).as("ca"),
+            (sum(lit(1L) - col("is_a")) + lit(1L)).as("cb"))
+        val tot = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          count(lit(1)).as("n_bins"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("na"), col("nb"), col("n_bins"),
+            ((col("ca") * col("nb") - col("cb") * col("na")) *
+              (expr(IntMath.lg2fp("ca * nb")) -
+               expr(IntMath.lg2fp("cb * na")))).as("term"))
+          .groupBy(col("na"), col("nb"), col("n_bins"))
+          .agg(sum(col("term")).as("psi2_num"))
+          .select(col("na"), col("nb"), col("n_bins"), col("psi2_num"),
+            (col("psi2_num").cast("double") /
+              (lit(1048576.0) * col("na").cast("double") *
+                col("nb").cast("double"))).as("psi2"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT n_chars // 10 AS bin,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) + 1 AS BIGINT) AS cb
+          FROM documents GROUP BY 1),
+        t AS (
+          SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS n_bins
+          FROM b),
+        terms AS (
+          SELECT na, nb, n_bins,
+                 (ca * nb - cb * na) *
+                   ((${IntMath.lg2fpDuck("ca * nb")}) -
+                    (${IntMath.lg2fpDuck("cb * na")})) AS term
+          FROM b CROSS JOIN t)
+        SELECT na, nb, n_bins,
+               CAST(SUM(term) AS BIGINT) AS psi2_num,
+               CAST(SUM(term) AS DOUBLE) /
+                 (1048576.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS psi2
+        FROM terms
+        GROUP BY na, nb, n_bins
       """))
   )
 }

@@ -734,10 +734,7 @@ object TextAnalysis extends QueryModule {
     GraftQuery(
       "text_perplexity",
       (s, d) => {
-        val FP = 1048576L // 2^20 fixed point
-        def lg2(x: String): String =
-          s"(length(bin($x)) - 1) * ${FP}L + (($x) * ${FP}L) div " +
-            s"CAST(pow(2, length(bin($x)) - 1) AS BIGINT) - ${FP}L"
+        def lg2(x: String): String = IntMath.lg2fp(x)
         val docs = Tables.documents(s, d)
         val pairs = docs
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -812,6 +809,59 @@ object TextAnalysis extends QueryModule {
                CAST(nll2_fp AS DOUBLE) /
                  (1048576.0 * CAST(n_bigrams AS DOUBLE)) AS bits_per_bigram
         FROM agg
+        ORDER BY doc_id
+      """)),
+
+    // ───── per-doc word entropy — gibberish/boilerplate signal ─────
+    // Shannon entropy of each doc's word distribution in chord-log2
+    // fixed point (IntMath): H·n·2^20 = n·lg2fp(n) − Σ c·lg2fp(c) is an
+    // exact BIGINT, so the artifact hash-matches; one pinned division
+    // emits bits/token. Low entropy = repetitive boilerplate, entropy
+    // near lg2(n) = every word distinct (word-salad/gibberish end) —
+    // the two tails a quality gate trims. Complements text_repetition
+    // (which counts duplicate bigrams) with a distribution-shape
+    // measure.
+    //
+    // Scale shape: one (doc_id, word) count shuffle, one doc_id agg —
+    // both partial-agg combined, carrying words and counts only.
+    GraftQuery(
+      "text_entropy",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(expr("c * (" + IntMath.lg2fp("c") + ")")).as("clg"))
+          .select(col("doc_id"), col("n_tokens"),
+            (expr("n_tokens * (" + IntMath.lg2fp("n_tokens") + ")")
+              - col("clg")).as("h2_num"))
+          .select(col("doc_id"), col("n_tokens"), col("h2_num"),
+            (col("h2_num").cast("double") /
+              (lit(1048576.0) * col("n_tokens").cast("double")))
+              .as("bits_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH counts AS (
+          SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                FROM documents) t
+          GROUP BY doc_id, w),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(c * (${IntMath.lg2fpDuck("c")})) AS BIGINT) AS clg
+          FROM counts GROUP BY doc_id),
+        ent AS (
+          SELECT doc_id, n_tokens,
+                 n_tokens * (${IntMath.lg2fpDuck("n_tokens")}) - clg AS h2_num
+          FROM agg)
+        SELECT doc_id, n_tokens, h2_num,
+               CAST(h2_num AS DOUBLE) /
+                 (1048576.0 * CAST(n_tokens AS DOUBLE)) AS bits_per_token
+        FROM ent
         ORDER BY doc_id
       """))
   )

@@ -45,7 +45,9 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast edge-count scalar under the community frame
     "graph_modularity",
     // 1-row broadcast vocabulary scalar (add-1 smoothing denominator)
-    "text_perplexity")
+    "text_perplexity",
+    // 1-row broadcast smoothed-totals scalar (PSI denominators)
+    "stats_psi_drift")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

@@ -157,4 +157,33 @@ class PropertiesSpec extends SparkSpec {
     assert(row._5 === u2a.toDouble / (2.0 * na.toDouble * nb.toDouble))
     assert(row._5 >= 0.0 && row._5 <= 1.0)
   }
+
+  test("stats_psi_drift equals the brute-force chord-log2 PSI; every term ≥ 0") {
+    val FP = 1048576L
+    def lg2fp(n: Long): Long = {
+      val il = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      il * FP + n * FP / (1L << il) - FP
+    }
+    val row = SparkEntry.queries("stats_psi_drift")(spark, sfTiny)
+      .select($"na", $"nb", $"n_bins", $"psi2_num", $"psi2")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val docs = Tables.documents(spark, sfTiny)
+      .select(($"n_chars" / 10).cast("long").as("bin"),
+        ($"lang" === "en").as("isA"))
+      .as[(Long, Boolean)].collect()
+    val byBin = docs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, rs) => (b, rs.count(_._2) + 1L, rs.count(!_._2) + 1L) }
+    val na = byBin.map(_._2).sum
+    val nb = byBin.map(_._3).sum
+    var num = BigInt(0)
+    byBin.foreach { case (_, ca, cb) =>
+      val term = BigInt(ca * nb - cb * na) * (lg2fp(ca * nb) - lg2fp(cb * na))
+      assert(term >= 0, "PSI term must be non-negative (chord monotone)")
+      num += term
+    }
+    assert(row._1 === na && row._2 === nb && row._3 === byBin.size.toLong)
+    assert(row._4 === num.toLong)
+    assert(row._5 === num.toDouble / (1048576.0 * na.toDouble * nb.toDouble))
+    assert(row._5 >= 0.0)
+  }
 }

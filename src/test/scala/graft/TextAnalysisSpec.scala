@@ -281,4 +281,33 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc $id chord error: fp $fpBits vs true $trueNll over $nb terms")
     }
   }
+
+  test("text_entropy equals brute-force chord entropy; 0 ≤ H ≤ lg2(n)") {
+    val FP = 1048576L
+    def lg2fp(n: Long): Long = {
+      val il = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      il * FP + n * FP / (1L << il) - FP
+    }
+    val got = SparkEntry.queries("text_entropy")(spark, sfTiny)
+      .select($"doc_id", $"n_tokens", $"h2_num", $"bits_per_token")
+      .as[(Long, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(got.length === docs.length)
+    val byId = docs.toMap
+    got.foreach { case (id, n, h2, bits) =>
+      val counts = byId(id).split(" ", -1).groupBy(identity)
+        .map(_._2.length.toLong)
+      val wantN = counts.sum
+      val wantH2 = wantN * lg2fp(wantN) - counts.map(c => c * lg2fp(c)).sum
+      assert(n === wantN, s"doc $id n_tokens")
+      assert(h2 === wantH2, s"doc $id h2_num")
+      assert(bits === wantH2.toDouble / (1048576.0 * wantN.toDouble))
+      // Σ c·chord(c) ≤ chord(n)·Σc gives H ≥ 0; H ≤ lg2(n) since the
+      // uniform-all-distinct case maxes at chord(n)/FP ≤ log2(n)
+      assert(bits >= 0.0, s"doc $id negative entropy")
+      assert(bits <= math.log(wantN.toDouble) / math.log(2) + 1e-9,
+        s"doc $id entropy above lg2(n)")
+    }
+  }
 }
