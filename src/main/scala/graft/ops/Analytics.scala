@@ -962,6 +962,80 @@ object Analytics extends QueryModule {
                  (1048576.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS psi2
         FROM terms
         GROUP BY na, nb, n_bins
+      """)),
+
+    // ───── mutual information / pointwise MI — feature association ─────
+    // The dataset-card diagnostic "is lang independent of source?": MI₂ =
+    // Σ p(x,y)·log2(p(x,y)/(p(x)p(y))), with each cell's pointwise MI
+    // (PMI) emitted per (lang, source) pair and the corpus MI on a final
+    // '__all' row (the agg_kmv_distinct union-row convention). Chord
+    // log2: pmi2_num = lg2fp(n·c_xy) − lg2fp(c_x·c_y) is an exact BIGINT
+    // (terms are two-sided — a cell BELOW independence is negative, and
+    // the chord's ±0.086-bit wobble can leave the tiny-MI total either
+    // side of zero); the global numerator rides Σ c_xy·pmi2_num. One
+    // fixed-constant division per PMI row, one pinned division for MI₂.
+    // Headroom: log arguments n·c ≤ n² ride BIGINT through bin() — caps
+    // n at ~3e9; past that pre-scale proportions (documented, as PSI).
+    //
+    // Scale shape: one (x, y) count shuffle (partial-agg), marginals
+    // re-aggregate the ≤|X|·|Y| cell frame, scalars broadcast. The cell
+    // domain is value-bounded — the same metadata-class property as the
+    // drift gates.
+    GraftQuery(
+      "stats_mutual_info",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("c"))
+        val cx = cells.groupBy(col("lang")).agg(sum(col("c")).as("cx"))
+        val cy = cells.groupBy(col("source")).agg(sum(col("c")).as("cy"))
+        val n = cells.agg(sum(col("c")).as("n"))
+        val joined = cells.join(cx, "lang").join(cy, "source")
+          .crossJoin(broadcast(n))
+          .select(col("lang"), col("source"), col("c"),
+            (expr(IntMath.lg2fp("n * c")) -
+              expr(IntMath.lg2fp("cx * cy"))).as("pmi2_num"),
+            col("n"))
+        val pairs = joined.select(col("lang"), col("source"), col("c"),
+          col("pmi2_num"),
+          (col("pmi2_num").cast("double") / lit(1048576.0)).as("score"))
+        val global = joined
+          .groupBy(col("n"))
+          .agg(sum(col("c") * col("pmi2_num")).as("mi2_num"))
+          .select(lit("__all").as("lang"), lit("__all").as("source"),
+            col("n").as("c"), col("mi2_num").as("pmi2_num"),
+            (col("mi2_num").cast("double") /
+              (lit(1048576.0) * col("n").cast("double"))).as("score"))
+        pairs.unionByName(global).orderBy(col("lang"), col("source"))
+      },
+      Some(s"""
+        WITH cells AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY lang, source),
+        cx AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY lang),
+        cy AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY source),
+        nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        joined AS (
+          SELECT cells.lang, cells.source, cells.c,
+                 (${IntMath.lg2fpDuck("n * c")}) -
+                   (${IntMath.lg2fpDuck("cx * cy")}) AS pmi2_num,
+                 n
+          FROM cells JOIN cx USING (lang) JOIN cy USING (source)
+          CROSS JOIN nt),
+        pairs AS (
+          SELECT lang, source, c, pmi2_num,
+                 CAST(pmi2_num AS DOUBLE) / 1048576.0 AS score
+          FROM joined),
+        gall AS (
+          SELECT '__all' AS lang, '__all' AS source, n AS c,
+                 CAST(SUM(c * pmi2_num) AS BIGINT) AS pmi2_num,
+                 CAST(SUM(c * pmi2_num) AS DOUBLE) /
+                   (1048576.0 * CAST(n AS DOUBLE)) AS score
+          FROM joined GROUP BY n)
+        SELECT lang, source, c, pmi2_num, score FROM pairs
+        UNION ALL
+        SELECT lang, source, c, pmi2_num, score FROM gall
+        ORDER BY lang, source
       """))
   )
 }

@@ -46,8 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "graph_modularity",
     // 1-row broadcast vocabulary scalar (add-1 smoothing denominator)
     "text_perplexity",
-    // 1-row broadcast smoothed-totals scalar (PSI denominators)
-    "stats_psi_drift")
+    // 1-row broadcast smoothed-totals / corpus-n scalars
+    "stats_psi_drift", "stats_mutual_info")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

@@ -186,4 +186,35 @@ class PropertiesSpec extends SparkSpec {
     assert(row._5 === num.toDouble / (1048576.0 * na.toDouble * nb.toDouble))
     assert(row._5 >= 0.0)
   }
+
+  test("stats_mutual_info: per-pair PMI and the __all MI match brute force") {
+    val FP = 1048576L
+    def lg2fp(n: Long): Long = {
+      val il = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      il * FP + n * FP / (1L << il) - FP
+    }
+    val rows = SparkEntry.queries("stats_mutual_info")(spark, sfTiny)
+      .select($"lang", $"source", $"c", $"pmi2_num", $"score")
+      .as[(String, String, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"lang", $"source").as[(String, String)].collect()
+    val cells = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cx = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cy = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    var mi2 = BigInt(0)
+    val pairRows = rows.filter(_._1 != "__all")
+    assert(pairRows.length === cells.size)
+    pairRows.foreach { case (x, y, c, pmi, score) =>
+      assert(c === cells((x, y)), s"($x,$y) count")
+      val want = lg2fp(n * c) - lg2fp(cx(x) * cy(y))
+      assert(pmi === want, s"($x,$y) pmi")
+      assert(score === want.toDouble / 1048576.0)
+      mi2 += BigInt(c) * want
+    }
+    val all = rows.find(_._1 == "__all").get
+    assert(all._3 === n)
+    assert(all._4 === mi2.toLong)
+    assert(all._5 === mi2.toDouble / (1048576.0 * n.toDouble))
+  }
 }
