@@ -347,6 +347,32 @@ object Layout extends QueryModule {
         FROM documents ORDER BY doc_id
       """)),
 
+    // ───── plain-text sink → line scan → parsed rows ─────
+    // The WET/one-record-per-line shape raw web dumps arrive in: each
+    // doc lands as a single text line (`spark.write.text`), read back
+    // with the line source and re-keyed by parsing a tab-prefixed id —
+    // the minimal schema-on-read contract (everything is a string
+    // until you parse it). Text holds no types, so only (doc_id, text)
+    // round-trips; the oracle reads the original table. The synthetic
+    // corpus is newline-free by construction — a real ingest escapes
+    // embedded newlines upstream (noted, as the format demands).
+    GraftQuery(
+      "src_text_lines",
+      (s, d) => {
+        val tmp = Sources.scratch(d, "textlines_")
+        Tables.documents(s, d)
+          .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(
+            split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+            split(col("value"), "\t", 2).getItem(1).as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, text FROM documents ORDER BY doc_id
+      """)),
+
     // ───── ORC sink → schema'd scan → typed rows ─────
     // The other columnar format a lake serves (Hive/Trino ecosystems
     // hand ORC files around the way parquet moves elsewhere). ORC is
