@@ -787,6 +787,82 @@ object Dedup extends QueryModule {
                COALESCE(c.component, e.vec_id) = e.vec_id AS is_kept
         FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc
         ORDER BY e.vec_id
+      """)),
+
+    // ───── duplicate-line scrub: keep-first line dedup + doc rebuild ─────
+    // The CCNet/RefinedWeb cleaning step that whole-document dedup and
+    // dedup_substring's SCORING both stop short of: remove every
+    // globally-duplicated line from each document and emit the CLEANED
+    // TEXT. "Lines" are fixed 10-token spans (the synthetic corpus is
+    // newline-free; a real WET ingest splits on '\n' instead — the
+    // dataflow is identical either way). Keep-first semantics: a line
+    // survives only at its globally-first occurrence, totally ordered by
+    // (doc_id, idx) packed into one BIGINT (idx < 1e6 — a 10M-token doc
+    // bound, asserted nowhere because the pack would still be ordered,
+    // just coarser). A doc whose every line first occurred elsewhere
+    // comes back with n_kept = 0 and empty text — the row the quality
+    // gate downstream drops.
+    // Scale: the decision dataflow shuffles (doc_id, idx, md5) — 16-byte
+    // digests plus two ints, never line text. Body bytes move exactly
+    // once: the per-doc kept-index SET (ints) equi-joins back to
+    // documents on doc_id, and the rebuild is a higher-order-function
+    // slice over the doc's own token array in place — line text itself
+    // enters no exchange at any point, which is what lets this run at
+    // crawl scale where the duplicated-line mass is a large fraction of
+    // all bytes.
+    GraftQuery(
+      "dedup_lines",
+      (s, d) => {
+        // staged once: the (doc_id, idx, hash) frame feeds both the
+        // first-occurrence aggregate and the keep-decision join
+        val lines = Materialize.stage(Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            explode(expr("sequence(0, (size(toks)-1) div 10)")).as("idx"),
+            col("toks"))
+          .select(col("doc_id"), col("idx"),
+            expr("md5(array_join(slice(toks, idx*10+1, 10), ' '))").as("hsh")))
+        val first = lines.groupBy(col("hsh"))
+          .agg(min(col("doc_id") * 1000000L + col("idx")).as("fk"))
+        val kept = lines.join(first, "hsh")
+          .filter(col("doc_id") * 1000000L + col("idx") === col("fk"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("idx"))).as("keep_idx"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            expr("(size(toks)-1) div 10 + 1").cast("long").as("n_lines"),
+            coalesce(size(col("keep_idx")).cast("long"), lit(0L)).as("n_kept"),
+            coalesce(expr(
+              "array_join(transform(keep_idx, " +
+                "i -> array_join(slice(toks, i*10+1, 10), ' ')), ' ')"),
+              lit("")).as("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        ln AS (
+          SELECT doc_id, UNNEST(generate_series(0, (len(t)-1)//10)) AS idx, t
+          FROM d),
+        lns AS (
+          SELECT doc_id, idx,
+                 array_to_string(t[idx*10+1 : idx*10+10], ' ') AS line
+          FROM ln),
+        h AS (SELECT doc_id, idx, line, md5(line) AS hsh FROM lns),
+        f AS (SELECT hsh, MIN(doc_id*1000000+idx) AS fk FROM h GROUP BY hsh),
+        k AS (
+          SELECT doc_id, idx, line FROM h JOIN f USING (hsh)
+          WHERE doc_id*1000000+idx = fk),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(line, ' ' ORDER BY idx) AS text_clean
+          FROM k GROUP BY doc_id)
+        SELECT d.doc_id, CAST((len(t)-1)//10 + 1 AS BIGINT) AS n_lines,
+               COALESCE(n_kept, 0) AS n_kept,
+               COALESCE(text_clean, '') AS text_clean
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id
       """))
   )
 

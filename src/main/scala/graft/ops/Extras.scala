@@ -333,6 +333,75 @@ object Extras extends QueryModule {
         ORDER BY event_id
       """)),
 
+    // ───── time-series gap fill: dense hourly grid + forward fill ─────
+    // The alignment step every downstream trainer/feature-store wants
+    // from an event stream: resample each user's series onto a dense
+    // hourly grid between their first and last observation, carrying
+    // the last observed value across gaps (LOCF). Per (user, hour) the
+    // representative is the LAST event by (ts_us, event_id) — a total
+    // order, so the pick is engine-independent — selected via
+    // ROW_NUMBER, and the fill itself is last_value(IGNORE NULLS) over
+    // the grid: values are only COPIED, never computed, so doubles
+    // hash-match bit-exactly. The grid's first cell is always observed
+    // (it starts at the user's min bucket), so no leading NULL exists.
+    // Scale: grid volume is Σ_users span-hours — linear in users at
+    // constant per-user span, the shape a real fleet has. Four
+    // key-bounded exchanges, all on (user) or (user, bucket): the
+    // representative rank, the span aggregate, the grid⋈obs equi-join
+    // (AQE broadcasts the span side when small), and the fill window.
+    // Per-task state is one user-partition's grid; no driver action,
+    // no broadcast of the event stream, nothing quadratic anywhere.
+    GraftQuery(
+      "ts_gap_fill",
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .withColumn("bucket", expr("ts_us div 3600000000"))
+        val wRep = Window.partitionBy(col("user_id"), col("bucket"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val rep = b.withColumn("rn", row_number().over(wRep))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("bucket"), col("value").as("obs"))
+        val grid = b.groupBy(col("user_id"))
+          .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+          .select(col("user_id"),
+            explode(expr("sequence(lo, hi)")).as("bucket"))
+        val wFill = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(rep, Seq("user_id", "bucket"), "left")
+          .select(col("user_id"), col("bucket"),
+            last(col("obs"), ignoreNulls = true).over(wFill).as("value_ff"),
+            col("obs").isNotNull.as("observed"))
+          .orderBy(col("user_id"), col("bucket"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
+                 (epoch_ns(ts) // 1000) // 3600000000 AS bucket
+          FROM events),
+        rep AS (
+          SELECT user_id, bucket, value AS obs FROM (
+            SELECT user_id, bucket, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                     ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM b) t WHERE rn = 1),
+        grid AS (
+          SELECT user_id, UNNEST(generate_series(lo, hi)) AS bucket
+          FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+                FROM b GROUP BY user_id) s0),
+        j AS (
+          SELECT g.user_id, g.bucket, r.obs
+          FROM grid g LEFT JOIN rep r
+            ON g.user_id = r.user_id AND g.bucket = r.bucket)
+        SELECT user_id, bucket,
+               LAST_VALUE(obs IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+               obs IS NOT NULL AS observed
+        FROM j ORDER BY user_id, bucket
+      """)),
+
     // ───── equi-width histogram: the profiling companion ─────
     // 20 equal-width buckets over l_extendedprice. min/max arrive as a
     // broadcast 1-row aggregate (the watermark-filter pattern — no

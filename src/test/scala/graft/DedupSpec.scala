@@ -323,4 +323,38 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0L) === sigs(1L))
     assert(sigs(0L) !== sigs(3L))
   }
+
+  test("dedup_lines keeps first occurrence only and rebuilds cleaned text") {
+    val d = scratchDir("dedup_lines")
+    // 10-token "lines" by construction: A and B and C are each exactly
+    // one line; doc 0 owns A+B, doc 1 repeats A then adds C, doc 2 is
+    // nothing but A — the all-duplicate document.
+    val lineA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val lineB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val lineC = (1 to 10).map(i => s"c$i").mkString(" ")
+    Seq(
+      (0L, s"$lineA $lineB", "en", "s0", 0L),
+      (1L, s"$lineA $lineC", "en", "s1", 0L),
+      (2L, lineA, "en", "s2", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("dedup_lines")(spark, d)
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows(0) === ((0L, 2L, 2L, s"$lineA $lineB")))
+    assert(rows(1) === ((1L, 2L, 1L, lineC)))
+    assert(rows(2) === ((2L, 1L, 0L, "")))
+  }
+
+  test("dedup_lines: a doc's own internal repeat collapses to one copy") {
+    val d = scratchDir("dedup_lines_self")
+    val lineA = (1 to 10).map(i => s"x$i").mkString(" ")
+    Seq((7L, s"$lineA $lineA", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("dedup_lines")(spark, d)
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+    assert(r.toSeq === Seq((7L, 2L, 1L, lineA)))
+  }
 }
