@@ -30,6 +30,22 @@ final case class DriftState(bins: Map[Long, Long])
 final case class DriftReport(win_start_us: Long, n_obs: Long,
     d_num: Double, d_stat: Double, drifted: Boolean)
 
+/** Per-user gap-fill state: the OPEN buckets' best observation keyed by
+  * bucket (`(tsUs, eventId, value)` — max by the (ts, event_id) total
+  * order), plus the last CLOSED bucket already emitted and its value
+  * (the LOCF carry). `lastBucket` = Long.MinValue until the user's
+  * first bucket closes.
+  */
+final case class GapFillState(
+    open: Map[Long, (Long, Long, Double)],
+    lastBucket: Long, lastVal: Double)
+
+/** One emitted grid cell: `observed` = a real event's value, else the
+  * LOCF carry across a gap bucket.
+  */
+final case class GapFillRow(user_id: Long, bucket: Long,
+    value_ff: Double, observed: Boolean)
+
 /** Structured-Streaming re-expression of the reference's incremental
   * pipeline (SURVEY.md §7.3 step 6): the hand-rolled high-watermark
   * (read sink MAX → filter → append, weather_task.py:70-99) collapses
@@ -227,6 +243,87 @@ object StreamingPipeline extends Serializable {
         floor(col("value") / lit(binWidth)).cast("long").as("bin"))
       .groupByKey(r => r.getAs[Long]("win_start"))(Encoders.scalaLong)
       .flatMapGroupsWithState[DriftState, DriftReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Streaming time-series gap fill — the streaming deployment of the
+    * batch `ts_gap_fill` query: per user, one row per hourly bucket,
+    * observed buckets carrying the LAST event's value (total order by
+    * (ts_us, event_id), the batch representative pick) and gap buckets
+    * carrying the previous value forward (LOCF). A bucket emits when
+    * the watermark passes its end, so the representative is final —
+    * and, matching the batch grid (min..max bucket per user), a gap
+    * fills RETROACTIVELY when the next later observation's bucket
+    * closes: a user's trailing silence emits nothing, because the grid
+    * ends at their last observation. Rows emit exactly once
+    * (`lastBucket` advances monotonically).
+    *
+    * State per user: the open-bucket map — bounded by the watermark
+    * horizon over the bucket width (out-of-order arrivals inside the
+    * horizon land in ≤ horizon/bucket + 1 buckets) — plus two longs
+    * and a double once closed. The O(1) tail persists so a gap of any
+    * length fills correctly on the next arrival; production retires
+    * dormant users with a TTL on top (noted, not modeled — the
+    * fixture fleet is finite).
+    */
+  def gapFilled(
+      typed: DataFrame,
+      bucketUs: Long = 3600L * 1000000L,
+      watermark: String = "1 hour"): org.apache.spark.sql.Dataset[GapFillRow] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[GapFillState]
+    implicit val outEnc   = Encoders.product[GapFillRow]
+
+    def update(userId: Long, rows: Iterator[Row],
+        state: GroupState[GapFillState]): Iterator[GapFillRow] = {
+      var s = state.getOption.getOrElse(
+        GapFillState(Map.empty, Long.MinValue, 0.0))
+      if (!state.hasTimedOut) rows.foreach { r =>
+        val (ts, eid, v) =
+          (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"),
+            r.getAs[Double]("value"))
+        val b = ts / bucketUs
+        // watermark-late rows for already-closed buckets cannot arrive
+        // (that is the watermark contract); guard the boundary anyway
+        if (b > s.lastBucket) {
+          val keep = s.open.get(b) match {
+            case Some((ots, oeid, _)) =>
+              ts > ots || (ts == ots && eid > oeid)
+            case None => true
+          }
+          if (keep) s = s.copy(open = s.open.updated(b, (ts, eid, v)))
+        }
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val closing = s.open.keys.filter(b => (b + 1) * bucketUs <= wmUs)
+        .toSeq.sorted
+      val out = Seq.newBuilder[GapFillRow]
+      closing.foreach { b =>
+        if (s.lastBucket != Long.MinValue)
+          ((s.lastBucket + 1) until b).foreach { g =>
+            out += GapFillRow(userId, g, s.lastVal, observed = false)
+          }
+        val v = s.open(b)._3
+        out += GapFillRow(userId, b, v, observed = true)
+        s = GapFillState(s.open - b, b, v)
+      }
+      state.update(s)
+      if (s.open.nonEmpty)
+        // wake when the earliest open bucket's end passes the watermark
+        // (never at-or-below the current watermark — Spark rejects it)
+        state.setTimeoutTimestamp(math.max(
+          (s.open.keys.min + 1) * bucketUs / 1000L,
+          state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
+
+    typed
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[GapFillState, GapFillRow](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 

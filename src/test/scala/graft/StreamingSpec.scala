@@ -568,4 +568,61 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("drift").count() === 2L)
     } finally q.stop()
   }
+
+  test("streaming gap fill: LOCF grid matching the batch ts_gap_fill shape") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val typed = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val q = StreamingPipeline.gapFilled(typed)
+      .writeStream.format("memory").queryName("gap_fill")
+      .outputMode("append").start()
+    try {
+      val h   = 3_600_000_000L
+      val min = 60L * 1000000L
+      val t0  = 86400L * 1000000L // absolute bucket 24
+      // user 1: two events in hour 24 (the later must represent it),
+      // one in hour 27 — hours 25-26 are the gap to fill
+      mem.addData(
+        (1L, t0 + 6 * min, 1L, "view", 1.5),
+        (2L, t0 + 40 * min, 1L, "click", 2.5),
+        (3L, t0 + 3 * h + 42 * min, 1L, "view", 9.0))
+      q.processAllAvailable()
+      // batch 1's own watermark advance (max event − 1h = t0+2h42m)
+      // closes bucket 24 via the follow-up no-data batch; the h27
+      // bucket and the gap behind it stay open
+      assert(spark.table("gap_fill")
+        .select($"user_id", $"bucket", $"value_ff", $"observed")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+        === Set((1L, 24L, 2.5, true)))
+      // sentinel traffic advances the watermark; user 1 emits via the
+      // event-time timeout arm without ever sending another event
+      mem.addData((100L, t0 + 10 * h, 2L, "view", 4.0))
+      q.processAllAvailable()
+      mem.addData((101L, t0 + 12 * h, 2L, "view", 4.5))
+      q.processAllAvailable()
+      val got = spark.table("gap_fill")
+        .select($"user_id", $"bucket", $"value_ff", $"observed")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(got === Set(
+        (1L, 24L, 2.5, true),  // later in-bucket event wins
+        (1L, 25L, 2.5, false), // gap: carried forward
+        (1L, 26L, 2.5, false),
+        (1L, 27L, 9.0, true)))
+      // the sentinel user's own trailing bucket stays open: the grid
+      // ends at the last CLOSED observation, like the batch query's
+      // min..max bucket span — and closed cells never re-emit
+      mem.addData((102L, t0 + 13 * h, 2L, "view", 5.0))
+      q.processAllAvailable()
+      val after = spark.table("gap_fill")
+        .select($"user_id", $"bucket", $"value_ff", $"observed")
+        .as[(Long, Long, Double, Boolean)].collect()
+      assert(after.count(_._1 == 1L) === 4, "user 1 rows emit exactly once")
+      // user 2's bucket 34 (t0+10h) closed once wm passed t0+12h; its
+      // gap to bucket 36 fills only when a later bucket closes
+      assert(after.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSet
+        === Set((34L, 4.0, true)))
+    } finally q.stop()
+  }
 }
