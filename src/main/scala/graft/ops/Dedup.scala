@@ -813,11 +813,26 @@ object Dedup extends QueryModule {
     GraftQuery(
       "dedup_lines",
       (s, d) => {
+        // The ONE body exchange: the narrow (doc_id, text) projection —
+        // NOT the token array, whose per-element serialization overhead
+        // measured ~1.8× the raw string — hash-partitioned on doc_id,
+        // split after the shuffle, and staged so BOTH consumers (the
+        // line explode and the final rebuild join) read the same cache:
+        // the 100× probe caught the array-shaped exchange being
+        // re-read twice around the final join (AQE materialization),
+        // doubling the body bytes moved. Staging the post-shuffle
+        // frame also leaves it hash(doc_id)-partitioned, which is
+        // exactly `kept`'s groupBy partitioning — the rebuild join
+        // plans with no further exchange on either side. (At real
+        // cluster scale the cache becomes exchange-reuse; the
+        // dataflow is identical.)
+        val toks = Materialize.stage(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks")))
         // staged once: the (doc_id, idx, hash) frame feeds both the
         // first-occurrence aggregate and the keep-decision join
-        val lines = Materialize.stage(Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        val lines = Materialize.stage(toks
           .select(col("doc_id"),
             explode(expr("sequence(0, (size(toks)-1) div 10)")).as("idx"),
             col("toks"))
@@ -829,8 +844,7 @@ object Dedup extends QueryModule {
           .filter(col("doc_id") * 1000000L + col("idx") === col("fk"))
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(col("idx"))).as("keep_idx"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        toks
           .join(kept, Seq("doc_id"), "left")
           .select(col("doc_id"),
             expr("(size(toks)-1) div 10 + 1").cast("long").as("n_lines"),
