@@ -402,6 +402,128 @@ object Extras extends QueryModule {
         FROM j ORDER BY user_id, bucket
       """)),
 
+    // ───── OHLC resample: the downsampling half of the ts family ─────
+    // Per (user, hour): open/close = the first/last event's value by
+    // the (ts_us, event_id) total order (selected via two ROW_NUMBERs
+    // inside one shuffle partition — same partition spec, opposite
+    // orders, so Catalyst plans one exchange and two in-partition
+    // sorts), high/low = value extremes (comparisons only — doubles
+    // never enter arithmetic), volume = exact integer-cent sum riding
+    // DECIMAL. The finance-bar shape, but equally the downsample step
+    // a feature store runs before ts_gap_fill aligns the grid. One
+    // shuffle on the user key; per-group state is O(1).
+    GraftQuery(
+      "ts_resample_ohlc",
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("value"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .withColumn("bucket", expr("ts_us div 3600000000"))
+        val pw = Window.partitionBy(col("user_id"), col("bucket"))
+        val withRn = b
+          .withColumn("rn_a", row_number().over(
+            pw.orderBy(col("ts_us").asc, col("event_id").asc)))
+          .withColumn("rn_d", row_number().over(
+            pw.orderBy(col("ts_us").desc, col("event_id").desc)))
+        withRn.groupBy(col("user_id"), col("bucket"))
+          .agg(
+            max(when(col("rn_a") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rn_d") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n_events"),
+            sum(col("cents")).cast("long").as("vol_cents"))
+          .orderBy(col("user_id"), col("bucket"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                 (epoch_ns(ts) // 1000) // 3600000000 AS bucket
+          FROM events),
+        r AS (
+          SELECT user_id, bucket, value, cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                   ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                   ORDER BY ts_us DESC, event_id DESC) AS rn_d
+          FROM b)
+        SELECT user_id, bucket,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high, MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS vol_cents
+        FROM r GROUP BY user_id, bucket
+        ORDER BY user_id, bucket
+      """)),
+
+    // ───── 8-tap half-life EWMA: the smoothing third of the family ─────
+    // The classic α = 1/2 exponential smoother spelled as a FINITE
+    // 8-tap kernel so it is exactly computable (the tail past 8 lags
+    // weighs < 2⁻⁸ of the newest point): over the trailing ≤8-row
+    // frame F (oldest→newest), weight of F[k] is 2^(lag) from the
+    // literal array [1,2,…,128] — newest 128, halving backwards — and
+    // ewma = Σ cents·w / Σ w in ONE double division over exact
+    // integer sums. No pow(), no shifts: the weights are an inline
+    // array literal both engines index identically (1-based in the
+    // oracle, bridged by the bracket scanner). Leading short frames
+    // self-normalize over the present taps. One shuffle on the user
+    // key, one ordered scan; per-row state is the 8-value frame — the
+    // streaming-friendly bound, same class as win_rolling_median.
+    GraftQuery(
+      "win_ewma_halflife",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(-7, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .withColumn("f", collect_list(col("cents")).over(w))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            expr("""
+              CAST(aggregate(zip_with(f,
+                     slice(array(1L,2L,4L,8L,16L,32L,64L,128L),
+                           9 - size(f), size(f)),
+                     (x, wt) -> x * wt), 0L, (a, b) -> a + b) AS DOUBLE)
+              / aggregate(slice(array(1L,2L,4L,8L,16L,32L,64L,128L),
+                           9 - size(f), size(f)), 0L, (a, b) -> a + b)
+            """).as("ewma"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        f AS (
+          SELECT event_id, user_id, ts_us,
+                 list(cents) OVER (PARTITION BY user_id
+                   ORDER BY ts_us ASC, event_id ASC
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fr
+          FROM e)
+        SELECT event_id, user_id, ts_us,
+               CAST(list_reduce(list_transform(generate_series(1, len(fr)),
+                      k -> fr[k] * (CASE 8 - len(fr) + k
+                        WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4
+                        WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32
+                        WHEN 7 THEN 64 ELSE 128 END)),
+                      (a, b) -> a + b) AS DOUBLE)
+               / list_reduce(list_transform(generate_series(1, len(fr)),
+                      k -> (CASE 8 - len(fr) + k
+                        WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4
+                        WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32
+                        WHEN 7 THEN 64 ELSE 128 END)),
+                      (a, b) -> a + b) AS ewma
+        FROM f ORDER BY event_id
+      """)),
+
     // ───── equi-width histogram: the profiling companion ─────
     // 20 equal-width buckets over l_extendedprice. min/max arrive as a
     // broadcast 1-row aggregate (the watermark-filter pattern — no

@@ -43,6 +43,27 @@ class TimeseriesSpec extends SparkSpec {
     ))
   }
 
+  test("ts_resample_ohlc: first/last by total order, extremes, exact volume") {
+    val got = SparkEntry.queries("ts_resample_ohlc")(spark, dir)
+      .select("user_id", "bucket", "open", "high", "low", "close",
+        "n_events", "vol_cents")
+      .as[(Long, Long, Double, Double, Double, Double, Long, Long)]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 1.5, 2.5, 1.5, 2.5, 2L, 400L), // open=early, close=late
+      (1L, 3L, 9.0, 9.0, 9.0, 9.0, 1L, 900L),
+      (2L, 7L, 4.0, 4.0, 4.0, 4.0, 1L, 400L)))
+  }
+
+  test("win_ewma_halflife: halving kernel, short leading frames self-normalize") {
+    val got = SparkEntry.queries("win_ewma_halflife")(spark, dir)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(got(0L) === 150.0)                // single tap
+    assert(got(1L) === 41600.0 / 192.0)      // [150·64 + 250·128] / 192
+    assert(got(2L) === 136000.0 / 224.0)     // [150·32 + 250·64 + 900·128] / 224
+    assert(got(3L) === 400.0)
+  }
+
   test("ts_gap_fill: first grid cell is always observed (no leading null)") {
     val head = SparkEntry.queries("ts_gap_fill")(spark, dir)
       .groupBy("user_id").agg(
