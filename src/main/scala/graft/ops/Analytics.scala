@@ -1036,6 +1036,116 @@ object Analytics extends QueryModule {
         UNION ALL
         SELECT lang, source, c, pmi2_num, score FROM gall
         ORDER BY lang, source
+      """)),
+
+    // ───── sliced ROC-AUC: per-cohort ranking quality, exact midranks ─────
+    // The model-eval table every scoring pipeline reports: does `value`
+    // rank click events above non-clicks, per user cohort (user_id % 4 —
+    // the slice key a real harness swaps for language/domain/market)?
+    // AUC = P(score of a random positive > random negative) is exactly
+    // the Mann–Whitney U normalized by np·nn, so the doubled-rank
+    // machinery of stats_mann_whitney applies verbatim — midranks for
+    // ties, every product on DECIMAL(38,0)/HUGEINT, one pinned division
+    // per cohort for the final AUC.
+    //
+    // What is NEW vs stats_mann_whitney's global test: the rank walk is
+    // PARTITIONED BY cohort — each segment's cumulative-count window is
+    // its own partition, so the value-domain scans run in parallel
+    // across slices instead of one global single-partition pass. That
+    // is the sliced-eval shape at fleet scale: thousands of cohorts ⇒
+    // thousands of independent walks, each bounded by its own distinct-
+    // value count. One count-per-(seg, value) shuffle feeds everything.
+    GraftQuery(
+      "stats_auc",
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .select(expr("user_id % 4").as("seg"), col("value").as("v"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("is_p"))
+          .groupBy(col("seg"), col("v"))
+          .agg(sum(col("is_p")).as("cp"), sum(lit(1L) - col("is_p")).as("cn"))
+          .withColumn("cnt", col("cp") + col("cn"))
+        val w = Window.partitionBy(col("seg")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = g.select(col("seg"), col("cp"), col("cn"),
+          (lit(2L) * (sum(col("cnt")).over(w) - col("cnt")) +
+            col("cnt") + lit(1L)).cast(DecimalType(38, 0)).as("dm"))
+        ranked.groupBy(col("seg"))
+          .agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+            sum(col("cp").cast(DecimalType(38, 0)) * col("dm")).as("r2p"))
+          .select(col("seg"), col("np"), col("nn"),
+            (col("r2p") - col("np").cast(DecimalType(38, 0)) *
+              (col("np") + lit(1L))).as("u2d"))
+          .select(col("seg"), col("np"), col("nn"),
+            col("u2d").cast("double").as("u2"),
+            (col("u2d").cast("double") /
+              (lit(2.0) * col("np").cast("double") * col("nn").cast("double")))
+              .as("auc"))
+          .orderBy(col("seg"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id % 4 AS seg, value AS v,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT seg, cp, cn,
+                 CAST(2 * (SUM(cp + cn) OVER (PARTITION BY seg ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (cp + cn)) + (cp + cn) + 1 AS HUGEINT) AS dm
+          FROM g),
+        a AS (
+          SELECT seg, CAST(SUM(cp) AS BIGINT) AS np,
+                 CAST(SUM(cn) AS BIGINT) AS nn,
+                 CAST(SUM(CAST(cp AS HUGEINT) * dm) AS HUGEINT) AS r2p
+          FROM r GROUP BY seg)
+        SELECT seg, np, nn,
+               CAST(r2p - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE) AS u2,
+               CAST(r2p - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE) /
+                 (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+        FROM a ORDER BY seg
+      """)),
+
+    // ───── calibration reliability table — is the score a probability? ─────
+    // The companion diagnostic to stats_auc: AUC measures RANKING, this
+    // measures CALIBRATION (Guo et al. 2017's reliability diagram as a
+    // table). Events bucket by score band (fixed-width bands of `value`,
+    // top band clamped); per band the table reports volume, the exact
+    // positive rate in ppm (integer floor division — no float ratio),
+    // and the band's mean score via the DECIMAL(18,2) exact-sum doctrine
+    // with ONE pinned double division. A calibrated scorer has pos_ppm
+    // tracking mean_score; the gap per band is the ECE summand the
+    // monitoring gate thresholds.
+    //
+    // Scale: one count shuffle on the band key (partial-agg map-side),
+    // output rows = band count (10) regardless of corpus size —
+    // metadata-class, same as stats_histogram.
+    GraftQuery(
+      "stats_calibration",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(
+            expr("least(CAST(floor(value / 50.0) AS BIGINT), 9L)").as("band"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("is_p"),
+            expr("CAST(value AS DECIMAL(18,2))").as("vd"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), sum(col("is_p")).as("n_pos"),
+            sum(col("vd")).as("sv"))
+          .select(col("band"), col("n"), col("n_pos"),
+            expr("n_pos * 1000000L DIV n").as("pos_ppm"),
+            (col("sv").cast("double") / col("n").cast("double"))
+              .as("mean_score"))
+          .orderBy(col("band"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS band,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_p,
+                 CAST(value AS DECIMAL(18,2)) AS vd
+          FROM events)
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(is_p) AS BIGINT) AS n_pos,
+               CAST(SUM(is_p) AS BIGINT) * 1000000 // COUNT(*) AS pos_ppm,
+               CAST(SUM(vd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score
+        FROM b GROUP BY band ORDER BY band
       """))
   )
 }

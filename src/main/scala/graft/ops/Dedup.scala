@@ -877,6 +877,85 @@ object Dedup extends QueryModule {
                COALESCE(n_kept, 0) AS n_kept,
                COALESCE(text_clean, '') AS text_clean
         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+      """)),
+
+    // ───── boilerplate scrub: remove EVERY occurrence of shared lines ─────
+    // The other half of the line-level cleaning pass (RefinedWeb's
+    // "duplicated-line removal", CCNet's boilerplate filter): a line
+    // whose hash occurs in ≥2 DISTINCT documents is chrome — nav bars,
+    // footers, license blurbs, template headers — and is scrubbed from
+    // ALL documents, first occurrence included. That is the exact
+    // complement of dedup_lines' keep-first semantics (which preserves
+    // one canonical copy): dedup targets redundancy, this targets
+    // content that was never document-specific to begin with. A line
+    // repeated only WITHIN one doc has distinct-doc count 1 and
+    // survives — that redundancy is dedup_lines' job. Threshold 2 is
+    // the conservative floor; production crawls raise it per shard.
+    // Lines are the same fixed 10-token spans as dedup_lines (the
+    // synthetic corpus is newline-free; a WET ingest splits on '\n').
+    //
+    // Scale: identical dataflow to dedup_lines — the decision plane
+    // shuffles (doc_id, idx, md5) digests only; the distinct-doc count
+    // collapses within-doc repeats map-side (partial distinct on
+    // (hsh, doc_id)); body bytes move exactly once via the staged
+    // narrow (doc_id, source, text) exchange that both the line
+    // explode and the rebuild join read, pre-partitioned on doc_id so
+    // the rebuild plans with no further exchange.
+    GraftQuery(
+      "curate_boilerplate",
+      (s, d) => {
+        val toks = Materialize.stage(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks")))
+        val lines = Materialize.stage(toks
+          .select(col("doc_id"),
+            explode(expr("sequence(0, (size(toks)-1) div 10)")).as("idx"),
+            col("toks"))
+          .select(col("doc_id"), col("idx"),
+            expr("md5(array_join(slice(toks, idx*10+1, 10), ' '))").as("hsh")))
+        val boiler = lines.groupBy(col("hsh"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("hsh"))
+        val kept = lines.join(boiler, Seq("hsh"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("idx"))).as("keep_idx"))
+        toks
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            expr("(size(toks)-1) div 10 + 1").cast("long").as("n_lines"),
+            coalesce(size(col("keep_idx")).cast("long"), lit(0L)).as("n_kept"),
+            coalesce(expr(
+              "array_join(transform(keep_idx, " +
+                "i -> array_join(slice(toks, i*10+1, 10), ' ')), ' ')"),
+              lit("")).as("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                   FROM documents),
+        ln AS (
+          SELECT doc_id, UNNEST(generate_series(0, (len(t)-1)//10)) AS idx, t
+          FROM d),
+        lns AS (
+          SELECT doc_id, idx,
+                 array_to_string(t[idx*10+1 : idx*10+10], ' ') AS line
+          FROM ln),
+        h AS (SELECT doc_id, idx, line, md5(line) AS hsh FROM lns),
+        b AS (SELECT hsh FROM h GROUP BY hsh
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+        k AS (SELECT doc_id, idx, line FROM h
+              WHERE hsh NOT IN (SELECT hsh FROM b)),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(line, ' ' ORDER BY idx) AS text_clean
+          FROM k GROUP BY doc_id)
+        SELECT d.doc_id, d.source,
+               CAST((len(t)-1)//10 + 1 AS BIGINT) AS n_lines,
+               COALESCE(n_kept, 0) AS n_kept,
+               COALESCE(text_clean, '') AS text_clean
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id
       """))
   )
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftQuery, QueryModule, Tables}
+import graft.{GraftQuery, Materialize, QueryModule, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -165,6 +165,74 @@ object Extras extends QueryModule {
         FROM shingles GROUP BY shingle
         ORDER BY doc_freq DESC, shingle ASC
         LIMIT 20
+      """)),
+
+    // ───── Zipf slope: is this corpus natural language? ─────
+    // Natural text follows Zipf's law (frequency ∝ rank^-s, s ≈ 1);
+    // spam, machine chrome, and template floods flatten or break the
+    // curve, so the fitted exponent is a standard corpus-health gate in
+    // crawl pipelines. The estimator is the two-point slope between
+    // rank 1 and rank 2^j: s_j = (log2 f₁ − log2 f_{2^j}) / j, at the
+    // power-of-two anchors j = 1..4 (rank 16 is the deepest anchor this
+    // synthetic 31-word vocabulary guarantees; a real corpus extends the
+    // anchor ladder, same plan). log2 is the exact chord-log2 fixed
+    // point (IntMath — no libm), the division by j is integer-exact,
+    // and ONE pinned cast emits the float slope per anchor.
+    //
+    // Scale: one token-count shuffle (partial-agg map-side — counts,
+    // never text, cross the wire), then a TakeOrdered top-16 heap; the
+    // rank window runs over the 16-row result, not the vocabulary. The
+    // diagnostic is O(scan) + O(vocab) like text_vocab_coverage.
+    GraftQuery(
+      "text_zipf_slope",
+      (s, d) => {
+        val top = Materialize.stage(
+          Tables.documents(s, d)
+            .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+              .as("token"))
+            .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+            .orderBy(col("freq").desc, col("token").asc)
+            .limit(16)
+            // post-heap rank: the window sees 16 rows, never the vocab
+            .withColumn("rnk", row_number().over(
+              Window.orderBy(col("freq").desc, col("token").asc))))
+        val f1 = top.filter(col("rnk") === 1).select(col("freq").as("f1"))
+        top.filter(col("rnk").isin(2, 4, 8, 16))
+          .crossJoin(broadcast(f1))
+          .select(
+            expr("CASE rnk WHEN 2 THEN 1L WHEN 4 THEN 2L WHEN 8 THEN 3L ELSE 4L END")
+              .as("j"),
+            col("rnk"), col("freq"),
+            expr(s"((${IntMath.lg2fp("f1")}) - (${IntMath.lg2fp("freq")})) DIV " +
+              "(CASE rnk WHEN 2 THEN 1L WHEN 4 THEN 2L WHEN 8 THEN 3L ELSE 4L END)")
+              .as("slope_fp"))
+          .withColumn("slope", col("slope_fp").cast("double") / lit(1048576.0))
+          .orderBy(col("rnk"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT t AS token FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+          WHERE t <> ''),
+        cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM tok GROUP BY token),
+        top AS (
+          SELECT token, freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rnk
+          FROM cnt ORDER BY freq DESC, token ASC LIMIT 16),
+        f1 AS (SELECT freq AS f1 FROM top WHERE rnk = 1)
+        SELECT CAST(CASE rnk WHEN 2 THEN 1 WHEN 4 THEN 2 WHEN 8 THEN 3
+                    ELSE 4 END AS BIGINT) AS j,
+               rnk, freq,
+               ((${IntMath.lg2fpDuck("f1")}) - (${IntMath.lg2fpDuck("freq")})) //
+                 (CASE rnk WHEN 2 THEN 1 WHEN 4 THEN 2 WHEN 8 THEN 3
+                  ELSE 4 END) AS slope_fp,
+               CAST(((${IntMath.lg2fpDuck("f1")}) - (${IntMath.lg2fpDuck("freq")})) //
+                 (CASE rnk WHEN 2 THEN 1 WHEN 4 THEN 2 WHEN 8 THEN 3
+                  ELSE 4 END) AS DOUBLE) / 1048576.0 AS slope
+        FROM top CROSS JOIN f1
+        WHERE rnk IN (2, 4, 8, 16)
+        ORDER BY rnk
       """)),
 
     // ───── corpus-frequency familiarity: a rule-ladder quality signal ─────
@@ -461,6 +529,83 @@ object Extras extends QueryModule {
         ORDER BY user_id, bucket
       """)),
 
+    // ───── robust anomaly gate: per-user median/MAD (Hampel filter) ─────
+    // The outlier screen a telemetry or feature pipeline runs before
+    // training ever sees the series: flag events whose deviation from
+    // the user's median exceeds 4× the median absolute deviation.
+    // Median/MAD, not mean/stddev, because one corrupt reading drags a
+    // mean arbitrarily (breakdown point 0) while the median tolerates
+    // 50% contamination — the textbook Hampel identifier.
+    // Both "medians" are the LOWER-median order statistic (rank
+    // (n+1) div 2 under a total order), NOT the interpolated median —
+    // engines define even-count interpolation differently, but a
+    // selected order statistic is a COPIED value, engine-independent.
+    // The only arithmetic on doubles is abs(value − med) (one IEEE
+    // subtract, identical both engines) and the 4×mad threshold
+    // (multiply by a power of two — exact); everything else is
+    // comparison and copy, so the result hash-matches bit-for-bit.
+    //
+    // Scale: ONE exchange on the user key feeds everything — the rank
+    // window, the median filter (a derived frame, so the med⋈events
+    // join is co-partitioned with no further exchange), the deviation
+    // rank, and the final per-user aggregate. Per-task state is one
+    // user-partition's sort; no broadcast of the stream, no driver
+    // state, nothing quadratic — the same single-shuffle class as
+    // ts_resample_ohlc.
+    GraftQuery(
+      "ts_anomaly_mad",
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"))
+        val r1 = b
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("value").asc, col("event_id").asc)))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("user_id"))))
+        val med = r1.filter(expr("rn = (n + 1) div 2"))
+          .select(col("user_id"), col("n"), col("value").as("med"))
+        val dev = r1.select(col("user_id"), col("value"))
+          .join(med, Seq("user_id"))
+          .select(col("user_id"), col("n"), col("med"),
+            abs(col("value") - col("med")).as("dev"))
+        val r2 = dev.withColumn("rn2", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("dev").asc)))
+        val mad = r2.filter(expr("rn2 = (n + 1) div 2"))
+          .select(col("user_id"), col("dev").as("mad"))
+        dev.join(mad, Seq("user_id"))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(when(col("dev") > lit(4.0) * col("mad"), 1L)
+              .otherwise(0L)).as("n_anom"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, event_id, value FROM events),
+        r AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM v),
+        m AS (SELECT user_id, n, value AS med FROM r WHERE rn = (n+1)//2),
+        dv AS (
+          SELECT r.user_id, m.n, m.med, ABS(r.value - m.med) AS dev
+          FROM r JOIN m USING (user_id)),
+        r2 AS (
+          SELECT user_id, n, med, dev,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev) AS rn2
+          FROM dv),
+        md AS (SELECT user_id, dev AS mad FROM r2 WHERE rn2 = (n+1)//2)
+        SELECT d.user_id, MAX(d.n) AS n, MAX(d.med) AS med,
+               MAX(md.mad) AS mad,
+               CAST(SUM(CASE WHEN d.dev > 4 * md.mad THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_anom
+        FROM dv d JOIN md USING (user_id)
+        GROUP BY d.user_id ORDER BY d.user_id
+      """)),
+
     // ───── 8-tap half-life EWMA: the smoothing third of the family ─────
     // The classic α = 1/2 exponential smoother spelled as a FINITE
     // 8-tap kernel so it is exactly computable (the tail past 8 lags
@@ -522,6 +667,83 @@ object Extras extends QueryModule {
                         WHEN 7 THEN 64 ELSE 128 END)),
                       (a, b) -> a + b) AS ewma
         FROM f ORDER BY event_id
+      """)),
+
+    // ───── CUSUM drift detector: the changepoint gate of the family ─────
+    // Page's cumulative-sum test, the standard "did this series shift
+    // level?" monitor: track S_t = Σ (xᵢ − baseline) and report the
+    // maximum excursion above the running minimum, max_t (S_t − min_{s≤t}
+    // S_s) — large when the series drifts UP from its baseline and ~0
+    // when it wanders. Baseline here is the user's FIRST observation
+    // ("has the series left its starting level"); a production deploy
+    // swaps in the in-control mean. Values ride exact integer cents
+    // (DECIMAL(18,2)·100 — the ts_resample_ohlc doctrine), so running
+    // sums, running minima, and the max excursion are all BIGINT-exact
+    // and hash-match by construction; the changepoint is the excursion
+    // argmax under a total order (stat DESC, ts ASC, event_id ASC) — a
+    // copied value, never interpolated. The 100 000-cent flag threshold
+    // sits at this corpus's median excursion; monitors tune it per
+    // series class.
+    //
+    // Scale: ONE exchange on the user key feeds all three window passes
+    // (running sum, running min, argmax rank — same partition spec, so
+    // Catalyst plans one shuffle + in-partition sorts) and the final
+    // per-user aggregate; per-task state is O(1) per row. Same
+    // single-shuffle class as ts_resample_ohlc / ts_anomaly_mad.
+    GraftQuery(
+      "win_cusum_drift",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val b = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+        val st = b
+          .withColumn("s_t",
+            sum(col("cents")).over(w) -
+              first(col("cents")).over(w) * count(lit(1)).over(w))
+          .withColumn("stat", col("s_t") - min(col("s_t")).over(w))
+        val ranked = st.withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("stat").desc, col("ts_us").asc, col("event_id").asc)))
+        ranked.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            max(col("stat")).as("cusum_max"),
+            max(when(col("rk") === 1, col("ts_us"))).as("cp_ts_us"),
+            (max(col("stat")) > lit(100000L)).as("drifted"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        f AS (
+          SELECT user_id, event_id, ts_us,
+                 SUM(cents) OVER w -
+                   FIRST_VALUE(cents) OVER w * (ROW_NUMBER() OVER w) AS s_t
+          FROM b
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        g AS (
+          SELECT user_id, event_id, ts_us,
+                 CAST(s_t - MIN(s_t) OVER w2 AS BIGINT) AS stat
+          FROM f
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        r AS (
+          SELECT user_id, ts_us, stat,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY stat DESC, ts_us ASC, event_id ASC) AS rk
+          FROM g)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(stat) AS cusum_max,
+               MAX(CASE WHEN rk = 1 THEN ts_us END) AS cp_ts_us,
+               MAX(stat) > 100000 AS drifted
+        FROM r GROUP BY user_id ORDER BY user_id
       """)),
 
     // ───── equi-width histogram: the profiling companion ─────

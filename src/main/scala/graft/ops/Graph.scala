@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{GraftQuery, Materialize, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -614,6 +615,136 @@ object Graph extends QueryModule {
                  (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS q_contrib
         FROM j CROSS JOIN mt
         ORDER BY community
-      """))
+      """)),
+
+    // ───── k-core: the degeneracy peel — who survives dense-subgraph cut ─────
+    // The robustness screen a graph pipeline runs before community or
+    // embedding work: repeatedly delete every node with degree < k until
+    // none remains; what survives is the k-core (Seidman 1983), the
+    // maximal subgraph of minimum degree k. k = 20 sits just under this
+    // graph's degeneracy (k = 21 dissolves it entirely at sf0.01), so
+    // the peel cascades through a genuinely deep round ladder (14 rounds
+    // at sf0.01) rather than terminating trivially.
+    //
+    // Round spelling is chosen for the ORACLE's sake: each round keeps
+    // the edges whose BOTH endpoint degrees (two COUNT windows over the
+    // symmetrized edge list — deg(v) is v's row count as a source, by
+    // symmetry) are ≥ k. That references the previous round exactly
+    // ONCE, so the unrolled oracle is a LINEAR chain of CTEs — the
+    // textbook peel ("bad nodes" anti-joined twice) references it three
+    // times and explodes exponentially under CTE inlining. The Spark
+    // side iterates the same recurrence to a TRUE fixpoint (driver
+    // convergence loop, plan truncated per round via stageIterative);
+    // the oracle unrolls 18 rounds — fixpoint + margin at sf0.01, and
+    // extra rounds past convergence are identities.
+    //
+    // Scale: per round, two key-partitioned exchanges of a strictly
+    // SHRINKING edge frame (the first round is the largest; every
+    // subsequent round moves fewer bytes), no driver state beyond the
+    // one convergence count per round, nothing quadratic. At 10¹¹
+    // edges the same loop runs with the edge frame bucketed on u so
+    // round one's first window is exchange-free.
+    GraftQuery(
+      "graph_k_core",
+      (s, d) => {
+        val adj = coLineAdj(s, d)
+        kcore(adj, k = 20)
+          .select(col("u").as("part"), col("core_deg"))
+          .orderBy(col("part"))
+      },
+      Some {
+        val k = 20
+        val rounds = (1 to 18).map { r =>
+          s"""e$r AS (
+            SELECT u, v FROM (
+              SELECT u, v,
+                     COUNT(*) OVER (PARTITION BY u) AS du,
+                     COUNT(*) OVER (PARTITION BY v) AS dv
+              FROM e${r - 1}) t$r
+            WHERE du >= $k AND dv >= $k)"""
+        }.mkString(",\n")
+        s"""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        und AS (
+          SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM adj),
+        e0 AS (
+          SELECT a AS u, b AS v FROM und
+          UNION ALL
+          SELECT b AS u, a AS v FROM und),
+        $rounds
+        SELECT u AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM e18 GROUP BY u ORDER BY part
+      """
+      })
   )
+
+  /** The k-core of an undirected simple graph (edges in either or both
+    * directions; self-loops/multi-edges dropped): iteratively delete
+    * nodes of degree < k until a fixpoint. Returns (u, core_deg) — the
+    * surviving nodes with their degree inside the core (≥ k by
+    * definition, unless the core is empty).
+    *
+    * Each round keeps the edges whose BOTH endpoint degrees are ≥ k —
+    * spelled engine-side as one degree aggregate plus two anti-joins
+    * against the under-k frontier (hash ops; the frontier is small
+    * after round 1, so AQE broadcasts and the surviving edge mass
+    * never re-exchanges), and oracle-side as two COUNT windows (the
+    * single-reference recurrence a linear CTE chain needs — deg of the
+    * destination is its row count as a source, by symmetry). The two
+    * spellings remove exactly the same edges each round. Convergence is
+    * detected by the edge count reaching a fixpoint; each round's frame
+    * is materialized via stageIterative (truncating the logical plan,
+    * so round N's analysis cost does not grow with N) and the previous
+    * round's cache is freed as soon as its successor is materialized.
+    */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    var cur = Materialize.stageIterative(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v"))))
+    cur.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      // The ORACLE spells each round as two degree windows (the
+      // single-reference recurrence its linear CTE chain needs); the
+      // engine computes the IDENTICAL round as a degree aggregate plus
+      // two anti-joins against the under-k frontier: deg(x) < k for an
+      // endpoint ⇔ the edge fails the window predicate. Hash agg + hash
+      // joins, no per-round sort of the edge frame — and `bad` is the
+      // PEEL FRONTIER (small after round 1; staged, so the degree agg
+      // runs once per round), so AQE broadcasts the anti-joins and the
+      // surviving edge mass never re-exchanges. An empty frontier IS
+      // the fixpoint — the loop exits without touching the edge frame.
+      val bad = Materialize.stageIterative(
+        cur.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < k).select(col("u")))
+      if (bad.isEmpty) {
+        converged = true
+        bad.unpersist(blocking = false)
+      } else {
+        val next = Materialize.stageIterative(
+          cur.join(bad, Seq("u"), "left_anti")
+            .join(bad.select(col("u").as("v")), Seq("v"), "left_anti")
+            .select(col("u"), col("v")))
+        next.count() // materialize before freeing the frames it reads
+        bad.unpersist(blocking = false)
+        cur.unpersist(blocking = false)
+        cur = next
+      }
+    }
+    // a silent non-fixpoint would emit a superset of the core — fail loudly
+    require(converged, s"k-core did not converge within $maxRounds rounds")
+    cur.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -296,6 +296,80 @@ object Joins extends QueryModule {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+      """)),
+
+    // ───── interval × interval overlap join, banded on the hour grid ─────
+    // "Which user-days were touched by an incident?" — the ops query
+    // behind SLA reports and the contamination question behind "drop
+    // training windows that overlap an outage". Intervals on BOTH sides:
+    // each user's daily activity span [first event, last event] against
+    // incident windows (hours with > 5 error events — the alert
+    // condition, derived from the same stream; a real deploy reads the
+    // pager table). The overlap predicate a.lo < b.hi AND b.lo ≤ a.hi is
+    // NOT an equi-join — naively it is a cartesian. Banding restores
+    // the equi-join: a span covers the hour buckets lo÷H .. hi÷H (≤ 25
+    // per day BY CONSTRUCTION — the bounded fanout that makes banding
+    // safe), incidents are hour-aligned, and bucket equality is then
+    // EXACTLY interval overlap (b in the covered range ⟺ bH ≤ hi and
+    // lo < (b+1)H), so there is no residual predicate and no dedup —
+    // each overlapping incident hour matches exactly one banded row.
+    //
+    // Scale: one agg per side (user-day spans; hour error counts), one
+    // equi shuffle on the hour bucket with ≤25× span fanout of 4-column
+    // rows, one left join back to spans (same user-day key, AQE
+    // broadcasts the hit side when small). Same family as
+    // join_banded_range, but interval×interval instead of point×range.
+    GraftQuery(
+      "join_interval_overlap",
+      (s, d) => {
+        val H = 3600000000L
+        val b = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_type"))
+        val spans = b.groupBy(col("user_id"),
+            expr("ts_us div 86400000000").as("day"))
+          .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+        val inc = b.filter(col("event_type") === "error")
+          .groupBy(expr(s"ts_us div ${H}L").as("h"))
+          .agg(count(lit(1)).as("errs"))
+          .filter(col("errs") > 5)
+          .select(col("h"))
+        val cov = spans.select(col("user_id"), col("day"),
+          explode(expr(s"sequence(lo div ${H}L, hi div ${H}L)")).as("hb"))
+        val hit = cov.join(inc, col("hb") === col("h"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_inc"))
+        spans.join(hit, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            expr(s"hi div ${H}L - lo div ${H}L + 1").as("n_hours"),
+            coalesce(col("n_inc"), lit(0L)).as("n_incidents"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+          FROM events),
+        spans AS (
+          SELECT user_id, ts_us // 86400000000 AS day,
+                 MIN(ts_us) AS lo, MAX(ts_us) AS hi
+          FROM b GROUP BY 1, 2),
+        inc AS (
+          SELECT ts_us // 3600000000 AS h FROM b
+          WHERE event_type = 'error'
+          GROUP BY 1 HAVING COUNT(*) > 5),
+        cov AS (
+          SELECT user_id, day,
+                 UNNEST(generate_series(lo // 3600000000, hi // 3600000000)) AS hb
+          FROM spans),
+        hit AS (
+          SELECT c.user_id, c.day, CAST(COUNT(*) AS BIGINT) AS n_inc
+          FROM cov c JOIN inc i ON c.hb = i.h
+          GROUP BY 1, 2)
+        SELECT s.user_id, s.day,
+               hi // 3600000000 - lo // 3600000000 + 1 AS n_hours,
+               COALESCE(n_inc, 0) AS n_incidents
+        FROM spans s LEFT JOIN hit USING (user_id, day)
+        ORDER BY user_id, day
       """))
   )
 }

@@ -934,7 +934,109 @@ object Similarity extends QueryModule {
                  + COALESCE(1.0::DOUBLE / (60 + v.r_vec), 0.0) AS rrf_score
         FROM kw_list k FULL OUTER JOIN vec_list v ON k.doc_id = v.doc_id
         ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
-      """))
+      """)),
+
+    // ───── MMR diversification: the serving-side re-rank for RAG ─────
+    // Plain top-k returns near-duplicates of the best hit; Maximal
+    // Marginal Relevance (Carbonell & Goldstein, SIGIR'98) greedily
+    // picks the next result maximizing λ·rel(q,d) − (1−λ)·max_{s∈S}
+    // sim(d,s) — relevance MINUS redundancy against what's already
+    // selected. λ = 0.5, 5 picks from a 20-candidate pool.
+    //
+    // Greedy selection is inherently sequential — but over a BOUNDED
+    // candidate set, never the corpus: stage 1 is the same TakeOrdered
+    // heap as sim_topk_cosine (top-20, per-partition heaps, no global
+    // sort); stage 2's pairwise-sim table and 4 unrolled greedy rounds
+    // touch ≤20 rows each. That split is the scale contract: the
+    // corpus-sized work is heap-only, the sequential work is O(k²) on
+    // a constant k. Every score is the same left-to-right double fold
+    // as sim_topk_cosine, λ-blend is two IEEE ops on identical
+    // operands, argmax ties break on vec_id — value-pinned end to end,
+    // so the DuckDB twin states the identical unrolled greedy.
+    GraftQuery(
+      "sim_mmr_diversify",
+      (s, d) => {
+        val e = normed(s, d)
+        val q = e.filter(col("vec_id") === 0).select(
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val cand = Materialize.stage(
+          e.filter(col("vec_id") =!= 0)
+            .crossJoin(broadcast(q))
+            .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+              cosine("q_emb", "embedding", "q_nrm", "nrm").as("rel"))
+            .orderBy(col("rel").desc, col("vec_id").asc)
+            .limit(20))
+        val a = cand.select(col("vec_id").as("va"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        val b = cand.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+        val pair = Materialize.stage(
+          a.join(b, col("va") =!= col("vb"))
+            .select(col("va"), col("vb"),
+              (expr("vec_dot(ea, eb)") / (col("na") * col("nb"))).as("sim")))
+        val slim = cand.select(col("vec_id"), col("rel"))
+        var sel = Materialize.stage(
+          slim.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+            .select(col("vec_id"), col("rel"), lit(1).as("pos")))
+        for (r <- 2 to 5) {
+          val scored = slim
+            .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .join(pair, col("vec_id") === col("va"))
+            .join(sel.select(col("vec_id").as("vb")), Seq("vb"))
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(max(col("sim")).as("maxsim"))
+            .select(col("vec_id"), col("rel"),
+              (lit(0.5) * col("rel") - lit(0.5) * col("maxsim")).as("mmr"))
+          val pick = scored.orderBy(col("mmr").desc, col("vec_id").asc)
+            .limit(1).select(col("vec_id"), col("rel"), lit(r).as("pos"))
+          sel = Materialize.stage(sel.union(pick))
+        }
+        sel.join(cand.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .select(col("pos"), col("vec_id"), col("label"), col("rel"))
+          .orderBy(col("pos"))
+      },
+      Some {
+        val dot = "list_reduce(list_transform(generate_series(1, " +
+          "len(a.embedding)), i -> a.embedding[i]::DOUBLE * " +
+          "b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+        val rounds = (2 to 5).map { r =>
+          s"""r$r AS (
+            SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * MAX(p.sim) AS mmr
+            FROM cand c
+            JOIN pair p ON p.va = c.vec_id
+            JOIN sel${r - 1} s ON p.vb = s.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+            GROUP BY c.vec_id, c.rel),
+          pick$r AS (
+            SELECT vec_id, rel, $r AS pos FROM r$r
+            ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+          sel$r AS (SELECT * FROM sel${r - 1}
+                    UNION ALL SELECT * FROM pick$r)"""
+        }.mkString(",\n")
+        s"""
+        WITH $normedSql,
+        q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+        cand AS (
+          SELECT e.vec_id, e.label, e.embedding, e.nrm,
+                 list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                   i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) / (q.q_nrm * e.nrm) AS rel
+          FROM e CROSS JOIN q
+          WHERE e.vec_id <> 0
+          ORDER BY rel DESC, e.vec_id ASC LIMIT 20),
+        pair AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 $dot / (a.nrm * b.nrm) AS sim
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        sel1 AS (
+          SELECT vec_id, rel, 1 AS pos FROM cand
+          ORDER BY rel DESC, vec_id ASC LIMIT 1),
+        $rounds
+        SELECT s.pos, s.vec_id, c.label, s.rel
+        FROM sel5 s JOIN cand c USING (vec_id)
+        ORDER BY s.pos
+      """
+      })
   )
 
   /** Default IVF cell count. At corpus scale pick K ∝ n/targetCellSize

@@ -30,6 +30,24 @@ final case class DriftState(bins: Map[Long, Long])
 final case class DriftReport(win_start_us: Long, n_obs: Long,
     d_num: Double, d_stat: Double, drifted: Boolean)
 
+/** Per-user CUSUM state: events buffered inside the watermark horizon
+  * (the ordered fold needs event-time FINALITY — an excursion computed
+  * on out-of-order arrivals would disagree with the batch replay), plus
+  * the folded running tail: the baseline (first observation, cents),
+  * the running deviation sum, its running minimum, the max excursion,
+  * and the alert latch. The buffer is watermark-bounded; the tail is
+  * five fixed-size fields — O(1) per user once drained.
+  */
+final case class CusumState(
+    open: Vector[(Long, Long, Long)], // (tsUs, eventId, cents), unordered
+    baselineSet: Boolean, baseline: Long,
+    sSum: Long, sMin: Long, statMax: Long, alerted: Boolean)
+
+/** The ONE alert a drifting user emits: the first event whose excursion
+  * crossed the threshold (exactly-once by the latch).
+  */
+final case class CusumAlert(user_id: Long, ts_us: Long, stat: Long)
+
 /** Per-user gap-fill state: the OPEN buckets' best observation keyed by
   * bucket (`(tsUs, eventId, value)` — max by the (ts, event_id) total
   * order), plus the last CLOSED bucket already emitted and its value
@@ -243,6 +261,94 @@ object StreamingPipeline extends Serializable {
         floor(col("value") / lit(binWidth)).cast("long").as("bin"))
       .groupByKey(r => r.getAs[Long]("win_start"))(Encoders.scalaLong)
       .flatMapGroupsWithState[DriftState, DriftReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Streaming CUSUM monitor — the streaming deployment of the batch
+    * `win_cusum_drift` query: per user, fold events in event-time order
+    * into Page's cumulative-sum recurrence (S_t = Σ(centsᵢ − baseline),
+    * excursion = S_t − min_{s≤t} S_s, baseline = the user's first
+    * observation) and emit ONE alert when the excursion first exceeds
+    * the threshold — the alert row carries the crossing event's
+    * timestamp, which is exactly the batch query's argmax changepoint
+    * when the threshold is first crossed there.
+    *
+    * Out-of-order safety: the recurrence is order-sensitive, so events
+    * fold only once the watermark passes them (buffered in state until
+    * final, the `gapFilled` discipline); an event-time timeout drains
+    * the buffer when the stream advances without new arrivals for the
+    * user. State per user is the watermark-bounded buffer plus five
+    * fixed-size fields; the alert latch makes emission exactly-once
+    * and idempotent under replay.
+    */
+  def cusumMonitor(
+      typed: DataFrame,
+      threshold: Long = 100000L,
+      watermark: String = "1 hour"): org.apache.spark.sql.Dataset[CusumAlert] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[CusumState]
+    implicit val outEnc   = Encoders.product[CusumAlert]
+
+    val empty = CusumState(Vector.empty, baselineSet = false, 0L, 0L, 0L, 0L,
+      alerted = false)
+
+    // fold every buffered event at-or-before the watermark, in the
+    // (ts_us, event_id) total order — the batch window's order
+    def drain(userId: Long, s: CusumState, wmUs: Long)
+        : (CusumState, Option[CusumAlert]) = {
+      val (ready, still) = s.open.partition(_._1 <= wmUs)
+      if (ready.isEmpty) (s, None)
+      else {
+        var (bSet, b)  = (s.baselineSet, s.baseline)
+        var (sum, mn)  = (s.sSum, s.sMin)
+        var mx         = s.statMax
+        var alerted    = s.alerted
+        var alert: Option[CusumAlert] = None
+        ready.sortBy(e => (e._1, e._2)).foreach { case (ts, _, cents) =>
+          if (!bSet) { bSet = true; b = cents }
+          sum += cents - b
+          if (sum < mn) mn = sum
+          val stat = sum - mn
+          if (stat > mx) mx = stat
+          if (!alerted && stat > threshold) {
+            alerted = true
+            alert = Some(CusumAlert(userId, ts, stat))
+          }
+        }
+        (CusumState(still, bSet, b, sum, mn, mx, alerted), alert)
+      }
+    }
+
+    def update(userId: Long, rows: Iterator[Row],
+        state: GroupState[CusumState]): Iterator[CusumAlert] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val withNew =
+        if (state.hasTimedOut) state.getOption.getOrElse(empty)
+        else {
+          val s = state.getOption.getOrElse(empty)
+          s.copy(open = s.open ++ rows.map(r => (
+            r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"),
+            r.getAs[Long]("cents"))))
+        }
+      val (next, alert) = drain(userId, withNew, wmUs)
+      state.update(next)
+      if (next.open.nonEmpty)
+        // wake when the watermark can finalize the earliest open event
+        state.setTimeoutTimestamp(math.max(
+          next.open.map(_._1).min / 1000L + 1L, wmUs / 1000L + 1L))
+      alert.iterator
+    }
+
+    typed
+      .withWatermark("ts", watermark)
+      // ts itself must survive to the stateful operator (the analyzer
+      // requires the watermarked column there), alongside its µs twin
+      .select(col("ts"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[CusumState, CusumAlert](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 

@@ -357,4 +357,39 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect()
     assert(r.toSeq === Seq((7L, 2L, 1L, lineA)))
   }
+
+  test("curate_boilerplate scrubs shared lines EVERYWHERE, first copy included") {
+    val d = scratchDir("boilerplate")
+    // A is in 3 distinct docs → boilerplate, removed from all three
+    // (dedup_lines would have kept doc 0's copy); B and C are unique.
+    val lineA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val lineB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val lineC = (1 to 10).map(i => s"c$i").mkString(" ")
+    Seq(
+      (0L, s"$lineA $lineB", "en", "s0", 0L),
+      (1L, s"$lineA $lineC", "en", "s1", 0L),
+      (2L, lineA, "en", "s2", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("curate_boilerplate")(spark, d)
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows(0) === ((0L, 2L, 1L, lineB)))
+    assert(rows(1) === ((1L, 2L, 1L, lineC)))
+    assert(rows(2) === ((2L, 1L, 0L, "")))
+  }
+
+  test("curate_boilerplate: a within-doc repeat is NOT boilerplate (both copies kept)") {
+    val d = scratchDir("boilerplate_self")
+    // distinct-doc count of A is 1, so the repetition survives — that
+    // redundancy is dedup_lines' jurisdiction, not the boilerplate scrub's
+    val lineA = (1 to 10).map(i => s"x$i").mkString(" ")
+    Seq((7L, s"$lineA $lineA", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("curate_boilerplate")(spark, d)
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+    assert(r.toSeq === Seq((7L, 2L, 2L, s"$lineA $lineA")))
+  }
 }

@@ -236,4 +236,37 @@ class GraphSpec extends SparkSpec {
     // every community present in the edge frame is reported
     assert(rows.map(_._1).toSet === (dOut.keySet ++ dIn.keySet))
   }
+
+  private def core(edges: Seq[(Long, Long)], k: Int) = Materialize.scoped {
+    Graph.kcore(edges.toDF("u", "v"), k)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("kcore: tail peels, triangle survives at k=2, dissolves at k=3") {
+    // triangle 1-2-3 plus pendant 3-4: the 2-core is exactly the
+    // triangle (every survivor's core degree is 2); k=3 removes all
+    val g = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+    assert(core(g, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(core(g, 3) === Map.empty[Long, Long])
+  }
+
+  test("kcore: peel CASCADES — removing one endpoint re-exposes the next") {
+    // path 1-2-3-4-5 at k=2: endpoints peel first, which drops their
+    // neighbors below k, and the whole path dissolves over multiple
+    // rounds — the fixpoint a single-pass degree filter would miss
+    val path = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    assert(core(path, 2) === Map.empty[Long, Long])
+    // ...while closing the path into a cycle makes every node degree 2
+    val cycle = path :+ (5L -> 1L)
+    assert(core(cycle, 2) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("kcore: direction, duplicates, and self-loops are normalized away") {
+    // both directions + a repeated edge + a self-loop must count once:
+    // a naive degree count would see node 1 at degree 4 and keep it
+    val g = Seq(1L -> 2L, 2L -> 1L, 1L -> 2L, 1L -> 1L, 2L -> 3L, 3L -> 1L)
+    assert(core(g, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(core(g, 3) === Map.empty[Long, Long])
+  }
 }

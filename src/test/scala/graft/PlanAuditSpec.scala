@@ -47,7 +47,12 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast vocabulary scalar (add-1 smoothing denominator)
     "text_perplexity",
     // 1-row broadcast smoothed-totals / corpus-n scalars
-    "stats_psi_drift", "stats_mutual_info")
+    "stats_psi_drift", "stats_mutual_info",
+    // 1-row broadcast query vector + the ≤20-row candidate pairwise
+    // self-join (non-equi by design: k² on a CONSTANT k, never corpus)
+    "sim_mmr_diversify",
+    // 1-row broadcast rank-1 frequency scalar under the 4 anchor rows
+    "text_zipf_slope")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

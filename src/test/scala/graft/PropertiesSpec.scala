@@ -158,6 +158,57 @@ class PropertiesSpec extends SparkSpec {
     assert(row._5 >= 0.0 && row._5 <= 1.0)
   }
 
+  test("stats_auc: per-segment doubled-rank replay; AUC bounded") {
+    val rows = SparkEntry.queries("stats_auc")(spark, sfTiny)
+      .select($"seg", $"np", $"nn", $"u2", $"auc")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val ev = Tables.events(spark, sfTiny)
+      .select(($"user_id" % 4).as("seg"), $"value",
+        ($"event_type" === "click").as("isP"))
+      .as[(Long, Double, Boolean)].collect()
+    ev.groupBy(_._1).foreach { case (seg, es) =>
+      val np = es.count(_._3).toLong
+      val nn = es.size - np
+      var cumBefore = 0L
+      var r2p = BigInt(0)
+      es.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, grp) =>
+        val cnt = grp.size.toLong
+        r2p += BigInt(2 * cumBefore + cnt + 1) * grp.count(_._3)
+        cumBefore += cnt
+      }
+      val u2 = r2p - BigInt(np) * (np + 1)
+      val (_, gnp, gnn, gu2, gauc) = rows(seg)
+      assert(gnp === np && gnn === nn, s"seg $seg sizes")
+      assert(gu2 === u2.toDouble, s"seg $seg U")
+      assert(gauc === u2.toDouble / (2.0 * np.toDouble * nn.toDouble))
+      assert(gauc >= 0.0 && gauc <= 1.0)
+    }
+    assert(rows.keySet === ev.map(_._1).toSet)
+  }
+
+  test("stats_calibration: bands partition the events; exact ppm and mean") {
+    val rows = SparkEntry.queries("stats_calibration")(spark, sfTiny)
+      .select($"band", $"n", $"n_pos", $"pos_ppm", $"mean_score")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val ev = Tables.events(spark, sfTiny)
+      .select($"value", ($"event_type" === "click").as("isP"))
+      .as[(Double, Boolean)].collect()
+    assert(rows.map(_._2).sum === ev.length.toLong, "bands partition all events")
+    val byBand = ev.groupBy { case (v, _) =>
+      math.min(math.floor(v / 50.0).toLong, 9L)
+    }
+    rows.foreach { case (band, n, nPos, ppm, mean) =>
+      val es = byBand(band)
+      assert(n === es.size.toLong && nPos === es.count(_._2).toLong)
+      assert(ppm === nPos * 1000000L / n, s"band $band ppm is exact integer")
+      // DECIMAL(18,2) exact sum (HALF_UP cast, matching Spark), ONE division
+      val sv = es.map(e => BigDecimal(e._1)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(mean === sv.toDouble / n.toDouble, s"band $band mean")
+    }
+  }
+
   test("stats_psi_drift equals the brute-force chord-log2 PSI; every term ≥ 0") {
     val FP = 1048576L
     def lg2fp(n: Long): Long = {

@@ -283,4 +283,42 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq,
       "cosine must be non-increasing in rnk")
   }
+
+  test("sim_mmr_diversify: exact greedy replay over the candidate pool") {
+    // Recompute the unrolled greedy in plain Scala from the same
+    // top-20 candidate pool and pairwise cosines, and require the
+    // operator's 5 picks to match POSITION BY POSITION — the full MMR
+    // recurrence (λ·rel − (1−λ)·max-sim-to-selected, ties to lower id),
+    // not just set equality.
+    val got = SparkEntry.queries("sim_mmr_diversify")(spark, sfTiny)
+      .select(col("pos"), col("vec_id"), col("rel"))
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 5 && got.map(_._1).toSeq == (1 to 5))
+
+    val e = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def cos(a: Long, b: Long): Double =
+      dot(e(a), e(b)) / (math.sqrt(dot(e(a), e(a))) * math.sqrt(dot(e(b), e(b))))
+    val cand = e.keys.filter(_ != 0L).map(v => v -> cos(0L, v)).toSeq
+      .sortBy { case (v, r) => (-r, v) }.take(20)
+    var sel = List(cand.head._1)
+    for (_ <- 2 to 5) {
+      val pick = cand.filterNot { case (v, _) => sel.contains(v) }
+        .map { case (v, r) =>
+          (v, 0.5 * r - 0.5 * sel.map(s => cos(v, s)).max)
+        }
+        .minBy { case (v, m) => (-m, v) }._1
+      sel = sel :+ pick
+    }
+    assert(got.map(_._2).toSeq === sel,
+      s"operator picks ${got.map(_._2).toSeq} != greedy replay $sel")
+    // pos 1 is the plain top-1; later picks trade relevance for
+    // diversity, so rel need not be monotone — but all must come from
+    // the candidate pool
+    assert(got.head._2 === cand.head._1)
+    assert(got.map(_._2).toSet.subsetOf(cand.map(_._1).toSet))
+  }
 }

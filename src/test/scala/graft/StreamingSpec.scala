@@ -569,6 +569,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: one alert at the crossing event; drops and flats stay silent") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val typed = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val q = StreamingPipeline.cusumMonitor(typed, threshold = 1000L)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    try {
+      val h  = 3_600_000_000L
+      val t0 = 86400L * 1000000L
+      mem.addData(
+        // user 1: 1,1,1,5,5,5 → excursions (cents) 0,0,0,400,800,1200;
+        // the 1200 at the SIXTH event is the first > 1000 crossing
+        (1L, t0, 1L, "m", 1.0), (2L, t0 + h, 1L, "m", 1.0),
+        (3L, t0 + 2 * h, 1L, "m", 1.0), (4L, t0 + 3 * h, 1L, "m", 5.0),
+        (5L, t0 + 4 * h, 1L, "m", 5.0), (6L, t0 + 5 * h, 1L, "m", 5.0),
+        // user 2: level DROP — the one-sided excursion stays 0
+        (10L, t0, 2L, "m", 5.0), (11L, t0 + h, 2L, "m", 1.0),
+        (12L, t0 + 2 * h, 2L, "m", 1.0))
+      q.processAllAvailable()
+      // watermark advance (wm = max ts − 1h) lets the timeout drain the
+      // buffered tail; two pokes so the timeout itself then fires
+      mem.addData((99L, t0 + 10 * h, 9L, "m", 1.0))
+      q.processAllAvailable()
+      mem.addData((100L, t0 + 11 * h, 9L, "m", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("cusum")
+        .select($"user_id", $"ts_us", $"stat")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(rows === Seq((1L, t0 + 5 * h, 1200L)),
+        s"exactly the one crossing alert: $rows")
+      // exactly-once: the drifted user keeps drifting, the latch holds
+      mem.addData((7L, t0 + 12 * h, 1L, "m", 9.0))
+      q.processAllAvailable()
+      mem.addData((101L, t0 + 20 * h, 9L, "m", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("cusum").count() === 1L, "no re-alert after latch")
+    } finally q.stop()
+  }
+
   test("streaming gap fill: LOCF grid matching the batch ts_gap_fill shape") {
     val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
     val typed = mem.toDF()

@@ -310,4 +310,29 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc $id entropy above lg2(n)")
     }
   }
+
+  test("text_zipf_slope: a perfect Zipf(1) corpus reads exactly 1.0 at every anchor") {
+    val d = scratchDir("zipf")
+    // ranks 1/2/4/8/16 get frequencies 64/32/16/8/4 — anchor frequencies
+    // all sit AT power-of-two chord knots, where the chord log2 is exact,
+    // so slope_fp must be exactly 2^20 (slope 1.0) for every j. Filler
+    // ranks between anchors stay strictly inside the ordering.
+    val freqs = Seq(
+      "r01" -> 64, "r02" -> 32, "r03" -> 20, "r04" -> 16,
+      "r05" -> 10, "r06" -> 10, "r07" -> 10, "r08" -> 8,
+      "r09" -> 5, "r10" -> 5, "r11" -> 5, "r12" -> 5,
+      "r13" -> 5, "r14" -> 5, "r15" -> 5, "r16" -> 4)
+    val text = freqs.flatMap { case (t, c) => Seq.fill(c)(t) }.mkString(" ")
+    Seq((0L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("text_zipf_slope")(spark, d)
+      .select("j", "rnk", "freq", "slope_fp", "slope")
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2, 32L, 1048576L, 1.0),
+      (2L, 4, 16L, 1048576L, 1.0),
+      (3L, 8, 8L, 1048576L, 1.0),
+      (4L, 16, 4L, 1048576L, 1.0)))
+  }
 }

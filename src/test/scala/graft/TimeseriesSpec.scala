@@ -64,6 +64,89 @@ class TimeseriesSpec extends SparkSpec {
     assert(got(3L) === 400.0)
   }
 
+  test("ts_anomaly_mad: lower-median convention, MAD gate, zero-MAD user") {
+    val d = scratchDir("ts_mad")
+    val rows = Seq(
+      // user 5 (odd n=5): values 1,2,3,4,100 → med = rank 3 = 3.0;
+      //   devs {2,1,0,1,97} sorted [0,1,1,2,97] → mad = rank 3 = 1.0;
+      //   anomalies: dev > 4 → only the 97 → n_anom = 1
+      (10L, 1L * H, 5L, "view", 1.0), (11L, 2L * H, 5L, "view", 2.0),
+      (12L, 3L * H, 5L, "view", 3.0), (13L, 4L * H, 5L, "view", 4.0),
+      (14L, 5L * H, 5L, "view", 100.0),
+      // user 6 (even n=4): values 1,2,3,10 → LOWER median rank
+      //   (4+1) div 2 = 2 → med = 2.0 (interpolation would say 2.5);
+      //   devs {1,0,1,8} sorted [0,1,1,8] → mad = rank 2 = 1.0;
+      //   anomalies: dev > 4 → the 8 → n_anom = 1
+      (20L, 1L * H, 6L, "view", 1.0), (21L, 2L * H, 6L, "view", 2.0),
+      (22L, 3L * H, 6L, "view", 3.0), (23L, 4L * H, 6L, "view", 10.0),
+      // user 7: constant series → mad = 0; dev > 0 never holds for
+      //   identical values, so nothing flags (the strict > matters)
+      (30L, 1L * H, 7L, "view", 5.0), (31L, 2L * H, 7L, "view", 5.0)
+    ).map { case (id, us, u, et, v) =>
+      (id, new Timestamp(us / 1000), u, et, v)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("ts_anomaly_mad")(spark, d)
+      .select("user_id", "n", "med", "mad", "n_anom")
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got === Seq(
+      (5L, 5L, 3.0, 1.0, 1L),
+      (6L, 4L, 2.0, 1.0, 1L),
+      (7L, 2L, 5.0, 0.0, 0L)))
+  }
+
+  test("win_cusum_drift: step change accumulates, downward drift reads zero") {
+    val d = scratchDir("ts_cusum")
+    val rows = Seq(
+      // user 1: level steps 1→5 midway; S_t (cents) = 0,0,0,400,800,1200,
+      //   running min 0 → max excursion 1200 at the LAST event
+      (0L, 1L * H, 1L, "view", 1.0), (1L, 2L * H, 1L, "view", 1.0),
+      (2L, 3L * H, 1L, "view", 1.0), (3L, 4L * H, 1L, "view", 5.0),
+      (4L, 5L * H, 1L, "view", 5.0), (5L, 6L * H, 1L, "view", 5.0),
+      // user 2: level DROPS — S_t tracks its own running minimum, so the
+      //   upward-excursion statistic stays 0 (CUSUM is one-sided here)
+      (10L, 1L * H, 2L, "view", 5.0), (11L, 2L * H, 2L, "view", 1.0),
+      (12L, 3L * H, 2L, "view", 1.0)
+    ).map { case (id, us, u, et, v) =>
+      (id, new Timestamp(us / 1000), u, et, v)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("win_cusum_drift")(spark, d)
+      .select("user_id", "n", "cusum_max", "cp_ts_us", "drifted")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 6L, 1200L, 6L * H, false),
+      (2L, 3L, 0L, 1L * H, false))) // all-zero stat: argmax = earliest row
+  }
+
+  test("join_interval_overlap: hour banding equals true interval overlap") {
+    val d = scratchDir("ts_overlap")
+    val rows = Seq(
+      // user 1, day 0: active span h1..h3 — OVERLAPS the h2 incident
+      // even though no user-1 event falls IN h2 (the interval, not the
+      // points, is what joins)
+      (0L, 1L * H + H / 2, 1L, "view", 1.0),
+      (1L, 3L * H + H / 2, 1L, "view", 1.0),
+      // user 3, day 1: far from any incident
+      (2L, 30L * H, 3L, "view", 1.0)
+    ) ++ (0 until 7).map(i => // 7 errors inside h2 → one incident hour
+      (10L + i, 2L * H + i * 60000000L, 2L, "error", 1.0)
+    )
+    rows.map { case (id, us, u, et, v) =>
+      (id, new Timestamp(us / 1000), u, et, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("join_interval_overlap")(spark, d)
+      .select("user_id", "day", "n_hours", "n_incidents")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 3L, 1L), // span h1-h3 crosses the h2 incident
+      (2L, 0L, 1L, 1L), // the erroring user's own span sits in h2
+      (3L, 1L, 1L, 0L)))
+  }
+
   test("ts_gap_fill: first grid cell is always observed (no leading null)") {
     val head = SparkEntry.queries("ts_gap_fill")(spark, dir)
       .groupBy("user_id").agg(
