@@ -914,10 +914,18 @@ object Dedup extends QueryModule {
             col("toks"))
           .select(col("doc_id"), col("idx"),
             expr("md5(array_join(slice(toks, idx*10+1, 10), ' '))").as("hsh")))
-        val boiler = lines.groupBy(col("hsh"))
+        // staged EAGERLY: the planner must see the boilerplate list's
+        // TRUE size (the few shared hashes), not an estimate scaled
+        // from the lines frame — the 100× probe caught the estimate
+        // crossing the broadcast threshold and re-exchanging the whole
+        // staged lines frame by hsh for a sort-merge anti-join (sr
+        // 4.1× at 2.5× data). With real stats the anti-join broadcasts
+        // for as long as the list genuinely fits, and falls back to
+        // the shuffle join only when a corpus truly outgrows it.
+        val boiler = Materialize.stageEager(lines.groupBy(col("hsh"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)
-          .select(col("hsh"))
+          .select(col("hsh")))
         val kept = lines.join(boiler, Seq("hsh"), "left_anti")
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(col("idx"))).as("keep_idx"))

@@ -326,14 +326,22 @@ object Joins extends QueryModule {
         val b = Tables.events(s, d)
           .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_type"))
-        val spans = b.groupBy(col("user_id"),
-            expr("ts_us div 86400000000").as("day"))
-          .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
-        val inc = b.filter(col("event_type") === "error")
-          .groupBy(expr(s"ts_us div ${H}L").as("h"))
-          .agg(count(lit(1)).as("errs"))
-          .filter(col("errs") > 5)
-          .select(col("h"))
+        // spans feeds TWO consumers (the hour explode and the final
+        // left join) — staged so the span aggregate computes once and
+        // both joins read it co-partitioned on (user_id, day); the
+        // 100× probe measured the unstaged double recompute at 11×
+        // cpu for 2.5× data. inc is staged EAGERLY so the banded join
+        // plans against its TRUE hour-bounded size (broadcast) rather
+        // than an events-scaled estimate.
+        val spans = graft.Materialize.stage(
+          b.groupBy(col("user_id"), expr("ts_us div 86400000000").as("day"))
+            .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")))
+        val inc = graft.Materialize.stageEager(
+          b.filter(col("event_type") === "error")
+            .groupBy(expr(s"ts_us div ${H}L").as("h"))
+            .agg(count(lit(1)).as("errs"))
+            .filter(col("errs") > 5)
+            .select(col("h")))
         val cov = spans.select(col("user_id"), col("day"),
           explode(expr(s"sequence(lo div ${H}L, hi div ${H}L)")).as("hb"))
         val hit = cov.join(inc, col("hb") === col("h"))
