@@ -746,6 +746,78 @@ object Extras extends QueryModule {
         FROM r GROUP BY user_id ORDER BY user_id
       """)),
 
+    // ───── last-touch attribution: conversions credited to channels ─────
+    // The marketing/analytics staple: every purchase is credited to the
+    // user's most recent preceding touch (click/view/signup), but only if
+    // it landed within a 6-hour window — older touches report as
+    // 'stale', purchases with no prior touch as 'none'. The carried
+    // touch is ONE ignore-nulls last_value window per carried field
+    // (type and timestamp null out on exactly the same rows, so the two
+    // carries are atomic by construction); the window comparison is
+    // integer microseconds, revenue is exact integer cents.
+    //
+    // Scale: one exchange on user_id feeds the ordered carry window,
+    // then a channel-keyed aggregate over ONLY the purchase rows —
+    // bounded output (≤ 5 channels). No joins, no self-reads; at 100 TB
+    // the events frame bucketed on user_id makes the carry exchange-free.
+    GraftQuery(
+      "win_attribution",
+      (s, d) => {
+        val touch = Seq("click", "view", "signup")
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"),
+            (col("value").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev
+          .withColumn("t_type",
+            last(when(col("event_type").isin(touch: _*), col("event_type")),
+              ignoreNulls = true).over(w))
+          .withColumn("t_us",
+            last(when(col("event_type").isin(touch: _*), col("ts_us")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("t_us").isNull, lit("none"))
+              .when(col("ts_us") - col("t_us") > lit(21600000000L), lit("stale"))
+              .otherwise(col("t_type")).as("channel"),
+            col("cents"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("purchases"),
+            sum(col("cents")).cast("long").as("revenue_cents"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_ns(ts) // 1000 AS ts_us,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        tt AS (
+          SELECT event_id, user_id, event_type, ts_us, cents,
+                 last_value(CASE WHEN event_type IN ('click','view','signup')
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS t_type,
+                 last_value(CASE WHEN event_type IN ('click','view','signup')
+                                 THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS t_us
+          FROM ev)
+        SELECT CASE WHEN t_us IS NULL THEN 'none'
+                    WHEN ts_us - t_us > 21600000000 THEN 'stale'
+                    ELSE t_type END AS channel,
+               CAST(COUNT(*) AS BIGINT) AS purchases,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM tt WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY channel
+      """)),
+
     // ───── equi-width histogram: the profiling companion ─────
     // 20 equal-width buckets over l_extendedprice. min/max arrive as a
     // broadcast 1-row aggregate (the watermark-filter pattern — no

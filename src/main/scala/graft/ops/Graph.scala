@@ -680,7 +680,146 @@ object Graph extends QueryModule {
         SELECT u AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
         FROM e18 GROUP BY u ORDER BY part
       """
-      })
+      }),
+
+    // ───── synchronous label propagation: community detection ─────
+    // Raghavan et al. 2007, the linear-time community detector every
+    // graph warehouse ships: init label(v)=v, then K synchronous rounds
+    // of label(v) ← the most frequent label among v's neighbors
+    // (tie-break: smallest label — float-free, order-free, so the round
+    // is bit-identical on any engine or partitioning). 3 fixed rounds,
+    // the async/convergent variant being order-dependent by definition.
+    //
+    // Scale: per round, ONE (edge ⋈ label) key-equi shuffle on the
+    // neighbor id + one (node, label) count aggregate + a per-node
+    // argmax window over the ≤deg(v) candidate labels — the frontier
+    // frame is (node, label) pairs, never the corpus, and the staged
+    // label frame keeps round N's plan from re-running rounds 1..N-1.
+    // The oracle unrolls the same recurrence: each round references the
+    // previous label table exactly ONCE, so the CTE chain stays linear
+    // under inlining (the k-core lesson).
+    GraftQuery(
+      "graph_label_propagation",
+      (s, d) => {
+        val adj = coLineAdj(s, d)
+        labelPropagation(adj, rounds = 3)
+          .select(col("node").as("part"), col("label"))
+          .orderBy(col("part"))
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""c$r AS (
+            SELECT e.u, l.label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM e0 e JOIN l${r - 1} l ON l.node = e.v
+            GROUP BY e.u, l.label),
+          l$r AS (
+            SELECT u AS node, label FROM (
+              SELECT u, label,
+                     ROW_NUMBER() OVER (PARTITION BY u
+                       ORDER BY c DESC, label ASC) AS rn
+              FROM c$r) t$r
+            WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        und AS (
+          SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM adj),
+        e0 AS (
+          SELECT a AS u, b AS v FROM und
+          UNION ALL
+          SELECT b AS u, a AS v FROM und),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM e0),
+        $rounds
+        SELECT node AS part, label FROM l3 ORDER BY part
+      """
+      }),
+
+    // ───── Jaccard link prediction over 2-hop candidates ─────
+    // The classic "users also bought" / link-prediction score: for every
+    // NON-adjacent pair (u, v) sharing at least one neighbor, Jaccard =
+    // |N(u) ∩ N(v)| / |N(u) ∪ N(v)| in exact ppm (integer floor
+    // division — no floats anywhere). Candidates come from WEDGES
+    // (u—w—v), so only pairs with a witness are ever materialized —
+    // never the n² pair space — and the wedge fan-out is bounded by a
+    // mid-degree cap (deg(w) ≤ 64, stated identically in both engines):
+    // Σ_w deg(w)² ≤ cap·m, the same celebrity-node bound the dedup
+    // family uses. cn therefore counts CAPPED witnesses (documented
+    // contract) while |∪| uses the true degrees. Top-50 by (score DESC,
+    // u, v) via a TakeOrdered heap — no global sort.
+    GraftQuery(
+      "graph_jaccard_links",
+      (s, d) => {
+        val adj = coLineAdj(s, d)
+        val und = Materialize.stage(adj
+          .select(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b"))
+          .distinct())
+        val sym = Materialize.stage(
+          und.select(col("a").as("u"), col("b").as("v"))
+            .union(und.select(col("b").as("u"), col("a").as("v"))))
+        val deg = Materialize.stage(
+          sym.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+        // wedges through capped mid nodes only: the staged frame is
+        // self-joined on w, so the quadratic term is per-mid-bucket
+        val wed = Materialize.stage(
+          sym.select(col("u").as("w"), col("v").as("x"))
+            .join(deg.filter(col("deg") <= lit(64)).select(col("u").as("w")),
+              Seq("w")))
+        val pairs = wed.as("l").join(wed.as("r"),
+            col("l.w") === col("r.w") && col("l.x") < col("r.x"))
+          .groupBy(col("l.x").as("u"), col("r.x").as("v"))
+          .agg(count(lit(1)).as("cn"))
+        pairs
+          .join(und, pairs("u") === und("a") && pairs("v") === und("b"),
+            "left_anti")
+          .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+          .select(col("u"), col("v"), col("cn"),
+            (col("du") + col("dv") - col("cn")).as("uni"),
+            expr("cn * 1000000L div (du + dv - cn)").as("jacc_ppm"))
+          .orderBy(col("jacc_ppm").desc, col("u").asc, col("v").asc)
+          .limit(50)
+      },
+      Some("""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        und AS (
+          SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM adj),
+        sym AS (
+          SELECT a AS u, b AS v FROM und
+          UNION ALL
+          SELECT b AS u, a AS v FROM und),
+        deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+        wed AS (
+          SELECT s.u AS w, s.v AS x FROM sym s
+          JOIN (SELECT u AS w FROM deg WHERE deg <= 64) m ON m.w = s.u),
+        pr AS (
+          SELECT l.x AS u, r.x AS v, CAST(COUNT(*) AS BIGINT) AS cn
+          FROM wed l JOIN wed r ON l.w = r.w AND l.x < r.x
+          GROUP BY l.x, r.x),
+        cand AS (
+          SELECT p.u, p.v, p.cn FROM pr p
+          LEFT JOIN und e ON e.a = p.u AND e.b = p.v
+          WHERE e.a IS NULL),
+        sc AS (
+          SELECT c.u, c.v, c.cn,
+                 du.deg + dv.deg - c.cn AS uni,
+                 (c.cn * 1000000) // (du.deg + dv.deg - c.cn) AS jacc_ppm
+          FROM cand c
+          JOIN deg du ON du.u = c.u
+          JOIN deg dv ON dv.u = c.v)
+        SELECT u, v, cn, uni, jacc_ppm FROM sc
+        ORDER BY jacc_ppm DESC, u ASC, v ASC LIMIT 50
+      """))
   )
 
   /** The k-core of an undirected simple graph (edges in either or both
@@ -746,5 +885,46 @@ object Graph extends QueryModule {
     // a silent non-fixpoint would emit a superset of the core — fail loudly
     require(converged, s"k-core did not converge within $maxRounds rounds")
     cur.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected simple graph (edges normalized as in [[kcore]]): every
+    * node starts labeled with its own id; each round relabels EVERY node
+    * with the most frequent label among its neighbors, ties broken by
+    * the smallest label. Synchronous + min-tie-break makes the round a
+    * pure function of the previous labeling — deterministic on any
+    * engine, partitioning, or schedule (the asynchronous variant the
+    * original paper runs is order-dependent and could never hash-match).
+    *
+    * Per round: one key-equi join of the edge frame against the (node,
+    * label) frame on the NEIGHBOR id, one (node, label) count, and a
+    * per-node argmax window over ≤deg(v) candidate rows. The label frame
+    * is staged per round so round N's plan does not re-run rounds
+    * 1..N-1; isolated nodes cannot exist (every node is an edge
+    * endpoint).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val sym = Materialize.stage(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v"))))
+    var lab = Materialize.stage(
+      sym.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    for (_ <- 1 to rounds) {
+      val cnt = sym.join(lab, sym("v") === lab("node"))
+        .groupBy(sym("u"), col("label")).agg(count(lit(1)).as("c"))
+      lab = Materialize.stage(cnt
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u"))
+            .orderBy(col("c").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("label")))
+    }
+    lab
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftQuery, QueryModule, Tables}
+import graft.{GraftQuery, Materialize, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -863,6 +863,320 @@ object TextAnalysis extends QueryModule {
                  (1048576.0 * CAST(n_tokens AS DOUBLE)) AS bits_per_token
         FROM ent
         ORDER BY doc_id
+      """)),
+
+    // ───── BPE merge learning: the tokenizer-training loop ─────
+    // The iterative vocabulary learner every modern tokenizer ships
+    // (Sennrich et al. 2016): K rounds of [count adjacent pairs →
+    // take the most frequent → merge its non-overlapping occurrences
+    // left-to-right → repeat], emitting the learned merge table. The
+    // symbol unit here is the WORD stream (AutoPhrase-style phrase
+    // mining — the corpus ships no sub-word text); a production BPE
+    // run feeds characters-within-words, and the DATAFLOW is
+    // identical: this loop IS the trainer.
+    //
+    // Determinism: the winner ties-break (count DESC, pair ASC); the
+    // left-to-right non-overlap rule is a FOLD — "a a a" merges to
+    // [a¦a, a], never [a, a¦a] — and the '¦' joiner keeps merged
+    // symbols out of the raw vocabulary, so the fold's just-merged
+    // element can never re-trigger on its own left half. Both engines
+    // state the identical fold: Spark as an `aggregate` HOF, DuckDB
+    // as a positional recursive CTE.
+    //
+    // Scale: per round, ONE (pair → count) shuffle with map-side
+    // combine (pairs, never documents, cross the wire), a 1-row
+    // TakeOrdered winner broadcast back, and a NARROW per-doc
+    // re-segmentation — K rounds = K tiny barriers, the minimum the
+    // algorithm's sequential dependency permits. The HOF fold copies
+    // the accumulator per element (O(len²) per doc, fine at doc
+    // lengths); the 100 TB form swaps in a linear-time codegen
+    // Expression with the same semantics. Token frames stay
+    // hash(doc_id)-partitioned across rounds, so no round re-shuffles
+    // the corpus.
+    GraftQuery(
+      "text_bpe_merges",
+      (s, d) => {
+        def pairTop(toksDf: DataFrame): DataFrame =
+          toksDf.select(explode(expr(
+              """CASE WHEN size(toks) >= 2
+                 THEN transform(sequence(1, size(toks) - 1),
+                        i -> struct(toks[i-1] AS a, toks[i] AS b))
+                 ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+                 END""")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("a").asc, col("b").asc)
+            .limit(1)
+        var toks = Materialize.stage(Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+        var out = Seq.empty[DataFrame]
+        for (r <- 1 to 3) {
+          // staged eagerly: the 1-row winner must broadcast into the
+          // re-segmentation with its true size, and its plan must not
+          // re-run the pair count per consumer
+          val win = Materialize.stageEager(pairTop(toks))
+          out = out :+ win.select(lit(r).as("r"), col("a").as("left_tok"),
+            col("b").as("right_tok"), col("c").as("pair_count"))
+          if (r < 3) {
+            toks = Materialize.stage(toks.crossJoin(broadcast(win))
+              .select(col("doc_id"), expr(
+                """aggregate(toks, CAST(array() AS ARRAY<STRING>),
+                   (acc, t) -> IF(size(acc) > 0
+                                  AND element_at(acc, -1) = a AND t = b,
+                     concat(slice(acc, 1, size(acc) - 1),
+                            array(concat(a, '¦', b))),
+                     concat(acc, array(t))))""").as("toks")))
+          }
+        }
+        out.reduce(_ unionByName _).orderBy(col("r"))
+      },
+      // the d$r CTEs are MATERIALIZED: without the hint DuckDB inlines
+      // each round's result into the NEXT round's recursive CTE, which
+      // re-runs the whole prior recursion once per iteration — nested
+      // rounds deep that is exponential re-evaluation (measured: >7 min
+      // vs 2 s at sf0.01). Materializing pins each round to run once.
+      Some {
+        def round(r: Int): String = s"""
+          pr$r AS (
+            SELECT doc_id, UNNEST(generate_series(1, len(t) - 1)) AS i, t
+            FROM d${r - 1}),
+          p$r AS (
+            SELECT t[i] AS a, t[i+1] AS b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pr$r GROUP BY 1, 2),
+          w$r AS (SELECT a, b, c FROM p$r
+                  ORDER BY c DESC, a ASC, b ASC LIMIT 1)"""
+        def reseg(r: Int): String = s"""
+          s$r(doc_id, pos, acc) AS (
+            SELECT doc_id, 0, CAST([] AS VARCHAR[]) FROM d${r - 1}
+            UNION ALL
+            SELECT s.doc_id, s.pos + 1,
+                   CASE WHEN len(s.acc) > 0 AND s.acc[-1] = w.a
+                             AND d.t[s.pos+1] = w.b
+                        THEN s.acc[1:len(s.acc)-1] || [w.a || '¦' || w.b]
+                        ELSE s.acc || [d.t[s.pos+1]] END
+            FROM s$r s JOIN d${r - 1} d USING (doc_id) CROSS JOIN w$r w
+            WHERE s.pos < len(d.t)),
+          d$r AS MATERIALIZED (
+            SELECT s.doc_id, s.acc AS t
+            FROM s$r s JOIN d${r - 1} d USING (doc_id)
+            WHERE s.pos = len(d.t))"""
+        s"""
+        WITH RECURSIVE d0 AS MATERIALIZED (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents),
+        ${round(1)}, ${reseg(1)},
+        ${round(2)}, ${reseg(2)},
+        ${round(3)}
+        SELECT 1 AS r, a AS left_tok, b AS right_tok, c AS pair_count FROM w1
+        UNION ALL
+        SELECT 2 AS r, a, b, c FROM w2
+        UNION ALL
+        SELECT 3 AS r, a, b, c FROM w3
+        ORDER BY r
+      """
+      }),
+
+    // ───── BPE encode: apply the learned merges to the corpus ─────
+    // The inference half of text_bpe_merges: run the same 3-round
+    // learner, apply EVERY round's winner (including the last), and
+    // pin the tokenized corpus itself — per-doc token counts before
+    // and after, the ppm compression the vocabulary buys, and an md5
+    // fingerprint of the final segmentation. This is the query a
+    // training pipeline actually ships: the merge table is a means,
+    // the tokenized corpus is the product.
+    //
+    // Same determinism contract as the trainer (count DESC, pair ASC
+    // winner; left-to-right non-overlap fold); md5 over the
+    // space-joined token stream is the shared cross-engine hash, so
+    // the full segmentation is value-pinned without shipping bodies
+    // through the comparator. Same scale shape too: 3 × (pair-count
+    // shuffle + 1-row broadcast + narrow re-fold); the final per-doc
+    // stats are a narrow projection of the already-partitioned frame.
+    GraftQuery(
+      "text_bpe_encode",
+      (s, d) => {
+        def pairTop(toksDf: DataFrame): DataFrame =
+          toksDf.select(explode(expr(
+              """CASE WHEN size(toks) >= 2
+                 THEN transform(sequence(1, size(toks) - 1),
+                        i -> struct(toks[i-1] AS a, toks[i] AS b))
+                 ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+                 END""")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("a").asc, col("b").asc)
+            .limit(1)
+        var toks = Materialize.stage(Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+        val raw = toks.select(col("doc_id"), size(col("toks")).as("n_raw"))
+        for (_ <- 1 to 3) {
+          val win = Materialize.stageEager(pairTop(toks))
+          toks = Materialize.stage(toks.crossJoin(broadcast(win))
+            .select(col("doc_id"), expr(
+              """aggregate(toks, CAST(array() AS ARRAY<STRING>),
+                 (acc, t) -> IF(size(acc) > 0
+                                AND element_at(acc, -1) = a AND t = b,
+                   concat(slice(acc, 1, size(acc) - 1),
+                          array(concat(a, '¦', b))),
+                   concat(acc, array(t))))""").as("toks")))
+        }
+        toks.join(raw, "doc_id")
+          .select(col("doc_id"), col("n_raw"),
+            size(col("toks")).as("n_bpe"),
+            expr("""IF(size(toks) = 0, NULL,
+                    (CAST(n_raw - size(toks) AS BIGINT) * 1000000L)
+                      DIV n_raw)""").as("saved_ppm"),
+            md5(concat_ws(" ", col("toks"))).as("tok_md5"))
+          .orderBy(col("doc_id"))
+      },
+      // the d$r CTEs are MATERIALIZED: without the hint DuckDB inlines
+      // each round's result into the NEXT round's recursive CTE, which
+      // re-runs the whole prior recursion once per iteration — nested
+      // rounds deep that is exponential re-evaluation (measured: >7 min
+      // vs 2 s at sf0.01). Materializing pins each round to run once.
+      Some {
+        def round(r: Int): String = s"""
+          pr$r AS (
+            SELECT doc_id, UNNEST(generate_series(1, len(t) - 1)) AS i, t
+            FROM d${r - 1}),
+          p$r AS (
+            SELECT t[i] AS a, t[i+1] AS b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pr$r GROUP BY 1, 2),
+          w$r AS (SELECT a, b, c FROM p$r
+                  ORDER BY c DESC, a ASC, b ASC LIMIT 1)"""
+        def reseg(r: Int): String = s"""
+          s$r(doc_id, pos, acc) AS (
+            SELECT doc_id, 0, CAST([] AS VARCHAR[]) FROM d${r - 1}
+            UNION ALL
+            SELECT s.doc_id, s.pos + 1,
+                   CASE WHEN len(s.acc) > 0 AND s.acc[-1] = w.a
+                             AND d.t[s.pos+1] = w.b
+                        THEN s.acc[1:len(s.acc)-1] || [w.a || '¦' || w.b]
+                        ELSE s.acc || [d.t[s.pos+1]] END
+            FROM s$r s JOIN d${r - 1} d USING (doc_id) CROSS JOIN w$r w
+            WHERE s.pos < len(d.t)),
+          d$r AS MATERIALIZED (
+            SELECT s.doc_id, s.acc AS t
+            FROM s$r s JOIN d${r - 1} d USING (doc_id)
+            WHERE s.pos = len(d.t))"""
+        s"""
+        WITH RECURSIVE d0 AS MATERIALIZED (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents),
+        ${round(1)}, ${reseg(1)},
+        ${round(2)}, ${reseg(2)},
+        ${round(3)}, ${reseg(3)}
+        SELECT d0.doc_id, CAST(len(d0.t) AS INT) AS n_raw,
+               CAST(len(d3.t) AS INT) AS n_bpe,
+               CASE WHEN len(d3.t) = 0 THEN NULL
+                    ELSE CAST(len(d0.t) - len(d3.t) AS BIGINT) * 1000000
+                         // len(d0.t) END AS saved_ppm,
+               md5(array_to_string(d3.t, ' ')) AS tok_md5
+        FROM d0 JOIN d3 ON d0.doc_id = d3.doc_id
+        ORDER BY d0.doc_id
+      """
+      }),
+
+    // ───── RAKE keyword extraction: corpus-level key phrases ─────
+    // Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+    // phrases are the maximal stopword-free token runs OF LENGTH ≤ 4
+    // (the standard RAKE candidate cap — without it a stopword-free
+    // document is one giant "phrase"); each word scores
+    // degree/frequency where freq counts the word's occurrences inside
+    // candidates and degree sums the LENGTHS of the phrases it occurs in
+    // (co-occurrence including self); a phrase scores the sum of its
+    // member-word scores. All counts are integers and the only division
+    // is ONE ppm floor-division per word, so the scores — and the top-20
+    // phrase list under the (score DESC, phrase ASC) total order — are
+    // bit-identical across engines. (degree ≤ total_tokens × max_run;
+    // the ×10⁶ fixed point overflows int64 only past ~9×10¹² member
+    // tokens — beyond that, swap the scale factor to DECIMAL(38,0).)
+    //
+    // Scale: token rows carry (doc_id, pos, tok) — bodies never shuffle.
+    // The run-id window rides ONE doc_id exchange; the per-(doc,run)
+    // phrase assembly and length window REUSE that partitioning (doc_id
+    // ⊆ the grouping key, so no second exchange); word stats and the
+    // score join shuffle (word, count) pairs; the final top-20 is a
+    // TakeOrdered heap over the deduped phrase table, never a global
+    // sort. Stopwords are a 2-entry literal set — at 100 TB the real
+    // list (a few hundred entries) still folds into the predicate.
+    GraftQuery(
+      "text_keywords",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(expr("filter(split(text, ' '), t -> t <> '')")))
+          .toDF("doc_id", "pos", "tok")
+        val flagged = toks
+          .withColumn("is_stop",
+            col("tok").isin("a", "the"))
+          .withColumn("run",
+            sum(when(col("is_stop"), 1L).otherwise(0L)).over(
+              Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)))
+        val members = flagged.filter(!col("is_stop"))
+          .select(col("doc_id"), col("run"), col("pos"), col("tok"))
+        val cand = Materialize.stage(members
+          .withColumn("plen",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"), col("run"))))
+          .filter(col("plen") <= 4))
+        val wscore = cand.groupBy(col("tok"))
+          .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degw"))
+          .select(col("tok"), expr("degw * 1000000L div freq").as("wscore"))
+        val pscore = cand.join(wscore, Seq("tok"))
+          .groupBy(col("doc_id"), col("run"))
+          .agg(sum(col("wscore")).as("score"))
+        val phrases = cand.groupBy(col("doc_id"), col("run"))
+          .agg(expr("""array_join(
+                 transform(array_sort(collect_list(struct(pos, tok))),
+                           x -> x.tok), ' ')""").as("phrase"))
+        phrases.join(pscore, Seq("doc_id", "run"))
+          .groupBy(col("phrase"))
+          .agg(count(lit(1)).as("n_occ"), max(col("score")).as("score"))
+          .orderBy(col("score").desc, col("phrase").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH t0 AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+          FROM documents),
+        toks AS (
+          SELECT doc_id, UNNEST(generate_series(1, len(ts))) AS pos, ts
+          FROM t0),
+        ft AS (
+          SELECT doc_id, pos, ts[pos] AS tok,
+                 CASE WHEN ts[pos] IN ('a', 'the') THEN 1 ELSE 0 END AS is_stop
+          FROM toks),
+        rt AS (
+          SELECT doc_id, pos, tok, is_stop,
+                 SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+          FROM ft),
+        mem AS (SELECT doc_id, run, pos, tok FROM rt WHERE is_stop = 0),
+        pl AS (
+          SELECT doc_id, run, pos, tok,
+                 COUNT(*) OVER (PARTITION BY doc_id, run) AS plen
+          FROM mem),
+        cand AS (SELECT doc_id, run, pos, tok, plen FROM pl WHERE plen <= 4),
+        wsc AS (
+          SELECT tok,
+                 (CAST(SUM(plen) AS BIGINT) * 1000000)
+                   // CAST(COUNT(*) AS BIGINT) AS wscore
+          FROM cand GROUP BY tok),
+        ps AS (
+          SELECT m.doc_id, m.run, CAST(SUM(w.wscore) AS BIGINT) AS score
+          FROM cand m JOIN wsc w ON w.tok = m.tok
+          GROUP BY m.doc_id, m.run),
+        ph AS (
+          SELECT doc_id, run, string_agg(tok, ' ' ORDER BY pos) AS phrase
+          FROM cand GROUP BY doc_id, run)
+        SELECT ph.phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(MAX(ps.score) AS BIGINT) AS score
+        FROM ph JOIN ps ON ps.doc_id = ph.doc_id AND ps.run = ph.run
+        GROUP BY ph.phrase
+        ORDER BY score DESC, phrase ASC LIMIT 20
       """))
   )
 }

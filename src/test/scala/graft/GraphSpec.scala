@@ -269,4 +269,83 @@ class GraphSpec extends SparkSpec {
     assert(core(g, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     assert(core(g, 3) === Map.empty[Long, Long])
   }
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int) = Materialize.scoped {
+    Graph.labelPropagation(edges.toDF("u", "v"), rounds)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("label propagation: synchronous rounds, min tie-break, frequency wins") {
+    // star 1-{2,3,4} plus the 2-3 edge; hand-computed synchronous rounds
+    val g = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L)
+    // round 1 from identity labels: every neighbor multiset is all-ties,
+    // so the min label is picked everywhere
+    assert(lpa(g, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // round 2: node 1 sees {1,1,1} (frequency), node 4 follows the hub
+    assert(lpa(g, 2) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // round 3: node 1 sees {1,1,2} — count 2 beats count 1 — and the
+    // whole graph settles on label 1
+    assert(lpa(g, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("label propagation: duplicate, reverse, and self edges are normalized") {
+    val clean = lpa(Seq(1L -> 2L, 2L -> 3L), 2)
+    val noisy = lpa(Seq(1L -> 2L, 2L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 3L), 2)
+    assert(clean === noisy)
+  }
+
+  /** The co-line adjacency rebuilt driver-side, shared by the replay
+    * tests below (same multimap-join semantics as the engine's).
+    */
+  private def tinyAdj(): Seq[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sfTiny)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .as[(Long, Int, Long)].collect()
+    li.groupBy(_._1).values.flatMap { lines =>
+      val byLn = lines.groupBy(_._2).map { case (ln, ls) => ln -> ls.map(_._3).toSeq }
+      byLn.toSeq.flatMap { case (ln, ps) =>
+        val nxt = byLn.getOrElse(ln + 1, Seq.empty[Long])
+        for (p <- ps; p2 <- nxt if p2 != p) yield (p, p2)
+      }
+    }.toSeq
+  }
+
+  test("graph_label_propagation matches an exact synchronous replay at sf0.001") {
+    val got = SparkEntry.queries("graph_label_propagation")(spark, sfTiny)
+      .as[(Long, Long)].collect().toMap
+    val adj = tinyAdj()
+    val und = (adj ++ adj.map(_.swap))
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = nbrs.map { case (u, ns) =>
+        val cnt = ns.map(lab).groupBy(identity).map { case (l, o) => (l, o.size) }
+        u -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got === lab)
+  }
+
+  test("graph_jaccard_links matches a brute-force capped replay at sf0.001") {
+    val got = SparkEntry.queries("graph_jaccard_links")(spark, sfTiny)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val adj = tinyAdj()
+    val und = (adj ++ adj.map(_.swap))
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = nbrs.map { case (k, v) => k -> v.size.toLong }
+    val undSet = und.toSet
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for ((w, ns) <- nbrs if ns.size <= 64; x <- ns; y <- ns if x < y)
+      cn((x, y)) += 1
+    val exp = cn.toSeq.collect { case ((u, v), c) if !undSet((u, v)) =>
+      val uni = deg(u) + deg(v) - c
+      (u, v, c, uni, c * 1000000L / uni)
+    }.sortBy { case (u, v, _, _, j) => (-j, u, v) }.take(50)
+    assert(got === exp)
+  }
 }

@@ -52,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     // self-join (non-equi by design: k² on a CONSTANT k, never corpus)
     "sim_mmr_diversify",
     // 1-row broadcast rank-1 frequency scalar under the 4 anchor rows
-    "text_zipf_slope")
+    "text_zipf_slope",
+    // 1-row broadcast merge-winner frames under the re-segmentation
+    "text_bpe_merges",
+    "text_bpe_encode")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

@@ -204,6 +204,83 @@ class SqlRegistrySweepSpec extends SparkSpec {
     * mechanical bridge; still full literal-SQL result parity.
     */
   private val sparkSqlOverrides: Map[String, String] = Map(
+    // the DuckDB oracle spells the per-round re-segmentation as a
+    // positional recursive CTE; Spark CANNOT run that chain — it has no
+    // MATERIALIZED hint, so round N's recursion re-executes rounds
+    // 1..N-1 PER ITERATION (UnionLoopExec, measured: still running at
+    // 50+ min where DuckDB takes 2 s). The Spark spelling is the
+    // `aggregate` HOF fold — the exact lambda the DataFrame operator
+    // uses, non-recursive, one pass per round
+    "text_bpe_merges" -> {
+      def round(r: Int): String = s"""
+        p$r AS (
+          SELECT t[i-1] AS a, t[i] AS b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, explode(sequence(1, size(t) - 1)) AS i, t
+                FROM d${r - 1} WHERE size(t) >= 2) pr$r
+          GROUP BY 1, 2),
+        w$r AS (SELECT a, b, c FROM p$r
+                ORDER BY c DESC, a ASC, b ASC LIMIT 1)"""
+      def reseg(r: Int): String = s"""
+        d$r AS (
+          SELECT doc_id, aggregate(t, CAST(array() AS ARRAY<STRING>),
+            (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = w.a
+                           AND x = w.b,
+              concat(slice(acc, 1, size(acc) - 1),
+                     array(concat(w.a, '¦', w.b))),
+              concat(acc, array(x)))) AS t
+          FROM d${r - 1} CROSS JOIN w$r w)"""
+      s"""
+      WITH d0 AS (
+        SELECT doc_id, filter(split(text, ' '), t -> t <> '') AS t
+        FROM documents),
+      ${round(1)}, ${reseg(1)},
+      ${round(2)}, ${reseg(2)},
+      ${round(3)}
+      SELECT 1 AS r, a AS left_tok, b AS right_tok, c AS pair_count FROM w1
+      UNION ALL
+      SELECT 2 AS r, a, b, c FROM w2
+      UNION ALL
+      SELECT 3 AS r, a, b, c FROM w3
+      ORDER BY r
+    """
+    },
+    // same HOF-fold spelling as text_bpe_merges (chained recursive CTEs
+    // are exponential in Spark), plus the final per-doc join of raw vs
+    // encoded segmentations
+    "text_bpe_encode" -> {
+      def round(r: Int): String = s"""
+        p$r AS (
+          SELECT t[i-1] AS a, t[i] AS b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, explode(sequence(1, size(t) - 1)) AS i, t
+                FROM d${r - 1} WHERE size(t) >= 2) pr$r
+          GROUP BY 1, 2),
+        w$r AS (SELECT a, b, c FROM p$r
+                ORDER BY c DESC, a ASC, b ASC LIMIT 1)"""
+      def reseg(r: Int): String = s"""
+        d$r AS (
+          SELECT doc_id, aggregate(t, CAST(array() AS ARRAY<STRING>),
+            (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = w.a
+                           AND x = w.b,
+              concat(slice(acc, 1, size(acc) - 1),
+                     array(concat(w.a, '¦', w.b))),
+              concat(acc, array(x)))) AS t
+          FROM d${r - 1} CROSS JOIN w$r w)"""
+      s"""
+      WITH d0 AS (
+        SELECT doc_id, filter(split(text, ' '), t -> t <> '') AS t
+        FROM documents),
+      ${round(1)}, ${reseg(1)},
+      ${round(2)}, ${reseg(2)},
+      ${round(3)}, ${reseg(3)}
+      SELECT d0.doc_id, size(d0.t) AS n_raw, size(d3.t) AS n_bpe,
+             CASE WHEN size(d3.t) = 0 THEN NULL
+                  ELSE CAST(size(d0.t) - size(d3.t) AS BIGINT) * 1000000L
+                       DIV size(d0.t) END AS saved_ppm,
+             md5(array_join(d3.t, ' ')) AS tok_md5
+      FROM d0 JOIN d3 ON d0.doc_id = d3.doc_id
+      ORDER BY d0.doc_id
+    """
+    },
     // the DuckDB oracle's hex cast again (Spark needs conv()); same
     // one-shot KMV math otherwise
     "agg_sketch_store" -> """

@@ -335,4 +335,64 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 8, 8L, 1048576L, 1.0),
       (4L, 16, 4L, 1048576L, 1.0)))
   }
+
+  test("text_bpe_merges: left-to-right non-overlap; merged symbols chain") {
+    val d = scratchDir("bpe")
+    // doc 0: "x x x x" has THREE (x,x) pairs but the greedy fold merges
+    // two non-overlapping occurrences ([x¦x, x¦x], never overlapping);
+    // doc 1 seeds round 2, and round 3's winner is a pair of MERGED
+    // symbols — the vocabulary chaining real BPE depends on.
+    Seq(
+      (0L, "x x x x", "en", "s", 7L),
+      (1L, "p q p q", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("text_bpe_merges")(spark, d)
+      .select("r", "left_tok", "right_tok", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "x", "x", 3L),       // raw pair count is 3 (overlaps counted)...
+      (2, "p", "q", 2L),       // ...but after the fold doc 0 is [x¦x, x¦x]
+      (3, "p¦q", "p¦q", 1L))) // round 3: a pair of round-2 MERGES wins
+  }
+
+  test("text_bpe_encode: applies all learned merges; pins the segmentation") {
+    val d = scratchDir("bpe_enc")
+    def h(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // same fixture as the trainer: merges are (x,x) then (p,q) then
+    // (p¦q,p¦q) — doc 0 compresses 4→2 under round 1 only, doc 1
+    // chains through rounds 2 AND 3 down to a single symbol.
+    Seq(
+      (0L, "x x x x", "en", "s", 7L),
+      (1L, "p q p q", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("text_bpe_encode")(spark, d)
+      .as[(Long, Int, Int, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (0L, 4, 2, 500000L, h("x¦x x¦x")),
+      (1L, 4, 1, 750000L, h("p¦q¦p¦q"))))
+  }
+
+  test("text_keywords: RAKE degree/freq scores, runs split on stopwords") {
+    val d = scratchDir("rake")
+    // doc 0 runs: [fast hash join] ×2, [slow scan]
+    // doc 1 runs: [fast scan], [hash join]; doc 2 is all stopwords
+    Seq(
+      (0L, "fast hash join a fast hash join the slow scan", "en", "s", 46L),
+      (1L, "fast scan the hash join", "en", "s", 23L),
+      (2L, "a the a", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("text_keywords")(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    // word scores (degree·1e6 div freq): fast/hash/join = 8e6 div 3 =
+    // 2666666; slow = 2e6 div 1; scan = 4e6 div 2 = 2000000
+    assert(got === Seq(
+      ("fast hash join", 2L, 3L * 2666666L),
+      ("hash join", 1L, 2L * 2666666L),
+      ("fast scan", 1L, 2666666L + 2000000L),
+      ("slow scan", 1L, 4000000L)))
+  }
 }

@@ -147,6 +147,44 @@ class TimeseriesSpec extends SparkSpec {
       (3L, 1L, 1L, 0L)))
   }
 
+  test("win_attribution: last touch wins, 6-hour boundary inclusive, " +
+      "errors don't steal, no-touch and stale classified") {
+    val d = scratchDir("attrib")
+    val M = 60L * 1000000L // one minute in µs
+    val rows = Seq(
+      // u1: click → purchase 10 min later (credited), then a view whose
+      // purchase lands 7 h later (stale — the carry is the view, not
+      // the older click)
+      (0L, 0L * M, 1L, "click", 0.0),
+      (1L, 10L * M, 1L, "purchase", 2.0),
+      (2L, 20L * M, 1L, "view", 0.0),
+      (3L, 440L * M, 1L, "purchase", 10.0),
+      // u2: a purchase with NO prior touch, then signup → purchase
+      (4L, 5L * M, 2L, "purchase", 1.0),
+      (5L, 10L * M, 2L, "signup", 0.0),
+      (6L, 11L * M, 2L, "purchase", 4.5),
+      // u3: an error between click and purchase must not steal credit
+      (7L, 0L * M, 3L, "click", 0.0),
+      (8L, 5L * M, 3L, "error", 99.0),
+      (9L, 6L * M, 3L, "purchase", 3.0),
+      // u4: purchase at EXACTLY 6 h — boundary is inclusive, credited
+      (10L, 0L * M, 4L, "view", 0.0),
+      (11L, 360L * M, 4L, "purchase", 0.25)
+    ).map { case (id, us, u, et, v) =>
+      (id, new Timestamp(us / 1000), u, et, v)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("win_attribution")(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("click", 2L, 500L),
+      ("none", 1L, 100L),
+      ("signup", 1L, 450L),
+      ("stale", 1L, 1000L),
+      ("view", 1L, 25L)))
+  }
+
   test("ts_gap_fill: first grid cell is always observed (no leading null)") {
     val head = SparkEntry.queries("ts_gap_fill")(spark, dir)
       .groupBy("user_id").agg(
