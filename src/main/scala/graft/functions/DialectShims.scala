@@ -25,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `duck_encode(s)`       → cast to BINARY (UTF-8 bytes; DuckDB's
   *    1-arg encode() — named apart because Spark's 2-arg encode builtin
   *    would otherwise shadow-conflict)
+  *  - `xor(a, b)`            → bitwise xor (Spark's `^` operator; DuckDB
+  *    reserves `^` for exponentiation, so oracles write xor())
   *
   * `SqlRegistrySweepSpec` exercises all of them by running the whole
   * DuckDB oracle corpus through Spark SQL.
@@ -125,6 +127,14 @@ object DialectShims {
       require(children.size == 1,
         s"duck_encode requires 1 argument, got ${children.size}")
       Cast(children.head, BinaryType)
+    }))
+
+    // DuckDB's scalar bitwise xor(a, b); Spark only spells it as the ^
+    // operator (its `^` is exponent in DuckDB, so oracles write xor())
+    ext.injectFunction(fn("xor", classOf[BitwiseXor], children => {
+      require(children.size == 2,
+        s"xor requires 2 arguments, got ${children.size}")
+      BitwiseXor(children(0), children(1))
     }))
   }
 }

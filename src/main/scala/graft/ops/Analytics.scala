@@ -1146,6 +1146,127 @@ object Analytics extends QueryModule {
                CAST(SUM(is_p) AS BIGINT) * 1000000 // COUNT(*) AS pos_ppm,
                CAST(SUM(vd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score
         FROM b GROUP BY band ORDER BY band
+      """)),
+
+    // ───── Gini concentration: who owns the revenue? ─────
+    // The inequality gate a curation pipeline runs on source/segment
+    // concentration (a corpus where one domain owns 90% of tokens is a
+    // skew and diversity problem): per market segment, the exact Gini
+    // coefficient of per-customer order revenue. For cents sorted
+    // ascending with rank i: G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ). Σi·xᵢ
+    // rides DECIMAL(38,0) (int64 dies at n·x ≈ 10¹⁵ — n itself is the
+    // overflow driver at corpus scale); the division is ONE pinned
+    // IEEE double op (the stats_corr pattern). Ties sort by customer
+    // key, but equal values make Σi·xᵢ tie-order-invariant anyway.
+    //
+    // Scale: one (custkey → revenue) aggregate, one segment-keyed rank
+    // window, one per-segment fold — bounded output (one row per
+    // segment). The rank window is the sort; nothing else is global.
+    GraftQuery(
+      "stats_gini",
+      (s, d) => {
+        val v = Tables.orders(s, d)
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+          .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("long").as("cents"))
+        val r = v.withColumn("i", row_number().over(
+          Window.partitionBy(col("seg"))
+            .orderBy(col("cents").asc, col("o_custkey").asc)))
+        r.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            sum(expr("CAST(i AS DECIMAL(38,0)) * cents")).as("siw"))
+          .select(col("seg"), col("n"), col("sum_cents"),
+            (expr("CAST(2 * siw - (n + 1) * CAST(sum_cents AS DECIMAL(38,0)) AS DOUBLE)") /
+              expr("CAST(CAST(n AS DECIMAL(38,0)) * sum_cents AS DOUBLE)"))
+              .as("gini"))
+          .orderBy(col("seg"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT c.c_mktsegment AS seg, o.o_custkey,
+                 CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2),
+        r AS (
+          SELECT seg, cents,
+                 ROW_NUMBER() OVER (PARTITION BY seg
+                   ORDER BY cents, o_custkey) AS i
+          FROM v),
+        s AS (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                 SUM(CAST(i AS DECIMAL(38,0)) * cents) AS siw
+          FROM r GROUP BY seg)
+        SELECT seg, n, sum_cents,
+               CAST(2 * siw - (n + 1) * CAST(sum_cents AS DECIMAL(38,0))
+                 AS DOUBLE) /
+               CAST(CAST(n AS DECIMAL(38,0)) * sum_cents AS DOUBLE) AS gini
+        FROM s ORDER BY seg
+      """)),
+
+    // ───── Benford first-digit gate: does the data look organic? ─────
+    // The forensic data-quality check: distribution of the first
+    // significant digit of price cents vs Benford's law. The expected
+    // ppm values are nine CONSTANTS (⌊log₁₀(1+1/d)·10⁶⌋ — stated as
+    // literals in both engines, so no libm ever runs); observed ppm is
+    // integer floor division over counts; the total rides a 9-row
+    // unpartitioned window (never a cross join). Synthetic uniform
+    // prices are loudly NON-Benford — that is the point of a gate.
+    // Output is 9 rows regardless of scale; one count shuffle.
+    GraftQuery(
+      "stats_benford",
+      (s, d) => {
+        val digits = Tables.lineitem(s, d)
+          .filter(col("l_extendedprice") > 0)
+          .select(expr("""CAST(substring(CAST(
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS STRING), 1, 1) AS BIGINT)""").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val expected = Seq(
+          (1L, 301029L), (2L, 176091L), (3L, 124938L), (4L, 96910L),
+          (5L, 79181L), (6L, 66946L), (7L, 57991L), (8L, 51152L),
+          (9L, 45757L))
+        import s.implicits._
+        val e = expected.toDF("digit", "exp_ppm")
+        e.join(digits, Seq("digit"), "left")
+          .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+            col("exp_ppm"))
+          .withColumn("tot", sum(col("n")).over(
+            Window.partitionBy(lit(1))))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000L DIV tot").as("obs_ppm"), col("exp_ppm"),
+            expr("abs(n * 1000000L DIV tot - exp_ppm)").as("dev_ppm"))
+          .orderBy(col("digit"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM lineitem WHERE l_extendedprice > 0),
+        o AS (
+          SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM c GROUP BY 1),
+        e AS (
+          SELECT * FROM (VALUES
+            (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+            (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+            ev(digit, exp_ppm)),
+        j AS (
+          SELECT CAST(e.digit AS BIGINT) AS digit,
+                 CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+                 CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+                 CAST(SUM(COALESCE(o.n, 0)) OVER () AS BIGINT) AS tot
+          FROM e LEFT JOIN o ON o.digit = e.digit)
+        SELECT digit, n, n * 1000000 // tot AS obs_ppm, exp_ppm,
+               ABS(n * 1000000 // tot - exp_ppm) AS dev_ppm
+        FROM j ORDER BY digit
       """))
   )
 }

@@ -470,6 +470,101 @@ object Extras extends QueryModule {
         FROM j ORDER BY user_id, bucket
       """)),
 
+    // ───── linear interpolation: the other gap-fill contract ─────
+    // Same dense per-user hour grid as ts_gap_fill, but gaps take the
+    // LINE between the surrounding observations instead of the carry:
+    // v = prev + (next − prev) · (b − b_prev)/(b_next − b_prev). Four
+    // ignore-nulls carries over ONE user_id exchange (prev/next value
+    // and their bucket positions — each pair nulls out on the same rows,
+    // so they are atomic); the grid spans first..last observation, so
+    // every gap is INTERIOR and both carries always exist (no
+    // extrapolation case). The interpolation itself is the same short IEEE
+    // expression on both engines — a subtract, a divide of two small
+    // exact ints, a multiply, an add, in pinned order — so doubles
+    // hash-match. First grid cell is observed by construction (the grid
+    // starts at each user's first event), so prev never nulls where used.
+    GraftQuery(
+      "ts_interpolate",
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .withColumn("bucket", expr("ts_us div 3600000000"))
+        val wRep = Window.partitionBy(col("user_id"), col("bucket"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val rep = b.withColumn("rn", row_number().over(wRep))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("bucket"), col("value").as("obs"))
+        val grid = b.groupBy(col("user_id"))
+          .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+          .select(col("user_id"),
+            explode(expr("sequence(lo, hi)")).as("bucket"))
+        val wPrev = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(rep, Seq("user_id", "bucket"), "left")
+          .select(col("user_id"), col("bucket"), col("obs"),
+            last(col("obs"), ignoreNulls = true).over(wPrev).as("pv"),
+            last(when(col("obs").isNotNull, col("bucket")),
+              ignoreNulls = true).over(wPrev).as("pb"),
+            first(col("obs"), ignoreNulls = true).over(wNext).as("nv"),
+            first(when(col("obs").isNotNull, col("bucket")),
+              ignoreNulls = true).over(wNext).as("nb"))
+          .select(col("user_id"), col("bucket"),
+            when(col("obs").isNotNull, col("obs"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("bucket") - col("pb")).cast("double") /
+                  (col("nb") - col("pb")).cast("double")))
+              .as("v_interp"),
+            col("obs").isNotNull.as("observed"))
+          .orderBy(col("user_id"), col("bucket"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
+                 (epoch_ns(ts) // 1000) // 3600000000 AS bucket
+          FROM events),
+        rep AS (
+          SELECT user_id, bucket, value AS obs FROM (
+            SELECT user_id, bucket, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                     ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM b) t WHERE rn = 1),
+        grid AS (
+          SELECT user_id, UNNEST(generate_series(lo, hi)) AS bucket
+          FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+                FROM b GROUP BY user_id) s0),
+        j AS (
+          SELECT g.user_id, g.bucket, r.obs
+          FROM grid g LEFT JOIN rep r
+            ON g.user_id = r.user_id AND g.bucket = r.bucket),
+        c AS (
+          SELECT user_id, bucket, obs,
+                 LAST_VALUE(obs IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 LAST_VALUE(CASE WHEN obs IS NOT NULL THEN bucket END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+                 FIRST_VALUE(obs IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN bucket END
+                   IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+          FROM j)
+        SELECT user_id, bucket,
+               CASE WHEN obs IS NOT NULL THEN obs
+                    ELSE pv + (nv - pv) *
+                         (CAST(bucket - pb AS DOUBLE) /
+                          CAST(nb - pb AS DOUBLE)) END AS v_interp,
+               obs IS NOT NULL AS observed
+        FROM c ORDER BY user_id, bucket
+      """)),
+
     // ───── OHLC resample: the downsampling half of the ts family ─────
     // Per (user, hour): open/close = the first/last event's value by
     // the (ts_us, event_id) total order (selected via two ROW_NUMBERs

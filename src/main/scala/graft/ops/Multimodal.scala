@@ -43,6 +43,15 @@ final case class DecodedMedia(
     pcm_checksum: Long,
     pcm_energy: Long)
 
+/** Per-image perceptual hash decoded from real P6 bytes: a 12-bit
+  * (4×3-block) average-hash plus the dimensions it was computed at.
+  */
+final case class PhashMedia(
+    doc_id: Long,
+    w: Long,
+    h: Long,
+    ahash: Long)
+
 /** Multimodal-column support (SURVEY.md §2.8): image/audio/video payloads
   * modeled as opaque `binary` columns with typed metadata, plus the
   * decode / feature-extract / frame-sample plumbing a training-data
@@ -181,7 +190,12 @@ object Multimodal extends QueryModule {
     * unsigned per-plane byte checksums. Works on any spec-compliant
     * 8-bit P6 file, not just the synthetic ones above.
     */
-  private[graft] def decodePpm(docId: Long, bytes: Array[Byte]): DecodedMedia = {
+  /** Parse a binary P6 header — magic, whitespace/`#`-comment tokens
+    * (netpbm spec), `w h maxval` — returning (w, h, maxval,
+    * rasterStart). Shared by the plane-checksum decoder and the
+    * perceptual-hash decoder.
+    */
+  private def ppmHeader(docId: Long, bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
       s"not a P6 PPM (doc $docId)")
     var pos = 2
@@ -205,13 +219,18 @@ object Multimodal extends QueryModule {
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(maxval > 0 && maxval < 256, s"only 8-bit PPM supported (doc $docId)")
-    pos += 1 // exactly one whitespace byte separates header from raster
+    // exactly one whitespace byte separates header from raster
+    (w, h, maxval, pos + 1)
+  }
+
+  private[graft] def decodePpm(docId: Long, bytes: Array[Byte]): DecodedMedia = {
+    val (w, h, maxval, start) = ppmHeader(docId, bytes)
     val n = w * h * 3
-    require(bytes.length - pos >= n, s"truncated PPM raster (doc $docId)")
+    require(bytes.length - start >= n, s"truncated PPM raster (doc $docId)")
     var r = 0L; var g = 0L; var b = 0L
     var i = 0
     while (i < n) {
-      val v = (bytes(pos + i) & 0xff).toLong
+      val v = (bytes(start + i) & 0xff).toLong
       (i % 3: @annotation.switch) match {
         case 0 => r += v
         case 1 => g += v
@@ -220,6 +239,42 @@ object Multimodal extends QueryModule {
       i += 1
     }
     DecodedMedia(docId, "ppm", w, h, maxval, r, g, b, 0L, 0L, 0L, 0L)
+  }
+
+  /** Decode a P6 raster into a 4×3 block average-hash: per-block luma
+    * sums (luma = r+g+b of a pixel), one bit per block set when the
+    * block's MEAN luma exceeds the image mean — compared by integer
+    * cross-multiplication (bsum·n_pixels > tsum·block_pixels), so the
+    * hash is exact on any engine (no division ever happens). Block
+    * (rb, cb) of pixel (x, y) is rb = y·3 div h, cb = x·4 div w — the
+    * standard resize-free block partition; bit index = rb·4 + cb.
+    * Headroom: bsum·n ≤ 765·(w·h)² stays in int64 to ~10⁸ pixels.
+    */
+  private[graft] def decodePpmGrid(docId: Long, bytes: Array[Byte]): PhashMedia = {
+    val (w, h, _, start) = ppmHeader(docId, bytes)
+    val n = w * h * 3
+    require(bytes.length - start >= n, s"truncated PPM raster (doc $docId)")
+    val bsum = new Array[Long](12)
+    val bn = new Array[Long](12)
+    var tsum = 0L
+    var p = 0
+    while (p < w * h) {
+      val x = p % w; val y = p / w
+      val luma = (bytes(start + 3 * p) & 0xff) +
+        (bytes(start + 3 * p + 1) & 0xff) +
+        (bytes(start + 3 * p + 2) & 0xff)
+      val blk = (y * 3 / h) * 4 + (x * 4 / w)
+      bsum(blk) += luma; bn(blk) += 1; tsum += luma
+      p += 1
+    }
+    val tn = (w.toLong * h)
+    var hash = 0L
+    var j = 0
+    while (j < 12) {
+      if (bsum(j) * tn > tsum * bn(j)) hash |= 1L << j
+      j += 1
+    }
+    PhashMedia(docId, w.toLong, h.toLong, hash)
   }
 
   /** GENUINE PCM WAV decoder: validates RIFF/WAVE magics, walks the
@@ -444,6 +499,123 @@ object Multimodal extends QueryModule {
                CAST(sample_rate AS BIGINT), n_samples, pcm_checksum, pcm_energy
         FROM wav_f
         ORDER BY doc_id
+      """)),
+
+    // ───── perceptual-hash near-dup over really-decoded image bytes ─────
+    // The image half of the dedup family: every PPM asset (staged and
+    // ingested through the binaryFile on-ramp exactly like
+    // mm_decode_real) is DECODED — header tokenizer + raster walk — into
+    // a 4×3 block average-hash, and each image reports its nearest
+    // same-shape neighbor within Hamming distance ≤ 3 (NULL when none).
+    // The hash is pure integer math (block-vs-image mean compared by
+    // cross-multiplication, never a division), so the oracle can state
+    // every bit in closed form from the synthetic raster formula while
+    // the engine still genuinely parses bytes.
+    //
+    // Scale: blobs never shuffle (decode is a narrow mapPartitions on
+    // the scan); what exchanges is (doc_id, w, h, 12-bit hash) — 4
+    // columns, corpus-cardinality. The candidate join is equi on the
+    // (w, h) shape class with the doc_id≠ residual — at production
+    // scale the class key would extend with hash BANDS (the simhash
+    // pattern) to keep per-bucket fan-out bounded; here classes are
+    // ≤ |corpus|/91. TakeOrdered-free: the per-doc argmin is a rank
+    // window over the ≤class-size candidate rows.
+    GraftQuery(
+      "mm_phash",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.pipeline.Sources.scratch(d, "mmphash_")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 200 && col("doc_id") % 2 === 0)
+          .select(col("doc_id"))
+          .repartition(4)
+          .as[Long]
+          .foreachPartition { (ids: Iterator[Long]) =>
+            // deterministic bytes, disjoint files per partition — a
+            // retried task rewrites identical content (mm_decode_real's
+            // idempotence argument)
+            ids.foreach { id =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$tmp/asset_$id.ppm"), ppmBytes(id))
+            }
+          }
+        implicit val enc = org.apache.spark.sql.Encoders.product[PhashMedia]
+        val hashes = graft.Materialize.stage(s.read.format("binaryFile")
+          .option("pathGlobFilter", "asset_*")
+          .load(tmp)
+          .select(
+            regexp_extract(col("path"), "asset_(\\d+)\\.", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.grouped(BatchSize).flatMap(_.map { case (id, b) =>
+              decodePpmGrid(id, b)
+            })
+          }
+          .toDF())
+        val nn = hashes.as("l").join(hashes.as("r"),
+            col("l.w") === col("r.w") && col("l.h") === col("r.h") &&
+              col("l.doc_id") =!= col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_id"), col("r.doc_id").as("other"),
+            col("l.ahash").bitwiseXOR(col("r.ahash")).as("xh"))
+          .withColumn("ham", expr("bit_count(xh)"))
+          .filter(col("ham") <= 3)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+              .orderBy(col("ham").asc, col("other").asc)))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("other").as("nn_doc"),
+            col("ham").as("nn_ham"))
+        hashes.join(nn, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("w"), col("h"), col("ahash"),
+            col("nn_doc"), col("nn_ham"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0),
+        px AS (
+          SELECT doc_id, w, h, UNNEST(generate_series(0, w * h - 1)) AS p
+          FROM img),
+        lum AS (
+          SELECT doc_id, w, h,
+                 (doc_id*131 + (3*p)*7) % 256 + (doc_id*131 + (3*p+1)*7) % 256
+                   + (doc_id*131 + (3*p+2)*7) % 256 AS luma,
+                 ((p // w) * 3) // h AS rb, ((p % w) * 4) // w AS cb
+          FROM px),
+        blk AS (
+          SELECT doc_id, w, h, rb, cb, CAST(SUM(luma) AS BIGINT) AS bsum,
+                 CAST(COUNT(*) AS BIGINT) AS bn
+          FROM lum GROUP BY 1, 2, 3, 4, 5),
+        tot AS (
+          SELECT doc_id, CAST(SUM(luma) AS BIGINT) AS tsum,
+                 CAST(COUNT(*) AS BIGINT) AS tn
+          FROM lum GROUP BY 1),
+        hsh AS (
+          SELECT b.doc_id, CAST(MAX(b.w) AS BIGINT) AS w,
+                 CAST(MAX(b.h) AS BIGINT) AS h,
+                 CAST(SUM(CASE WHEN b.bsum * t.tn > t.tsum * b.bn
+                          THEN CAST(1 AS BIGINT) << (b.rb * 4 + b.cb)
+                          ELSE 0 END) AS BIGINT) AS ahash
+          FROM blk b JOIN tot t ON t.doc_id = b.doc_id
+          GROUP BY b.doc_id),
+        pr AS (
+          SELECT a.doc_id, b.doc_id AS other,
+                 bit_count(xor(a.ahash, b.ahash)) AS ham
+          FROM hsh a JOIN hsh b
+            ON a.w = b.w AND a.h = b.h AND a.doc_id <> b.doc_id),
+        nn AS (
+          SELECT doc_id, other AS nn_doc, ham AS nn_ham FROM (
+            SELECT doc_id, other, ham,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY ham, other) AS rn
+            FROM pr WHERE ham <= 3) t WHERE rn = 1)
+        SELECT s.doc_id, s.w, s.h, s.ahash, nn.nn_doc, nn.nn_ham
+        FROM hsh s LEFT JOIN nn ON nn.doc_id = s.doc_id
+        ORDER BY s.doc_id
       """)),
 
     // ───── per-modality feature statistics over decoded features ─────

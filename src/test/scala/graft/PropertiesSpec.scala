@@ -268,4 +268,59 @@ class PropertiesSpec extends SparkSpec {
     assert(all._4 === mi2.toLong)
     assert(all._5 === mi2.toDouble / (1048576.0 * n.toDouble))
   }
+
+  test("stats_gini: exact rational replay per segment; bounds; " +
+      "equal-split sanity") {
+    val rows = SparkEntry.queries("stats_gini")(spark, sfTiny)
+      .select($"seg", $"n", $"sum_cents", $"gini")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val cust = Tables.customer(spark, sfTiny)
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)].collect().toMap
+    val rev = Tables.orders(spark, sfTiny)
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (k, os) =>
+        (cust(k), k) ->
+          os.map(o => BigDecimal(o._2).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).sum.toLongExact
+      }
+    rev.groupBy(_._1._1).foreach { case (seg, m) =>
+      val xs = m.toSeq.map { case ((_, k), c) => (c, k) }.sortBy(identity)
+      val n = xs.size.toLong
+      val sum = xs.map(_._1).map(BigInt(_)).sum
+      val siw = xs.zipWithIndex.map { case ((c, _), i0) =>
+        BigInt(i0 + 1) * c
+      }.sum
+      val (_, gn, gsum, ggini) = rows(seg)
+      assert(gn === n && BigInt(gsum) === sum, s"seg $seg sizes")
+      val num = 2 * siw - BigInt(n + 1) * sum
+      assert(ggini === num.toDouble / (BigInt(n) * sum).toDouble, s"seg $seg")
+      assert(ggini >= 0.0 && ggini < 1.0)
+    }
+    assert(rows.keySet === rev.keySet.map(_._1))
+  }
+
+  test("stats_benford: counts partition prices; ppm floor math; " +
+      "constants sum to ~1") {
+    val rows = SparkEntry.queries("stats_benford")(spark, sfTiny)
+      .select($"digit", $"n", $"obs_ppm", $"exp_ppm", $"dev_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === (1L to 9L))
+    val prices = Tables.lineitem(spark, sfTiny)
+      .select($"l_extendedprice").as[Double].collect().filter(_ > 0)
+    val byDigit = prices
+      .map(p => (BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact.toString.head)
+      .groupBy(identity).map { case (d, o) => d.toString.toLong -> o.length.toLong }
+    val tot = prices.length.toLong
+    rows.foreach { case (d, n, obs, exp, dev) =>
+      assert(n === byDigit.getOrElse(d, 0L), s"digit $d count")
+      assert(obs === n * 1000000L / tot)
+      assert(dev === math.abs(obs - exp))
+    }
+    assert(rows.map(_._2).sum === tot, "digits partition all prices")
+    // the hardcoded Benford ppm constants are floor(log10(1+1/d)·1e6)
+    rows.foreach { case (d, _, _, exp, _) =>
+      assert(exp === math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong,
+        s"digit $d expected constant")
+    }
+  }
 }

@@ -43,6 +43,21 @@ class TimeseriesSpec extends SparkSpec {
     ))
   }
 
+  test("ts_interpolate: interior gaps take the line, observed cells exact") {
+    val got = SparkEntry.queries("ts_interpolate")(spark, dir)
+      .select("user_id", "bucket", "v_interp", "observed")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // u1 observes 2.5 at h0 and 9.0 at h3; h1/h2 sit on the line —
+    // expectation written as the SAME IEEE expression order the query
+    // pins: pv + (nv − pv) · ((b − pb) / (nb − pb))
+    assert(got === Seq(
+      (1L, 0L, 2.5, true),
+      (1L, 1L, 2.5 + (9.0 - 2.5) * (1.0 / 3.0), false),
+      (1L, 2L, 2.5 + (9.0 - 2.5) * (2.0 / 3.0), false),
+      (1L, 3L, 9.0, true),
+      (2L, 7L, 4.0, true)))
+  }
+
   test("ts_resample_ohlc: first/last by total order, extremes, exact volume") {
     val got = SparkEntry.queries("ts_resample_ohlc")(spark, dir)
       .select("user_id", "bucket", "open", "high", "low", "close",
