@@ -1267,6 +1267,133 @@ object Analytics extends QueryModule {
         SELECT digit, n, n * 1000000 // tot AS obs_ppm, exp_ppm,
                ABS(n * 1000000 // tot - exp_ppm) AS dev_ppm
         FROM j ORDER BY digit
+      """)),
+
+    // ───── cohort retention: the product-analytics triangle ─────
+    // Users are cohorted by their FIRST active week (epoch-day div 7 —
+    // pure integer epoch math, no calendar functions); retention at week
+    // offset k is the distinct users of that cohort active k weeks
+    // later, as an exact ppm of cohort size. Offsets capped at 8 (the
+    // standard 8-week triangle). n_cohort is definitionally the
+    // offset-0 row (a user is active in their own first week), joined
+    // back rather than recomputed.
+    //
+    // Scale: the (user, week) activity set is ONE distinct shuffle;
+    // cohorting is a per-user min; the triangle aggregate is a
+    // count-distinct on (cohort, offset) — output is weeks × 9 rows,
+    // metadata-class. Nothing holds per-user state beyond the aggregate.
+    GraftQuery(
+      "stats_cohort_retention",
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000 div 7").as("wk"))
+          .distinct()
+        val cohort = b.groupBy(col("user_id")).agg(min(col("wk")).as("c_wk"))
+        val act = b.join(cohort, Seq("user_id"))
+          .select(col("c_wk"), (col("wk") - col("c_wk")).as("wk_offset"),
+            col("user_id"))
+          .filter(col("wk_offset") <= 8)
+          .groupBy(col("c_wk"), col("wk_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+        val size = act.filter(col("wk_offset") === 0)
+          .select(col("c_wk"), col("n_active").as("n_cohort"))
+        act.join(size, Seq("c_wk"))
+          .select(col("c_wk").as("cohort_week"), col("wk_offset"),
+            col("n_active"), col("n_cohort"),
+            expr("n_active * 1000000L div n_cohort").as("ret_ppm"))
+          .orderBy(col("cohort_week"), col("wk_offset"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT DISTINCT user_id,
+                 (epoch_ns(ts) // 1000) // 86400000000 // 7 AS wk
+          FROM events),
+        cohort AS (
+          SELECT user_id, MIN(wk) AS c_wk FROM b GROUP BY user_id),
+        act AS (
+          SELECT c.c_wk, b.wk - c.c_wk AS wk_offset,
+                 CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_active
+          FROM b JOIN cohort c ON c.user_id = b.user_id
+          WHERE b.wk - c.c_wk <= 8
+          GROUP BY 1, 2),
+        sz AS (
+          SELECT c_wk, n_active AS n_cohort FROM act WHERE wk_offset = 0)
+        SELECT a.c_wk AS cohort_week, a.wk_offset, a.n_active, s.n_cohort,
+               a.n_active * 1000000 // s.n_cohort AS ret_ppm
+        FROM act a JOIN sz s ON s.c_wk = a.c_wk
+        ORDER BY cohort_week, wk_offset
+      """)),
+
+    // ───── association rules: level-2 market-basket mining ─────
+    // Apriori's workhorse layer over the co-line pair relation: for each
+    // unordered part pair occurring in ≥ 2 distinct orders, support
+    // counts, both conditional confidences, and lift — every measure an
+    // exact ppm integer (lift_ppm = sup_ab·n_orders·10⁶ // (sup_a·sup_b);
+    // int64-safe while sup_ab·n_orders < 9·10¹² — past that, ride the
+    // numerator on DECIMAL(38,0)). Top-30 by (lift DESC, pair ASC) via a
+    // TakeOrdered heap.
+    //
+    // Scale: pair candidates come from the ADJACENT-line join (linear in
+    // lineitem, the coLineAdj bound — never per-order all-pairs);
+    // supports are two distinct-aggregate shuffles; the order count is a
+    // broadcast 1-row scalar (watermark-filter pattern).
+    GraftQuery(
+      "mine_assoc_rules",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            col("l_partkey").as("p"))
+        val a = li.toDF("ok", "ln", "u")
+        val bb = li.toDF("ok2", "ln2", "v")
+        val pairs = a.join(bb,
+            a("ok") === bb("ok2") && bb("ln2") === a("ln") + lit(1) &&
+              a("u") =!= bb("v"))
+          .select(col("ok"), least(col("u"), col("v")).as("x"),
+            greatest(col("u"), col("v")).as("y"))
+          .distinct()
+        val supAB = pairs.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("sup_ab")).filter(col("sup_ab") >= 2)
+        val item = li.select(col("ok"), col("p")).distinct()
+          .groupBy(col("p")).agg(count(lit(1)).as("sup"))
+        val nOrders = li.agg(countDistinct(col("ok")).as("n_ord"))
+        supAB
+          .join(item.toDF("x", "sup_x"), Seq("x"))
+          .join(item.toDF("y", "sup_y"), Seq("y"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("x"), col("y"), col("sup_ab"), col("sup_x"),
+            col("sup_y"),
+            expr("sup_ab * 1000000L div sup_x").as("conf_xy_ppm"),
+            expr("sup_ab * 1000000L div sup_y").as("conf_yx_ppm"),
+            expr("sup_ab * n_ord * 1000000L div (sup_x * sup_y)")
+              .as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("x").asc, col("y").asc)
+          .limit(30)
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey AS ok, l_linenumber AS ln, l_partkey AS p
+          FROM lineitem),
+        pairs AS (
+          SELECT DISTINCT a.ok, LEAST(a.p, b.p) AS x, GREATEST(a.p, b.p) AS y
+          FROM li a JOIN li b
+            ON b.ok = a.ok AND b.ln = a.ln + 1 AND a.p <> b.p),
+        sup AS (
+          SELECT x, y, CAST(COUNT(*) AS BIGINT) AS sup_ab
+          FROM pairs GROUP BY x, y HAVING COUNT(*) >= 2),
+        item AS (
+          SELECT p, CAST(COUNT(*) AS BIGINT) AS sup
+          FROM (SELECT DISTINCT ok, p FROM li) i GROUP BY p),
+        n0 AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_ord FROM li)
+        SELECT s.x, s.y, s.sup_ab, ix.sup AS sup_x, iy.sup AS sup_y,
+               s.sup_ab * 1000000 // ix.sup AS conf_xy_ppm,
+               s.sup_ab * 1000000 // iy.sup AS conf_yx_ppm,
+               s.sup_ab * n0.n_ord * 1000000 // (ix.sup * iy.sup) AS lift_ppm
+        FROM sup s
+        JOIN item ix ON ix.p = s.x
+        JOIN item iy ON iy.p = s.y
+        CROSS JOIN n0
+        ORDER BY lift_ppm DESC, s.x ASC, s.y ASC LIMIT 30
       """))
   )
 }

@@ -572,6 +572,62 @@ object Extras extends QueryModule {
         FROM c ORDER BY user_id, bucket
       """)),
 
+    // ───── seasonal profile: hour-of-day signature per user ─────
+    // The seasonality half of drift monitoring (win_cusum_drift finds
+    // WHEN a level moved; this states the daily shape it moved against):
+    // per (user, hour-of-day), event count and fixed-point mean value,
+    // plus the delta against the user's overall mean — the additive
+    // seasonal component of a decomposition. Hour-of-day is pure integer
+    // epoch math ((µs div 3600000000) % 24 — no calendar/timezone
+    // functions, so both engines agree by construction); means are
+    // cents·10⁶ floor divisions (event values are non-negative in this
+    // schema, so floor vs truncate never diverges).
+    //
+    // Scale: ONE exchange on (user, hod) for the aggregate; the per-user
+    // totals are window sums over the ≤24-row-per-user aggregate frame
+    // (partitioning on user_id is a subset of the grouping key, so the
+    // window re-uses the exchange). Output is ≤ 24 rows per user.
+    GraftQuery(
+      "ts_seasonal_profile",
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+        b.groupBy(col("user_id"), col("hod"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("sc"))
+          .withColumn("n_u",
+            sum(col("n")).over(Window.partitionBy(col("user_id"))))
+          .withColumn("sc_u",
+            sum(col("sc")).over(Window.partitionBy(col("user_id"))))
+          .select(col("user_id"), col("hod"), col("n"),
+            expr("sc * 1000000L div n").as("mean_ppm"),
+            expr("sc * 1000000L div n - sc_u * 1000000L div n_u")
+              .as("seasonal_delta_ppm"))
+          .orderBy(col("user_id"), col("hod"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id,
+                 ((epoch_ns(ts) // 1000) // 3600000000) % 24 AS hod,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        g AS (
+          SELECT user_id, hod, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS sc
+          FROM b GROUP BY user_id, hod),
+        t AS (
+          SELECT user_id, hod, n, sc,
+                 CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_u,
+                 CAST(SUM(sc) OVER (PARTITION BY user_id) AS BIGINT) AS sc_u
+          FROM g)
+        SELECT user_id, hod, n, sc * 1000000 // n AS mean_ppm,
+               sc * 1000000 // n - sc_u * 1000000 // n_u
+                 AS seasonal_delta_ppm
+        FROM t ORDER BY user_id, hod
+      """)),
+
     // ───── OHLC resample: the downsampling half of the ts family ─────
     // Per (user, hour): open/close = the first/last event's value by
     // the (ts_us, event_id) total order (selected via two ROW_NUMBERs

@@ -55,7 +55,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_zipf_slope",
     // 1-row broadcast merge-winner frames under the re-segmentation
     "text_bpe_merges",
-    "text_bpe_encode")
+    "text_bpe_encode",
+    // 1-row broadcast order-count scalar under the lift computation
+    "mine_assoc_rules")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

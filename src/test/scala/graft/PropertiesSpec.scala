@@ -323,4 +323,60 @@ class PropertiesSpec extends SparkSpec {
         s"digit $d expected constant")
     }
   }
+
+  test("stats_cohort_retention: offset-0 is the cohort size; replay at sf0.001") {
+    val rows = SparkEntry.queries("stats_cohort_retention")(spark, sfTiny)
+      .select($"cohort_week", $"wk_offset", $"n_active", $"n_cohort", $"ret_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // brute-force replay over collected (user, week) activity
+    val act = Tables.events(spark, sfTiny)
+      .select($"user_id", unix_micros($"ts"))
+      .as[(Long, Long)].collect()
+      .map { case (u, us) => (u, us / 86400000000L / 7L) }.distinct
+    val cohort = act.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val expect = act
+      .map { case (u, w) => (cohort(u), w - cohort(u), u) }
+      .filter(_._2 <= 8)
+      .groupBy(t => (t._1, t._2))
+      .map { case ((c, o), us) => (c, o, us.map(_._3).distinct.size.toLong) }
+      .toSeq
+    val sizes = expect.collect { case (c, 0L, n) => c -> n }.toMap
+    val full = expect.map { case (c, o, n) =>
+      (c, o, n, sizes(c), n * 1000000L / sizes(c))
+    }.sortBy(t => (t._1, t._2))
+    assert(rows === full)
+    // retention is monotone-bounded: never above the cohort size
+    rows.foreach { case (_, _, na, nc, ppm) =>
+      assert(na <= nc); assert(ppm <= 1000000L)
+    }
+  }
+
+  test("mine_assoc_rules: measures replay exactly on collected baskets") {
+    val rows = SparkEntry.queries("mine_assoc_rules")(spark, sfTiny)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val li = Tables.lineitem(spark, sfTiny)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .as[(Long, Int, Long)].collect()
+    val byOrder = li.groupBy(_._1)
+    val pairs = byOrder.toSeq.flatMap { case (ok, lines) =>
+      val byLn = lines.groupBy(_._2)
+        .map { case (ln, ls) => ln -> ls.map(_._3).toSeq }
+      byLn.toSeq.flatMap { case (ln, ps) =>
+        val nxt = byLn.getOrElse(ln + 1, Seq.empty[Long])
+        for (p <- ps; q <- nxt if q != p)
+          yield (ok, math.min(p, q), math.max(p, q))
+      }
+    }.distinct
+    val supAB = pairs.groupBy(t => (t._2, t._3))
+      .map { case (k, o) => k -> o.size.toLong }.filter(_._2 >= 2)
+    val item = li.map(t => (t._1, t._3)).distinct.groupBy(_._2)
+      .map { case (p, o) => p -> o.size.toLong }
+    val nOrd = li.map(_._1).distinct.size.toLong
+    val expect = supAB.toSeq.map { case ((x, y), sab) =>
+      (x, y, sab, item(x), item(y),
+        sab * 1000000L / item(x), sab * 1000000L / item(y),
+        sab * nOrd * 1000000L / (item(x) * item(y)))
+    }.sortBy(t => (-t._8, t._1, t._2)).take(30)
+    assert(rows === expect)
+  }
 }

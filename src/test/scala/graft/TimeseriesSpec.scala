@@ -58,6 +58,18 @@ class TimeseriesSpec extends SparkSpec {
       (2L, 7L, 4.0, true)))
   }
 
+  test("ts_seasonal_profile: hour-of-day means and deltas, hand-computed") {
+    val got = SparkEntry.queries("ts_seasonal_profile")(spark, dir)
+      .select("user_id", "hod", "n", "mean_ppm", "seasonal_delta_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // u1: hod0 has cents {150, 250} → mean 200000000 ppm; hod3 has
+    // {900} → 900000000; user mean = 1300·10⁶ div 3 = 433333333
+    assert(got === Seq(
+      (1L, 0L, 2L, 200000000L, 200000000L - 433333333L),
+      (1L, 3L, 1L, 900000000L, 900000000L - 433333333L),
+      (2L, 7L, 1L, 400000000L, 0L)))
+  }
+
   test("ts_resample_ohlc: first/last by total order, extremes, exact volume") {
     val got = SparkEntry.queries("ts_resample_ohlc")(spark, dir)
       .select("user_id", "bucket", "open", "high", "low", "close",
