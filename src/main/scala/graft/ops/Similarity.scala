@@ -188,6 +188,49 @@ object Similarity extends QueryModule {
         LIMIT 10
       """)),
 
+    // ───── radius (range) search: all neighbors within a threshold ─────
+    // The other retrieval contract next to top-k: EVERY corpus vector
+    // with cosine ≥ τ to each query (a 3-row broadcast query frame),
+    // output inherently bounded by the threshold rather than k. Same
+    // deterministic left-to-right double folds as sim_topk_cosine, so
+    // boundary rows land identically on both engines. τ = 0.2 on this
+    // corpus admits ~28 rows/query (p99 of the cosine distribution).
+    //
+    // Scale: one corpus scan against the broadcast query frame — the
+    // brute-force baseline; the IVF/LSH operators are the pruned path
+    // (range search prunes the same way top-k does: scan only the
+    // query's nprobe cells). No sort at all — output is ordered by the
+    // (q_id, vec_id) key for determinism, a cheap bounded sort.
+    GraftQuery(
+      "sim_range_search",
+      (s, d) => {
+        val e = normed(s, d)
+        val q = e.filter(col("vec_id") < 3).select(
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+        e.filter(col("vec_id") >= 3)
+          .crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"), col("label"),
+            cosine("q_emb", "embedding", "q_nrm", "nrm"))
+          .filter(col("cosine") >= 0.2)
+          .orderBy(col("q_id").asc, col("vec_id").asc)
+      },
+      Some(s"""
+        WITH $normedSql,
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+              FROM e WHERE vec_id < 3)
+        SELECT q.q_id, e.vec_id, e.label,
+               list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                 i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                 (x, y) -> x + y) / (q.q_nrm * e.nrm) AS cosine
+        FROM e CROSS JOIN q
+        WHERE e.vec_id >= 3
+          AND list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                (x, y) -> x + y) / (q.q_nrm * e.nrm) >= 0.2
+        ORDER BY q.q_id ASC, e.vec_id ASC
+      """)),
+
     // ───── Matryoshka truncated-prefix retrieval (MRL two-stage) ─────
     // The dimension-truncation axis of ANN (Kusupati et al. 2022:
     // Matryoshka representations order information by prefix, so the

@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_bpe_merges",
     "text_bpe_encode",
     // 1-row broadcast order-count scalar under the lift computation
-    "mine_assoc_rules")
+    "mine_assoc_rules",
+    // 3-row broadcast query-vector frame (the sim_topk_cosine pattern)
+    "sim_range_search")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

@@ -47,6 +47,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("cosine") > 0.999)
   }
 
+  test("sim_range_search: exactly the rows within tau, bit-equal cosines") {
+    val got = SparkEntry.queries("sim_range_search")(spark, sfTiny)
+      .select($"q_id", $"vec_id", $"cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    val e = Tables.embeddings(spark, sfTiny)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val nrm = e.map { case (k, v) => k -> math.sqrt(dot(v, v)) }
+    val expect = (for {
+      q <- e.keys.filter(_ < 3).toSeq
+      v <- e.keys.filter(_ >= 3).toSeq
+      c = dot(e(q), e(v)) / (nrm(q) * nrm(v))
+      if c >= 0.2
+    } yield (q, v, c)).sortBy(t => (t._1, t._2))
+    assert(got === expect)
+    assert(got.nonEmpty, "threshold admits at least one neighbor")
+  }
+
   test("sim_matryoshka_topk: re-ranked cosines are EXACT full-dim cosines, order is brute-force order on survivors") {
     val brute = SparkEntry.queries("sim_topk_cosine")(spark, sfTiny)
       .select($"vec_id", $"cosine").as[(Long, Double)].collect().toMap
