@@ -1394,6 +1394,64 @@ object Analytics extends QueryModule {
         JOIN item iy ON iy.p = s.y
         CROSS JOIN n0
         ORDER BY lift_ppm DESC, s.x ASC, s.y ASC LIMIT 30
+      """)),
+
+    // ───── two-proportion A/B test: the experimentation gate ─────
+    // Arms by user parity, conversion = purchase events: exact integer
+    // counts per arm, floor-division ppm rates, and the pooled
+    // two-proportion z statistic. The z expression is ONE pinned chain
+    // of IEEE ops (divisions of exact longs, a multiply chain, one
+    // correctly-rounded sqrt) written token-identically in both
+    // engines, so the double hash-matches — the stats_corr discipline.
+    // The two 1-row arm frames meet in a broadcast cross join
+    // (allowlisted watermark-filter pattern). One count shuffle on the
+    // arm key; 1-row output at any scale.
+    GraftQuery(
+      "stats_ab_test",
+      (s, d) => {
+        val agg = Tables.events(s, d)
+          .select((col("user_id") % 2).as("arm"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("conv"))
+          .groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("c"))
+        val a = agg.filter(col("arm") === 0)
+          .select(col("n").as("n_a"), col("c").as("conv_a"))
+        val b = agg.filter(col("arm") === 1)
+          .select(col("n").as("n_b"), col("c").as("conv_b"))
+        a.crossJoin(broadcast(b))
+          .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+            expr("conv_a * 1000000L div n_a").as("rate_a_ppm"),
+            expr("conv_b * 1000000L div n_b").as("rate_b_ppm"),
+            expr("""(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE))
+                           * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                              / CAST(n_a + n_b AS DOUBLE))
+                           * (1.0 / CAST(n_a AS DOUBLE)
+                              + 1.0 / CAST(n_b AS DOUBLE)))""").as("z"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        a AS (SELECT n AS n_a, c AS conv_a FROM g WHERE arm = 0),
+        b AS (SELECT n AS n_b, c AS conv_b FROM g WHERE arm = 1)
+        SELECT n_a, n_b, conv_a, conv_b,
+               conv_a * 1000000 // n_a AS rate_a_ppm,
+               conv_b * 1000000 // n_b AS rate_b_ppm,
+               (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))) AS z
+        FROM a CROSS JOIN b
       """))
   )
 }

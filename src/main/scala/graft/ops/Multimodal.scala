@@ -52,6 +52,17 @@ final case class PhashMedia(
     h: Long,
     ahash: Long)
 
+/** One 16-sample PCM frame decoded from real WAV bytes: exact integer
+  * sum and energy — the framing step every audio featurizer starts
+  * with (the last frame may be partial; n_in_frame says so).
+  */
+final case class WavFrame(
+    doc_id: Long,
+    frame_idx: Long,
+    n_in_frame: Long,
+    f_sum: Long,
+    f_energy: Long)
+
 /** Multimodal-column support (SURVEY.md §2.8): image/audio/video payloads
   * modeled as opaque `binary` columns with typed metadata, plus the
   * decode / feature-extract / frame-sample plumbing a training-data
@@ -329,6 +340,66 @@ object Multimodal extends QueryModule {
     require(sawData, s"no data chunk (doc $docId)")
     DecodedMedia(docId, "wav", 0L, 0L, 0L, 0L, 0L, 0L,
       sampleRate, nSamples, checksum, energy)
+  }
+
+  /** Decode a PCM WAV into 16-sample frames with exact integer sum and
+    * energy per frame — the framing pass a real audio featurizer (MFCC,
+    * VAD) starts from. Same chunk-walk contract as [[decodeWav]]
+    * (RIFF/WAVE magics, unknown chunks skipped with even-byte padding,
+    * 16-bit mono PCM); the last frame is partial when the sample count
+    * is not a multiple of 16.
+    */
+  private[graft] def decodeWavFrames(docId: Long,
+                                     bytes: Array[Byte]): Seq[WavFrame] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", s"not a RIFF file (doc $docId)")
+    bb.getInt
+    require(fourCC() == "WAVE", s"not a WAVE file (doc $docId)")
+    var channels = 0
+    var sawFmt = false
+    val out = Seq.newBuilder[WavFrame]
+    var sawData = false
+    while (bb.remaining >= 8) {
+      val id = fourCC(); val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining,
+        s"truncated $id chunk (doc $docId)")
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          require(bb.getShort.toInt == 1, s"only PCM supported (doc $docId)")
+          channels = bb.getShort.toInt
+          require(channels == 1, s"only mono framing supported (doc $docId)")
+          bb.getInt; bb.getInt; bb.getShort
+          require(bb.getShort.toInt == 16,
+            s"only 16-bit PCM supported (doc $docId)")
+          bb.position(fmtEnd)
+          sawFmt = true
+        case "data" =>
+          require(sawFmt, s"data chunk before fmt (doc $docId)")
+          val n = size / 2L
+          var i = 0L
+          var fSum = 0L; var fEnergy = 0L; var inFrame = 0L
+          while (i < n) {
+            val s = bb.getShort.toLong
+            fSum += s; fEnergy += s * s; inFrame += 1
+            i += 1
+            if (inFrame == 16 || i == n) {
+              out += WavFrame(docId, (i - 1) / 16, inFrame, fSum, fEnergy)
+              fSum = 0L; fEnergy = 0L; inFrame = 0L
+            }
+          }
+          if (size % 2 == 1) bb.get
+          sawData = true
+        case _ =>
+          bb.position(bb.position() + size + (size % 2))
+      }
+    }
+    require(sawData, s"no data chunk (doc $docId)")
+    out.result()
   }
 
   /** Content sniffer: dispatch on magic bytes, never on metadata — a
@@ -616,6 +687,78 @@ object Multimodal extends QueryModule {
         SELECT s.doc_id, s.w, s.h, s.ahash, nn.nn_doc, nn.nn_ham
         FROM hsh s LEFT JOIN nn ON nn.doc_id = s.doc_id
         ORDER BY s.doc_id
+      """)),
+
+    // ───── frame-level audio features from really-decoded PCM ─────
+    // The framing pass every audio featurizer (MFCC, VAD, diarization)
+    // starts with: each staged WAV asset is decoded — RIFF chunk walk,
+    // fmt parse, little-endian sample math — into 16-sample frames with
+    // EXACT integer sum and energy (the last frame partial when sample
+    // count % 16 ≠ 0). The oracle states every frame in closed form
+    // from the synthetic sample formula while the engine genuinely
+    // parses bytes — mm_decode_real's contract extended from per-asset
+    // checksums to a per-frame feature table, the row shape a training
+    // pipeline actually emits.
+    //
+    // Scale: blobs never shuffle — framing is a narrow mapPartitions
+    // flatMap on the binaryFile scan; what leaves the decode is
+    // (doc_id, frame_idx, 3 ints) per frame. The final orderBy is the
+    // gate's determinism sort, not part of the production plan.
+    GraftQuery(
+      "mm_audio_frames",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.pipeline.Sources.scratch(d, "mmframes_")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 200 && col("doc_id") % 2 === 1)
+          .select(col("doc_id"))
+          .repartition(4)
+          .as[Long]
+          .foreachPartition { (ids: Iterator[Long]) =>
+            ids.foreach { id =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$tmp/asset_$id.wav"), wavBytes(id))
+            }
+          }
+        implicit val enc = org.apache.spark.sql.Encoders.product[WavFrame]
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "asset_*")
+          .load(tmp)
+          .select(
+            regexp_extract(col("path"), "asset_(\\d+)\\.", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.grouped(BatchSize).flatMap(_.flatMap { case (id, b) =>
+              decodeWavFrames(id, b)
+            })
+          }
+          .toDF().orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH wav AS (
+          SELECT doc_id, 64 + doc_id % 100 AS n
+          FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1),
+        fr AS (
+          SELECT doc_id, n,
+                 UNNEST(generate_series(0, (n - 1) // 16)) AS frame_idx
+          FROM wav),
+        si AS (
+          SELECT doc_id, frame_idx,
+                 UNNEST(generate_series(16 * frame_idx,
+                   LEAST(16 * frame_idx + 15, n - 1))) AS i
+          FROM fr)
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_in_frame,
+               CAST(SUM((doc_id * 7 + i * 13) % 65536 - 32768) AS BIGINT)
+                 AS f_sum,
+               CAST(SUM(((doc_id * 7 + i * 13) % 65536 - 32768)
+                      * ((doc_id * 7 + i * 13) % 65536 - 32768)) AS BIGINT)
+                 AS f_energy
+        FROM si GROUP BY doc_id, frame_idx
+        ORDER BY doc_id, frame_idx
       """)),
 
     // ───── per-modality feature statistics over decoded features ─────

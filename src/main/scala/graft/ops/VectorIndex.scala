@@ -347,6 +347,39 @@ object VectorIndex extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** Radius (range) probe over the persistent index: every stored
+    * vector in the query's `nprobe` cells with cosine ≥ `tau` — the
+    * pruned counterpart of `Similarity`'s brute-force
+    * `sim_range_search`, same cell-pruned IO contract as [[query]]
+    * (only probed cell dirs are read; recall < 1 by design, bounded by
+    * the coarse quantizer exactly like top-k ANN). No argmax window —
+    * the threshold bounds the output, so this is scan + filter only.
+    */
+  def rangeQuery(s: SparkSession, queries: DataFrame, dir: String,
+                 tau: Double, nprobe: Int = 1,
+                 cellCap: Int = Similarity.defaultIvfCellCap): DataFrame = {
+    val cents = readCentroids(s, dir)
+    val qa = assign(queries, cents, nprobe).drop("rn")
+      .select(col("vec_id").as("va"), col("cell"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    // ≤K ints — metadata-class driver action, not a data collect
+    val probed = qa.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val corpus = SnapshotStore.readBuckets(s, dir, probed).getOrElse(
+      sys.error(s"no committed index at $dir"))
+    val b = corpus
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("vec_id").asc)))
+      .filter(col("crn") <= cellCap)
+      .select(col("vec_id").as("vb"), col("cell").as("cell2"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    qa.join(b, col("cell") === col("cell2") && col("va") =!= col("vb"))
+      .select(col("va").as("vec_id"), col("vb").as("match_id"),
+        (expr("vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("vec_id").asc, col("match_id").asc)
+  }
+
   /** IVF-ADC probe (the full Jégou et al. 2011 system): queries assign
     * to their `nprobe` cells; the in-cell scan reads ONLY
     * `(vec_id, cell, code1..4)` — the 4-byte codes, never the vectors
@@ -500,6 +533,74 @@ object VectorIndex extends QueryModule {
           FROM scored) t
         WHERE rn = 1
         ORDER BY vec_id
+      """)),
+
+    // ───── radius search through the persistent IVF index ─────
+    // The pruned counterpart of sim_range_search: build the index on the
+    // full corpus, then answer "everything with cosine ≥ 0.2 to each of
+    // 3 query vectors" by reading ONLY the queries' assigned cell dirs
+    // (the inputFiles-pinned contract sim_ann_index proves). Recall < 1
+    // by construction — matches outside the probed cell are invisible,
+    // the same trade top-k ANN makes — and the oracle states exactly the
+    // cell-restricted answer, so the hash gate pins build + probe +
+    // threshold ≡ the declarative math. Output is threshold-bounded;
+    // no argmax window, no sort beyond the keyed determinism order.
+    GraftQuery(
+      "sim_ann_range_index",
+      (s, d) => {
+        val dir = Sources.scratch(d, "annrange_")
+        new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new Path(dir), true)
+        val e = normed(s, d)
+        val k = s.conf.get("spark.graft.ann.ivfCells", "").trim match {
+          case "" => Similarity.defaultIvfCells
+          case raw => raw.toIntOption.filter(_ >= 1).getOrElse(sys.error(
+            s"spark.graft.ann.ivfCells must be a positive int, got '$raw'"))
+        }
+        build(s, e, dir, k)
+        rangeQuery(s, e.filter(col("vec_id") < 3), dir, tau = 0.2)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_reduce(list_transform(embedding,
+                   x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS nrm
+          FROM embeddings),
+        seeds AS (
+          SELECT vec_id AS sid, embedding AS semb, nrm AS snrm
+          FROM e
+          ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+          LIMIT ${Similarity.defaultIvfCells}),
+        assign AS (
+          SELECT vec_id, sid AS cell FROM (
+            SELECT e.vec_id, s.sid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     (list_reduce(list_transform(generate_series(1, 64),
+                        i -> e.embedding[i]::DOUBLE * s.semb[i]::DOUBLE),
+                        (x, y) -> x + y) / (e.nrm * s.snrm)) DESC,
+                     s.sid ASC) AS rn
+            FROM e CROSS JOIN seeds s) t
+          WHERE rn = 1),
+        cells AS (
+          SELECT e.vec_id, e.embedding, e.nrm, assign.cell
+          FROM e JOIN assign ON e.vec_id = assign.vec_id),
+        cells_capped AS (
+          SELECT vec_id, embedding, nrm, cell FROM (
+            SELECT vec_id, embedding, nrm, cell,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY vec_id ASC) AS crn
+            FROM cells) t
+          WHERE crn <= ${Similarity.defaultIvfCellCap})
+        SELECT va AS vec_id, vb AS match_id, cosine FROM (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+          FROM cells a JOIN cells_capped b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          WHERE a.vec_id < 3) t
+        WHERE cosine >= 0.2
+        ORDER BY vec_id ASC, match_id ASC
       """)),
 
     // ───── IVF-ADC over the persistent index: codes scan + re-rank ─────

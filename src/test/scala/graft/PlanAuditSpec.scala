@@ -59,7 +59,11 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast order-count scalar under the lift computation
     "mine_assoc_rules",
     // 3-row broadcast query-vector frame (the sim_topk_cosine pattern)
-    "sim_range_search")
+    "sim_range_search",
+    // K-row broadcast centroid frame (the sim_ann_index pattern)
+    "sim_ann_range_index",
+    // two 1-row arm frames meeting in a broadcast cross join
+    "stats_ab_test")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

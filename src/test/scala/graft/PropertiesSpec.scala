@@ -351,6 +351,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("stats_ab_test: counts partition events; z replays in the same " +
+      "IEEE op order") {
+    val row = SparkEntry.queries("stats_ab_test")(spark, sfTiny)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    val ev = Tables.events(spark, sfTiny)
+      .select($"user_id" % 2, ($"event_type" === "purchase"))
+      .as[(Long, Boolean)].collect()
+    val na = ev.count(_._1 == 0L).toLong
+    val nb = ev.size - na
+    val ca = ev.count(e => e._1 == 0L && e._2).toLong
+    val cb = ev.count(e => e._1 == 1L && e._2).toLong
+    assert((row._1, row._2, row._3, row._4) === ((na, nb, ca, cb)))
+    assert(row._5 === ca * 1000000L / na && row._6 === cb * 1000000L / nb)
+    // the exact pinned expression, replayed in Scala doubles
+    val pp = (ca + cb).toDouble / (na + nb).toDouble
+    val z = (ca.toDouble / na.toDouble - cb.toDouble / nb.toDouble) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    assert(row._7 === z)
+  }
+
   test("mine_assoc_rules: measures replay exactly on collected baskets") {
     val rows = SparkEntry.queries("mine_assoc_rules")(spark, sfTiny)
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq

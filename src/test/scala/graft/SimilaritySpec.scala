@@ -67,6 +67,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "threshold admits at least one neighbor")
   }
 
+  test("sim_ann_range_index: subset of brute-force range with bit-equal " +
+      "cosines; planted near-dup surfaces from its own cell") {
+    val pruned = SparkEntry.queries("sim_ann_range_index")(spark, sfTiny)
+      .select($"vec_id", $"match_id", $"cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    val brute = SparkEntry.queries("sim_range_search")(spark, sfTiny)
+      .select($"q_id", $"vec_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    assert(pruned.nonEmpty, "threshold admits at least one in-cell match")
+    pruned.foreach { case (q, m, c) =>
+      assert(c >= 0.2)
+      // pruning only DROPS candidates (other cells); whatever survives
+      // must carry the exact brute-force cosine... except matches the
+      // brute query EXCLUDES by its corpus filter (vec_id >= 3): the
+      // index probes the full corpus, so query-to-query matches are
+      // legitimately extra
+      if (m >= 3) {
+        assert(brute.contains((q, m)), s"($q,$m) not in brute-force range")
+        assert(brute((q, m)) == c, s"cosine drift for ($q,$m)")
+      }
+    }
+    // the planted fixture pairs a near-dup with query 0: at K=2 (the
+    // K ≥ n degenerate regime pinned away, as in the sim_ann_ivf test)
+    // they share the argmax centroid, so the pruned range MUST surface it
+    spark.conf.set("spark.graft.ann.ivfCells", "2")
+    try {
+      val planted = SparkEntry.queries("sim_ann_range_index")(spark, dir)
+        .select($"vec_id", $"match_id", $"cosine")
+        .as[(Long, Long, Double)].collect()
+      assert(planted.exists { case (q, m, c) =>
+        q == 0L && m == 1L && c > 0.999 })
+    } finally spark.conf.unset("spark.graft.ann.ivfCells")
+  }
+
   test("sim_matryoshka_topk: re-ranked cosines are EXACT full-dim cosines, order is brute-force order on survivors") {
     val brute = SparkEntry.queries("sim_topk_cosine")(spark, sfTiny)
       .select($"vec_id", $"cosine").as[(Long, Double)].collect().toMap
