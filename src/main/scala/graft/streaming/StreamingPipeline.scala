@@ -48,6 +48,24 @@ final case class CusumState(
   */
 final case class CusumAlert(user_id: Long, ts_us: Long, stat: Long)
 
+/** Per-user attribution state: events buffered inside the watermark
+  * horizon plus the carried last touch — exactly the two ignore-nulls
+  * carries of the batch `win_attribution`, as O(1) fields.
+  */
+final case class AttribState(
+    open: Vector[(Long, Long, String, Long)], // (ts_us, event_id, type, cents)
+    tType: String,
+    tUs: Long,
+    hasTouch: Boolean)
+
+/** One credited conversion: the channel is the user's most recent touch
+  * within the freshness window at the purchase's event time ('stale'
+  * past it, 'none' if untouched) — the batch win_attribution row,
+  * emitted per purchase as it finalizes.
+  */
+final case class AttribCredit(user_id: Long, event_id: Long, ts_us: Long,
+    channel: String, cents: Long)
+
 /** Per-user gap-fill state: the OPEN buckets' best observation keyed by
   * bucket (`(tsUs, eventId, value)` — max by the (ts, event_id) total
   * order), plus the last CLOSED bucket already emitted and its value
@@ -349,6 +367,79 @@ object StreamingPipeline extends Serializable {
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState[CusumState, CusumAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Streaming last-touch attribution — the streaming deployment of the
+    * batch `win_attribution`: per user, every purchase is credited to
+    * the most recent preceding click/view/signup within `windowUs`
+    * ('stale' past the window, 'none' if untouched) and emitted as one
+    * row when the watermark finalizes it. Events buffer inside the
+    * watermark horizon and drain in the (ts_us, event_id) total order —
+    * the batch window's order — so out-of-order arrivals within the
+    * horizon credit identically to the batch query. State per user is
+    * the bounded buffer plus the O(1) carried touch; a drained purchase
+    * leaves the buffer, so emission is exactly-once under replay.
+    */
+  def attributionMonitor(
+      typed: DataFrame,
+      windowUs: Long = 21600000000L,
+      watermark: String = "1 hour"): org.apache.spark.sql.Dataset[AttribCredit] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[AttribState]
+    implicit val outEnc   = Encoders.product[AttribCredit]
+
+    val touches = Set("click", "view", "signup")
+    val empty = AttribState(Vector.empty, "", 0L, hasTouch = false)
+
+    def drain(userId: Long, s: AttribState, wmUs: Long)
+        : (AttribState, Seq[AttribCredit]) = {
+      val (ready, still) = s.open.partition(_._1 <= wmUs)
+      if (ready.isEmpty) (s, Nil)
+      else {
+        var (tType, tUs, has) = (s.tType, s.tUs, s.hasTouch)
+        val out = Seq.newBuilder[AttribCredit]
+        ready.sortBy(e => (e._1, e._2)).foreach { case (ts, id, et, cents) =>
+          if (touches(et)) { tType = et; tUs = ts; has = true }
+          else if (et == "purchase") {
+            val channel =
+              if (!has) "none"
+              else if (ts - tUs > windowUs) "stale"
+              else tType
+            out += AttribCredit(userId, id, ts, channel, cents)
+          }
+        }
+        (AttribState(still, tType, tUs, has), out.result())
+      }
+    }
+
+    def update(userId: Long, rows: Iterator[Row],
+        state: GroupState[AttribState]): Iterator[AttribCredit] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val withNew =
+        if (state.hasTimedOut) state.getOption.getOrElse(empty)
+        else {
+          val s = state.getOption.getOrElse(empty)
+          s.copy(open = s.open ++ rows.map(r => (
+            r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"),
+            r.getAs[String]("event_type"), r.getAs[Long]("cents"))))
+        }
+      val (next, credits) = drain(userId, withNew, wmUs)
+      state.update(next)
+      if (next.open.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          next.open.map(_._1).min / 1000L + 1L, wmUs / 1000L + 1L))
+      credits.iterator
+    }
+
+    typed
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[AttribState, AttribCredit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 

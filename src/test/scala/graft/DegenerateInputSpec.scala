@@ -24,10 +24,18 @@ class DegenerateInputSpec extends SparkSpec {
       StructField("vec_id", LongType),
       StructField("label", IntegerType),
       StructField("embedding", ArrayType(FloatType))))
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], docSchema)
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], embSchema)
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], evSchema)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
     d
   }
 
@@ -50,14 +58,25 @@ class DegenerateInputSpec extends SparkSpec {
     // read-back — hit for real on the 40× ScaleGen corpus, where every
     // unsuffixed replica falls in the eval split and the stopword rule
     // drops all suffixed train docs
-    "curate_corpus_build")
+    "curate_corpus_build",
+    // round-8 additions: tokenizer loop, RAKE, and the real-decode pair
+    // (their staged asset dirs are empty, so the binaryFile scan itself
+    // must tolerate zero files)
+    "text_keywords", "text_bpe_merges", "text_bpe_encode",
+    "mm_phash", "mm_audio_frames")
 
   private val embQueries = Seq(
     "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",
     "sim_ann_lsh", "sim_ann_ivf", "sim_topk_cosine",
-    "sim_quantize_int8", "sim_matryoshka_topk", "sim_ann_recall_gate")
+    "sim_quantize_int8", "sim_matryoshka_topk", "sim_ann_recall_gate",
+    "sim_range_search")
 
-  for (name <- docQueries ++ embQueries)
+  // events-keyed operators: empty stream = routine (a fresh tenant)
+  private val evQueries = Seq(
+    "win_attribution", "ts_interpolate", "ts_seasonal_profile",
+    "stats_cohort_retention", "stats_ab_test")
+
+  for (name <- docQueries ++ embQueries ++ evQueries)
     test(s"$name returns an empty result on an empty table, never throws") {
       assert(SparkEntry.queries(name)(spark, dir).count() === 0L)
     }

@@ -611,6 +611,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution credits like the batch window, " +
+      "incl. out-of-order arrival inside the horizon") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val typed = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val q = StreamingPipeline.attributionMonitor(typed)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      val m  = 60L * 1000000L
+      val t0 = 86400L * 1000000L
+      mem.addData(
+        // the purchase ARRIVES BEFORE its click (out of order, inside
+        // the horizon): the drain's total order must still credit it
+        (1L, t0 + 10 * m, 1L, "purchase", 2.0),
+        (0L, t0, 1L, "click", 0.0),
+        // a 7h-later purchase against a 20-min view → stale
+        (2L, t0 + 20 * m, 1L, "view", 0.0),
+        (3L, t0 + 440 * m, 1L, "purchase", 10.0),
+        // a purchase with no prior touch → none
+        (4L, t0 + 5 * m, 2L, "purchase", 1.0))
+      q.processAllAvailable()
+      // watermark pokes so the buffered tail finalizes
+      mem.addData((99L, t0 + 600 * m, 9L, "m", 1.0))
+      q.processAllAvailable()
+      mem.addData((100L, t0 + 700 * m, 9L, "m", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select($"event_id", $"channel", $"cents")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(rows === Map(
+        1L -> ("click", 200L),
+        3L -> ("stale", 1000L),
+        4L -> ("none", 100L)))
+    } finally q.stop()
+  }
+
   test("streaming gap fill: LOCF grid matching the batch ts_gap_fill shape") {
     val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
     val typed = mem.toDF()
