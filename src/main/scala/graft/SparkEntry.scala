@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Advanced,
     ops.Extras,
     ops.Graph,
+    ops.Learning,
     pipeline.Sources,
     pipeline.Layout
   )

@@ -695,6 +695,186 @@ object Curation extends QueryModule {
         FROM r JOIN q USING (lang)
         WHERE r.rk <= q.quota
         ORDER BY r.lang, r.rk
+      """)),
+
+    // ───── crawl-URL canonicalization + frontier dedup ─────
+    // The first operator of any web-crawl pipeline: collapse the many
+    // spellings of one resource (host case, default port, fragment,
+    // tracking parameters, parameter order) into a canonical key, then
+    // dedup the frontier on it. The corpus carries no URL column, so the
+    // messy URLs are SYNTHESIZED deterministically inside the query —
+    // two variant shapes per parity of doc_id, engineered so distinct
+    // spellings canonicalize to the same key — and the canonicalizer is
+    // the part under test. Spelled with codegen'd string/HOF builtins
+    // (regexp_extract, filter, array_sort) rather than parse_url so the
+    // DuckDB twin shares the exact extraction semantics; patterns use
+    // [?]/[#] character classes to avoid cross-engine escape rules.
+    //
+    // Scale shape: canonicalization is a NARROW projection (no shuffle);
+    // dedup is one exchange on the canonical key with map-side partial
+    // aggregation. The canonical-key groupBy is the crawl-frontier
+    // membrane — at 100 TB it replaces body-level dedup for the ~30% of
+    // re-crawls that are URL-identical, at (url, count) shuffle width.
+    GraftQuery(
+      "curate_url_canonical",
+      (s, d) => {
+        val url = """
+          CASE WHEN doc_id % 2 = 0 THEN
+            'https://www.' || source || '.example.com/articles/'
+              || CAST(doc_id % 5 AS STRING) || '?id='
+              || CAST(doc_id % 3 AS STRING) || '&ref=' || lang
+          ELSE
+            'HTTPS://WWW.' || source || '.EXAMPLE.COM:443/articles/'
+              || CAST(doc_id % 5 AS STRING) || '?utm_source=feed&id='
+              || CAST(doc_id % 3 AS STRING) || '&utm_campaign=promo#top'
+          END"""
+        val docs = Tables.documents(s, d).withColumn("url", expr(url))
+        val canon = docs.select(col("doc_id"), col("url"),
+          lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1))
+            .as("host"),
+          regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1)
+            .as("path"),
+          expr("""array_join(array_sort(filter(
+                    split(regexp_extract(url, '[?]([^#]*)', 1), '&'),
+                    p -> p != '' AND substr(p, 1, 4) != 'utm_'
+                         AND substr(p, 1, 4) != 'ref=')), '&')""")
+            .as("q"))
+          .select(col("doc_id"),
+            concat(lit("https://"), col("host"), col("path"),
+              when(col("q") === "", lit("")).otherwise(
+                concat(lit("?"), col("q")))).as("canonical_url"))
+        canon.groupBy(col("canonical_url"))
+          .agg(count(lit(1)).as("n_variants"),
+            min(col("doc_id")).as("keeper_doc"))
+          .orderBy(col("canonical_url"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN
+              'https://www.' || source || '.example.com/articles/'
+                || CAST(doc_id % 5 AS VARCHAR) || '?id='
+                || CAST(doc_id % 3 AS VARCHAR) || '&ref=' || lang
+            ELSE
+              'HTTPS://WWW.' || source || '.EXAMPLE.COM:443/articles/'
+                || CAST(doc_id % 5 AS VARCHAR) || '?utm_source=feed&id='
+                || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=promo#top'
+            END AS url
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1))
+                   AS host,
+                 regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1)
+                   AS path,
+                 array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(url, '[?]([^#]*)', 1), '&'),
+                   p -> p != '' AND substr(p, 1, 4) != 'utm_'
+                        AND substr(p, 1, 4) != 'ref=')), '&') AS q
+          FROM u),
+        k AS (
+          SELECT doc_id,
+                 'https://' || host || path ||
+                 CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+          FROM c)
+        SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+               MIN(doc_id) AS keeper_doc
+        FROM k GROUP BY canonical_url
+        ORDER BY canonical_url
+      """)),
+
+    // ───── quality-filter attrition funnel (the C4/RefinedWeb table) ─────
+    // Every published pretraining corpus ships this artifact: how many
+    // documents each cleaning rule removes, applied AS A CASCADE (each
+    // stage sees only the previous stage's survivors — marginal rates
+    // depend on rule order, so the order is part of the contract). Four
+    // rules over cheap per-doc integer signals: minimum length, lexical
+    // diversity (distinct/total tokens ≥ 30%, cross-multiplied — no
+    // float shares), mean token length in [3, 9] (total token chars =
+    // length(text) − (n−1) separators — the corpus is single-space
+    // joined), and a stopword-presence gate. Survival ratios are ppm
+    // floor divisions.
+    //
+    // Scale shape: ONE corpus scan; every rule folds to per-doc booleans
+    // computed in the projection, and the funnel is a single partial-agg
+    // combined 1-row aggregate — at 100 TB this costs exactly one pass,
+    // which is why production pipelines always report it. The 4-row
+    // unpivot joins the 1-row frame to a VALUES stage table (broadcast).
+    GraftQuery(
+      "curate_filter_attrition",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"),
+            length(col("text")).as("chars"))
+          .select(
+            size(col("toks")).cast("long").as("n"),
+            size(array_distinct(col("toks"))).cast("long").as("nd"),
+            col("chars").cast("long").as("chars"),
+            array_contains(col("toks"), "the").as("has_stop"))
+          .select(
+            (col("n") >= 30).as("r1"),
+            (col("nd") * 10 >= col("n") * 3).as("r2"),
+            (col("chars") - col("n") + 1 >= col("n") * 3 &&
+              col("chars") - col("n") + 1 <= col("n") * 9).as("r3"),
+            col("has_stop").as("r4"))
+        val agg = docs.agg(
+          count(lit(1)).as("c0"),
+          count(when(col("r1"), 1)).as("c1"),
+          count(when(col("r1") && col("r2"), 1)).as("c2"),
+          count(when(col("r1") && col("r2") && col("r3"), 1)).as("c3"),
+          count(when(col("r1") && col("r2") && col("r3") && col("r4"), 1))
+            .as("c4"))
+        agg.select(expr("""explode(array(
+            struct(1 AS stage_id, 'min_len_30' AS stage, c0 AS n_in, c1 AS n_out),
+            struct(2 AS stage_id, 'lex_diversity_30pct' AS stage, c1 AS n_in, c2 AS n_out),
+            struct(3 AS stage_id, 'mean_tok_len_3_9' AS stage, c2 AS n_in, c3 AS n_out),
+            struct(4 AS stage_id, 'has_stopword' AS stage, c3 AS n_in, c4 AS n_out)))""")
+            .as("s"),
+            col("c0"))
+          .select(col("s.stage_id").as("stage_id"), col("s.stage").as("stage"),
+            col("s.n_in").as("n_in"), col("s.n_out").as("n_out"),
+            (col("s.n_in") - col("s.n_out")).as("dropped"),
+            // empty corpus: 0-doc funnel rows are honest, the ratio is not
+            expr("if(c0 = 0, null, s.n_out * 1000000L div c0)")
+              .as("cum_survival_ppm"))
+          .orderBy(col("stage_id"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT len(string_split(text, ' ')) AS n,
+                 len(list_distinct(string_split(text, ' '))) AS nd,
+                 CAST(length(text) AS BIGINT) AS chars,
+                 list_contains(string_split(text, ' '), 'the') AS has_stop
+          FROM documents),
+        r AS (
+          SELECT n >= 30 AS r1,
+                 nd * 10 >= n * 3 AS r2,
+                 chars - n + 1 >= n * 3 AND chars - n + 1 <= n * 9 AS r3,
+                 has_stop AS r4
+          FROM f),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+                 CAST(COUNT(*) FILTER (WHERE r1) AS BIGINT) AS c1,
+                 CAST(COUNT(*) FILTER (WHERE r1 AND r2) AS BIGINT) AS c2,
+                 CAST(COUNT(*) FILTER (WHERE r1 AND r2 AND r3) AS BIGINT) AS c3,
+                 CAST(COUNT(*) FILTER (WHERE r1 AND r2 AND r3 AND r4) AS BIGINT) AS c4
+          FROM r)
+        SELECT s.stage_id, s.stage,
+               CASE s.stage_id WHEN 1 THEN c0 WHEN 2 THEN c1
+                               WHEN 3 THEN c2 ELSE c3 END AS n_in,
+               CASE s.stage_id WHEN 1 THEN c1 WHEN 2 THEN c2
+                               WHEN 3 THEN c3 ELSE c4 END AS n_out,
+               CASE s.stage_id WHEN 1 THEN c0 - c1 WHEN 2 THEN c1 - c2
+                               WHEN 3 THEN c2 - c3 ELSE c3 - c4 END AS dropped,
+               CASE WHEN c0 = 0 THEN NULL ELSE
+                 CASE s.stage_id WHEN 1 THEN c1 WHEN 2 THEN c2
+                                 WHEN 3 THEN c3 ELSE c4 END * 1000000 // c0
+               END AS cum_survival_ppm
+        FROM a CROSS JOIN (VALUES (1, 'min_len_30'),
+                                  (2, 'lex_diversity_30pct'),
+                                  (3, 'mean_tok_len_3_9'),
+                                  (4, 'has_stopword')) AS s(stage_id, stage)
+        ORDER BY s.stage_id
       """))
   )
 

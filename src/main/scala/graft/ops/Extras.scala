@@ -1251,6 +1251,94 @@ object Extras extends QueryModule {
                MIN(o_status_nullable), MAX(o_status_nullable)
         FROM o
         ORDER BY col_name
+      """)),
+
+    // ───── autocorrelation: lag-1..24 ACF of the hourly event series ─────
+    // The seasonality DETECTOR feeding ts_seasonal_profile (which assumes
+    // the daily period; this measures it): Pearson correlation of the
+    // hourly count series against its own k-hour shift. Pairs come from
+    // an equi-join of the aggregated series on (h + k = h') with the lag
+    // index EXPLODED per row (sequence(1, 24) — no cross join), so the
+    // pair volume is 24·|hours|. All five sums are products of exact
+    // BIGINT counts ridden on DECIMAL(38,0) (the stats_corr doctrine —
+    // hourly counts reach ~1e9 at 100 TB, squaring past int64); the one
+    // double division and sqrt at the end are shape-pinned, correctly
+    // rounded per IEEE-754 from identical exact integers in both engines.
+    // Degenerate overlap (constant series → zero variance) emits NULL by
+    // explicit guard rather than an engine-specific Inf/NaN.
+    //
+    // Scale shape: the ONLY corpus-sized stage is the hourly aggregate
+    // (one exchange, partial-combined); everything after runs on
+    // |hours| rows — at 100 TB the series for a year is 8,760 rows, so
+    // the ACF itself is metadata-sized however large the corpus. This
+    // is the general downsample-then-analyze contract of the ts family.
+    GraftQuery(
+      "ts_autocorr",
+      (s, d) => {
+        val series = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        val lagged = series
+          .select(col("h"), col("c").as("x"),
+            explode(expr("sequence(1L, 24L)")).as("k"))
+        val pairs = lagged.join(
+          series.select(col("h").as("hb"), col("c").as("y")),
+          col("h") + col("k") === col("hb"))
+        pairs.groupBy(col("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+            sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+            sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+            sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+            sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+          .select(col("k"), col("n"),
+            expr("""CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+                         OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+                         THEN NULL
+                         ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                              (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                               sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                                    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    END""").as("acf"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT (epoch_ns(ts) // 1000) // 3600000000 AS h,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        lagged AS (
+          SELECT h, c AS x, UNNEST(generate_series(1, 24)) AS k
+          FROM series),
+        pairs AS (
+          SELECT l.k, l.x, b.c AS y
+          FROM lagged l JOIN series b ON l.h + l.k = b.h),
+        g AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x * y AS HUGEINT)) AS sxy,
+                 SUM(CAST(x * x AS HUGEINT)) AS sxx,
+                 SUM(CAST(y * y AS HUGEINT)) AS syy
+          FROM pairs GROUP BY k)
+        SELECT CAST(k AS BIGINT) AS k, n,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+                    OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+                    THEN NULL
+                    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                         (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                          sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               END AS acf
+        FROM g ORDER BY k
       """))
   )
 }

@@ -37,4 +37,30 @@ object IntMath {
   def lg2fpDuck(x: String): String =
     s"(length(bin($x)) - 1) * $FP + (($x) * $FP) // " +
       s"CAST(pow(2, length(bin($x)) - 1) AS BIGINT) - $FP"
+
+  /** Quadratic-corrected chord log2, still all-integer: with
+    * f = frac position in [0, 2^20), the chord's log2(1+f) ≈ f is
+    * corrected by the minimax parabola f·(1−f)·0.3444 (the integer
+    * divisor 3044646 = round(2^20/0.3444)), cutting the max error from
+    * 0.0861 to 0.0080 bits at the cost of one extra multiply. Use this
+    * where per-term bias can FLIP a comparison (classifier argmax —
+    * ml_naive_bayes measured 0.28→0.42 holdout accuracy switching from
+    * the chord, matching exact-float NB); the plain chord stays right
+    * for monotone filtering scores (perplexity/entropy gates), where
+    * only the ordering matters and it is strictly monotone. Same
+    * headroom cap as lg2fp (x ≤ ~8.8e12: x·2^20 must fit BIGINT); the
+    * correction term peaks at 2^38, far inside range.
+    */
+  def lg2qfp(x: String): String = {
+    val i = s"(length(bin($x)) - 1)"
+    val f = s"(($x) * ${FP}L div CAST(pow(2, $i) AS BIGINT) - ${FP}L)"
+    s"$i * ${FP}L + $f + $f * (${FP}L - $f) div 3044646L"
+  }
+
+  /** DuckDB twin of [[lg2qfp]]. */
+  def lg2qfpDuck(x: String): String = {
+    val i = s"(length(bin($x)) - 1)"
+    val f = s"(($x) * $FP // CAST(pow(2, $i) AS BIGINT) - $FP)"
+    s"$i * $FP + $f + $f * ($FP - $f) // 3044646"
+  }
 }

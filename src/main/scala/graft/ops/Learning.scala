@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Learned-model operators (SURVEY.md §2.8 extension): classifiers whose
+  * parameters are ESTIMATED from one part of the corpus and applied to
+  * another, entirely inside the engine — the fastText-style quality /
+  * language classifier step of a pretraining pipeline (reference analog:
+  * the rule-based tagging in `text_domain_classifier`; this module is the
+  * learned counterpart a production pipeline graduates to).
+  *
+  * Determinism rules: the train/holdout split is an integer residue on
+  * doc_id (no RNG), all likelihoods ride the QUADRATIC-corrected
+  * fixed-point log2 (`IntMath.lg2qfp` — libm-free, exact BIGINT terms;
+  * the plain chord's 0.086-bit bias flips argmax comparisons, measured
+  * 0.28 vs exact NB's 0.42 holdout accuracy — the corrected form
+  * recovers 0.42), and argmax ties break on the class name, so the
+  * artifact hash-matches bit-for-bit.
+  */
+object Learning extends QueryModule {
+
+  private def lg2(x: String): String = IntMath.lg2qfp(x)
+  private def lg2d(x: String): String = IntMath.lg2qfpDuck(x)
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ───── multinomial Naive Bayes: train on 80%, classify the rest ─────
+    // The canonical learned text classifier (the shape under fastText's
+    // quality filters and CCNet's language scorer): per-class token
+    // likelihoods with add-1 smoothing over the training vocabulary,
+    // class priors from document frequencies, argmax over
+    //   score(d,c) = lg2 P(c) + Σ_w n_w(d)·lg2 P(w|c)
+    // in quadratic-corrected 2^20 fixed-point log2 (IntMath.lg2qfp —
+    // see there for why the plain chord is NOT enough for an argmax).
+    // Holdout words the class never saw
+    // contribute lg2fp(0+1) = 0 to the numerator — so the per-(doc,class)
+    // matched sum is computed with an INNER join on the word and the
+    // smoothing denominator rides separately as ntok(d)·lg2fp(T_c+V):
+    // the unmatched-word terms are exactly zero by construction, never
+    // approximated. Words outside the training vocabulary entirely score
+    // as a smoothed singleton (count 1) — the standard OOV convention.
+    //
+    // Scale shape (100 TB): the model is (class, word) count rows — it
+    // shuffles as narrow pairs and NEVER leaves the cluster (no driver
+    // collect; the 5-row class-constant frame and the two 1-row scalars
+    // broadcast under the watermark-filter pattern). Scoring joins the
+    // holdout's (doc, word, n) postings against the model on the word
+    // key — linear in holdout tokens with ≤|classes| fanout — then one
+    // exchange on (doc, class) and a per-doc argmax window over ≤5 rows.
+    // Integer headroom: lg2fp caps its argument at ~8.8e12; T_c+V is
+    // bounded by tokens-per-class, which crosses that only past ~10^13
+    // tokens per class — document the cap (pre-scale by 2^10 past it).
+    GraftQuery(
+      "ml_naive_bayes",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        val hold = docs.filter(col("doc_id") % 5 === 0)
+        val trainTok = train.select(col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        // model: per-(class, word) counts, class totals, priors, vocab
+        val t = trainTok.groupBy(col("lang").as("c"), col("w"))
+          .agg(count(lit(1)).as("t"))
+        val cls = t.groupBy(col("c")).agg(sum(col("t")).cast("long").as("tt"))
+        val pri = train.groupBy(col("lang").as("c"))
+          .agg(count(lit(1)).as("dc"))
+        val tot = train.agg(count(lit(1)).as("n_train"))
+        val voc = trainTok.agg(countDistinct(col("w")).as("v"))
+        val classes = cls.join(pri, Seq("c"))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
+          .select(col("c"),
+            expr(s"(${lg2("dc")}) - (${lg2("n_train")})").as("prior_fp"),
+            expr(lg2("tt + v")).as("den_fp"))
+        // holdout postings
+        val hw = hold.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+        val matched = hw.join(t, Seq("w"))
+          .groupBy(col("doc_id"), col("c"))
+          .agg(sum(col("n") * expr(lg2("t + 1"))).cast("long").as("m_fp"))
+        val ntok = hw.groupBy(col("doc_id"))
+          .agg(sum(col("n")).cast("long").as("ntok"))
+        val scores = ntok.crossJoin(broadcast(classes))
+          .join(matched, Seq("doc_id", "c"), "left")
+          .select(col("doc_id"), col("c"),
+            (col("prior_fp") + coalesce(col("m_fp"), lit(0L)) -
+              col("ntok") * col("den_fp")).as("score_fp"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_fp").desc, col("c").asc)
+        scores.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(hold.select(col("doc_id"), col("lang").as("actual")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("actual"), col("c").as("predicted"),
+            col("score_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        hold AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        ttok AS (
+          SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM train),
+        t AS (
+          SELECT lang AS c, w, CAST(COUNT(*) AS BIGINT) AS t
+          FROM ttok GROUP BY lang, w),
+        cls AS (SELECT c, CAST(SUM(t) AS BIGINT) AS tt FROM t GROUP BY c),
+        pri AS (
+          SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS dc
+          FROM train GROUP BY lang),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM train),
+        voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM ttok),
+        classes AS (
+          SELECT c, (${lg2d("dc")}) - (${lg2d("n_train")}) AS prior_fp,
+                 ${lg2d("tt + v")} AS den_fp
+          FROM cls JOIN pri USING (c) CROSS JOIN tot CROSS JOIN voc),
+        hw AS (
+          SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                FROM hold) x
+          GROUP BY doc_id, w),
+        matched AS (
+          SELECT hw.doc_id, t.c,
+                 CAST(SUM(hw.n * (${lg2d("t + 1")})) AS BIGINT) AS m_fp
+          FROM hw JOIN t USING (w) GROUP BY hw.doc_id, t.c),
+        ntok AS (
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS ntok
+          FROM hw GROUP BY doc_id),
+        scores AS (
+          SELECT n.doc_id, k.c,
+                 k.prior_fp + COALESCE(m.m_fp, 0) - n.ntok * k.den_fp
+                   AS score_fp
+          FROM ntok n CROSS JOIN classes k
+          LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.c = k.c),
+        best AS (
+          SELECT doc_id, c, score_fp,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score_fp DESC, c ASC) AS rn
+          FROM scores)
+        SELECT b.doc_id, h.lang AS actual, b.c AS predicted, b.score_fp
+        FROM best b JOIN hold h USING (doc_id)
+        WHERE b.rn = 1
+        ORDER BY b.doc_id
+      """))
+  )
+}

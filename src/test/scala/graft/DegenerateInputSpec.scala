@@ -63,7 +63,10 @@ class DegenerateInputSpec extends SparkSpec {
     // (their staged asset dirs are empty, so the binaryFile scan itself
     // must tolerate zero files)
     "text_keywords", "text_bpe_merges", "text_bpe_encode",
-    "mm_phash", "mm_audio_frames")
+    "mm_phash", "mm_audio_frames",
+    // wave 12: learned NB has no holdout rows on an empty corpus; URL
+    // canonicalization dedups an empty frontier
+    "ml_naive_bayes", "curate_url_canonical")
 
   private val embQueries = Seq(
     "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",
@@ -74,12 +77,24 @@ class DegenerateInputSpec extends SparkSpec {
   // events-keyed operators: empty stream = routine (a fresh tenant)
   private val evQueries = Seq(
     "win_attribution", "ts_interpolate", "ts_seasonal_profile",
-    "stats_cohort_retention", "stats_ab_test")
+    "stats_cohort_retention", "stats_ab_test", "ts_autocorr")
 
   for (name <- docQueries ++ embQueries ++ evQueries)
     test(s"$name returns an empty result on an empty table, never throws") {
       assert(SparkEntry.queries(name)(spark, dir).count() === 0L)
     }
+
+  test("curate_filter_attrition on an empty corpus reports a zero funnel, never throws") {
+    // the funnel always has its 4 stage rows (global-agg semantics);
+    // counts are zero and the DIV-0 survival ratio is an honest NULL
+    val rows = SparkEntry.queries("curate_filter_attrition")(spark, dir)
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_in")) === 0L)
+      assert(r.isNullAt(r.fieldIndex("cum_survival_ppm")))
+    }
+  }
 
   test("curate_dataset_card on an empty corpus reports zero counts, never throws") {
     // global aggregates return ONE row on empty input by SQL semantics;

@@ -63,7 +63,10 @@ class PlanAuditSpec extends SparkSpec {
     // K-row broadcast centroid frame (the sim_ann_index pattern)
     "sim_ann_range_index",
     // two 1-row arm frames meeting in a broadcast cross join
-    "stats_ab_test")
+    "stats_ab_test",
+    // |classes|-row broadcast model-constant frame + two 1-row scalars
+    // (the K-row centroid pattern)
+    "ml_naive_bayes")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
