@@ -1339,6 +1339,76 @@ object Extras extends QueryModule {
                                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                END AS acf
         FROM g ORDER BY k
+      """)),
+
+    // ───── additive decomposition: trend + seasonal + residual ─────
+    // The classical STL-shaped decomposition of the hourly event series
+    // (ts_autocorr DETECTS the period; this splits the series against
+    // it): trend = centered 25-hour moving average (ppm floor division),
+    // seasonal = per-hour-of-day mean of the detrended series, residual
+    // = the exact remainder. Everything is integer ppm arithmetic on
+    // non-negative sums: the seasonal mean is spelled as a DIFFERENCE of
+    // two non-negative floor divisions (Σn·10⁶ div cnt − Σtrend div cnt)
+    // rather than a mean of the signed detrended values, because Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors — they
+    // agree only on non-negative operands, so the spelling keeps every
+    // division non-negative by construction. The residual is then pure
+    // subtraction (exact), and residual + seasonal + trend ≡ n·10⁶ row
+    // by row — the decomposition identity is testable in integers.
+    //
+    // Scale shape: one corpus-sized exchange (the hourly aggregate,
+    // partial-combined); the trend window and hod means run on the
+    // METADATA-SIZED series frame (8,760 rows/year at any corpus scale),
+    // so the unpartitioned ordered window is a deliberate single-task
+    // stage over a tiny frame — same justification as stats_benford's
+    // 9-row window, stated here because a partition-free window over a
+    // corpus-sized frame would be a scale bug.
+    GraftQuery(
+      "ts_decompose",
+      (s, d) => {
+        val series = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("n"))
+        val tw = Window.orderBy(col("h")).rowsBetween(-12, 12)
+        val trended = series
+          .withColumn("tsum", sum(col("n")).over(tw))
+          .withColumn("tcnt", count(col("n")).over(tw))
+          .withColumn("trend_ppm", expr("tsum * 1000000L div tcnt"))
+          .drop("tsum", "tcnt")
+          .withColumn("hod", col("h") % 24)
+        val seasonal = trended.groupBy(col("hod"))
+          .agg(expr("sum(n) * 1000000L div count(n) - sum(trend_ppm) div count(n)")
+            .as("seasonal_ppm"))
+        trended.join(seasonal, Seq("hod"))
+          .select(col("h"), col("n"), col("trend_ppm"), col("hod"),
+            col("seasonal_ppm"),
+            (col("n") * lit(1000000L) - col("trend_ppm") -
+              col("seasonal_ppm")).as("residual_ppm"))
+          .orderBy(col("h"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT (epoch_ns(ts) // 1000) // 3600000000 AS h,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT h, n,
+                 CAST(CAST(SUM(n) OVER w AS BIGINT) * 1000000 //
+                   COUNT(n) OVER w AS BIGINT) AS trend_ppm,
+                 h % 24 AS hod
+          FROM series
+          WINDOW w AS (ORDER BY h
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        s AS (
+          SELECT hod,
+                 CAST(CAST(SUM(n) AS BIGINT) * 1000000 // COUNT(n) -
+                 CAST(SUM(trend_ppm) AS BIGINT) // COUNT(n) AS BIGINT)
+                   AS seasonal_ppm
+          FROM t GROUP BY hod)
+        SELECT t.h, t.n, t.trend_ppm, t.hod, s.seasonal_ppm,
+               t.n * 1000000 - t.trend_ppm - s.seasonal_ppm AS residual_ppm
+        FROM t JOIN s USING (hod)
+        ORDER BY t.h
       """))
   )
 }

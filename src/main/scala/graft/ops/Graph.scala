@@ -819,6 +819,108 @@ object Graph extends QueryModule {
           JOIN deg dv ON dv.u = c.v)
         SELECT u, v, cn, uni, jacc_ppm FROM sc
         ORDER BY jacc_ppm DESC, u ASC, v ASC LIMIT 50
+      """)),
+
+    // ───── HITS hubs/authorities — the second eigenvector family ─────
+    // Kleinberg's HITS over the directed co-line graph: authority =
+    // in-mass of hub scores, hub = out-mass of authority scores, two
+    // mutual power-iteration rounds. PageRank (above) normalizes by
+    // construction (the damping redistribution preserves total mass);
+    // HITS does NOT — unnormalized scores square per half-round
+    // (deg²·10¹² after one round, deg⁴ after two: int64 dies) — so each
+    // half-round MAX-normalizes back to the 10¹² unit, the classic
+    // L∞ HITS variant whose ranking fixpoint equals the L2 textbook
+    // form's. The max is a 1-row broadcast scalar (watermark-filter
+    // pattern, same as pagerank's node-count frame); the product
+    // raw·10¹² rides DECIMAL(38,0) (≤10²⁷ at in-degree 10¹⁵ — integer
+    // headroom for any real graph) and floor-divides back to BIGINT on
+    // non-negative values only, so both engines agree bit-for-bit.
+    // The oracle unrolls the same two rounds as plain SQL CTEs — like
+    // graph_pagerank, no recursion for a fixed horizon, so it also
+    // runs in the Spark SQL sweep.
+    //
+    // Scale shape: the edge frame stages ONCE hash-partitioned on u
+    // (the v-keyed join exchanges the O(nodes) score side; edges are
+    // re-used co-partitioned); each half-round is one equi-join + one
+    // map-side-combined SUM on the destination key. Score frames are
+    // O(nodes) and the only per-round exchange.
+    GraftQuery(
+      "graph_hits",
+      (s, d) => {
+        val UNIT = 1000000000000L
+        val adj = Materialize.stage(coLineAdj(s, d).repartition(col("u")))
+        val nodes = Materialize.stage(
+          adj.select(col("u").as("node"))
+            .union(adj.select(col("v").as("node"))).distinct())
+        // max-normalize a raw (key, raw) frame onto the node set
+        def rescale(raw: DataFrame, key: String): DataFrame = {
+          val mx = raw.agg(max(col("raw")).as("mx")) // 1 row, broadcast
+          nodes.join(raw, nodes("node") === raw(key), "left")
+            .join(broadcast(mx))
+            .select(nodes("node"),
+              expr(s"CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) * ${UNIT}L DIV mx")
+                .cast("long").as("score"))
+        }
+        var hub = nodes.select(col("node"), lit(UNIT).as("score"))
+        var auth = hub
+        for (_ <- 1 to 2) {
+          val araw = adj
+            .join(hub.select(col("node").as("hu"), col("score").as("hs")),
+              col("u") === col("hu"))
+            .groupBy(col("v")).agg(sum(col("hs")).cast("long").as("raw"))
+          auth = rescale(araw, "v")
+          val hraw = adj
+            .join(auth.select(col("node").as("av"), col("score").as("ascore")),
+              col("v") === col("av"))
+            .groupBy(col("u")).agg(sum(col("ascore")).cast("long").as("raw"))
+          hub = rescale(hraw, "u")
+        }
+        hub.select(col("node"), col("score").as("hub_fp"))
+          .join(auth.select(col("node"), col("score").as("auth_fp")),
+            Seq("node"))
+          .select(col("node").as("part"), col("hub_fp"), col("auth_fp"))
+          .orderBy(col("part"))
+      },
+      Some("""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        nodes AS (SELECT u AS node FROM adj UNION SELECT v AS node FROM adj),
+        h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS score FROM nodes),
+        ar1 AS (SELECT e.v, CAST(SUM(h.score) AS BIGINT) AS raw
+                FROM adj e JOIN h0 h ON h.node = e.u GROUP BY e.v),
+        am1 AS (SELECT MAX(raw) AS mx FROM ar1),
+        a1 AS (SELECT n.node,
+                      CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000000
+                        // mx AS BIGINT) AS score
+               FROM nodes n LEFT JOIN ar1 r ON r.v = n.node CROSS JOIN am1),
+        hr1 AS (SELECT e.u, CAST(SUM(a.score) AS BIGINT) AS raw
+                FROM adj e JOIN a1 a ON a.node = e.v GROUP BY e.u),
+        hm1 AS (SELECT MAX(raw) AS mx FROM hr1),
+        h1 AS (SELECT n.node,
+                      CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000000
+                        // mx AS BIGINT) AS score
+               FROM nodes n LEFT JOIN hr1 r ON r.u = n.node CROSS JOIN hm1),
+        ar2 AS (SELECT e.v, CAST(SUM(h.score) AS BIGINT) AS raw
+                FROM adj e JOIN h1 h ON h.node = e.u GROUP BY e.v),
+        am2 AS (SELECT MAX(raw) AS mx FROM ar2),
+        a2 AS (SELECT n.node,
+                      CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000000
+                        // mx AS BIGINT) AS score
+               FROM nodes n LEFT JOIN ar2 r ON r.v = n.node CROSS JOIN am2),
+        hr2 AS (SELECT e.u, CAST(SUM(a.score) AS BIGINT) AS raw
+                FROM adj e JOIN a2 a ON a.node = e.v GROUP BY e.u),
+        hm2 AS (SELECT MAX(raw) AS mx FROM hr2),
+        h2 AS (SELECT n.node,
+                      CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000000
+                        // mx AS BIGINT) AS score
+               FROM nodes n LEFT JOIN hr2 r ON r.u = n.node CROSS JOIN hm2)
+        SELECT h2.node AS part, h2.score AS hub_fp, a2.score AS auth_fp
+        FROM h2 JOIN a2 ON a2.node = h2.node
+        ORDER BY part
       """))
   )
 

@@ -1079,7 +1079,133 @@ object Similarity extends QueryModule {
         FROM sel5 s JOIN cand c USING (vec_id)
         ORDER BY s.pos
       """
-      })
+      }),
+
+    // ───── k-NN label-separability probe: LSH candidates → top-5 vote ─────
+    // The embedding-space EVAL companion to ml_naive_bayes: predict each
+    // holdout vector's label (vec_id % 7 = 0, ~14%) by majority vote of
+    // its 5 nearest TRAIN neighbors — the standard probe for "does this
+    // embedding space separate my classes" run BEFORE spending on a
+    // trained head, and a probe whose honest answer here is NO: the
+    // synthetic embeddings carry no label geometry (exact brute-force
+    // 5-NN measures 0.15 vs 0.10 chance over 10 labels; the LSH-
+    // candidate vote 0.06 — measured at sf0.01), which is exactly the
+    // verdict this query exists to deliver cheaply before a 100 TB
+    // pipeline trains on a space that cannot support it. The per-row
+    // `correct` flag makes the measurement part of the artifact.
+    // Candidate generation reuses the sim_ann_lsh machinery verbatim
+    // (banded sign-projection buckets, train side capped per (band,
+    // bucket) by the WindowGroupLimit rank rule, so candidate volume
+    // stays ≤ bands × n × cap — linear however the corpus grows); the
+    // vote is an integer count with label-ascending tie-break, so no
+    // float ever aggregates and the artifact hash-matches. Holdout
+    // vectors sharing no band with any capped train vector are absent
+    // from the output on BOTH engines (honest no-prediction, the ANN
+    // recall trade stated by sim_ann_lsh).
+    //
+    // Scale shape: identical to sim_ann_lsh (its ladder applies) plus
+    // one (query, label) exchange for the vote and a ≤|labels|-row
+    // argmax window per query.
+    GraftQuery(
+      "ml_knn_classifier",
+      (s, d) => {
+        val par = s.sparkContext.defaultParallelism
+        val e = Materialize.stageEager(normed(s, d)
+          .repartition(par, col("vec_id"))
+          .withColumn("sig", expr(lshSigExpr)))
+        val bands = e.select(col("vec_id"), col("sig"),
+            explode(expr("sequence(1, 4)")).as("b"))
+          .select(col("vec_id"), col("b"),
+            expr("substring(sig, (b-1)*4 + 1, 4)").as("band_sig"))
+        val qb = bands.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("va"), col("b"), col("band_sig"))
+        val tb = bands.filter(col("vec_id") % 7 =!= 0)
+          .select(col("vec_id").as("vb"), col("b").as("b2"),
+            col("band_sig").as("band_sig2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("b2"), col("band_sig2"))
+              .orderBy(col("vb").asc)))
+          .filter(col("rn") <= defaultBucketCap).drop("rn")
+        val cand = qb.join(tb,
+            col("b") === col("b2") && col("band_sig") === col("band_sig2"))
+          .select(col("va"), col("vb")).distinct()
+        val ea = e.select(col("vec_id").as("qa"), col("embedding").as("ea"),
+          col("nrm").as("na"), col("label").as("actual"))
+        val eb = e.select(col("vec_id").as("qb"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("label").as("lb"))
+        val w = Window.partitionBy(col("va"))
+          .orderBy(col("cosine").desc, col("vb").asc)
+        val top = cand
+          .join(ea, col("va") === col("qa"))
+          .join(eb, col("vb") === col("qb"))
+          .select(col("va"), col("actual"), col("vb"), col("lb"),
+            cosine("ea", "eb", "na", "nb"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+        val vw = Window.partitionBy(col("va"))
+          .orderBy(col("n_votes").desc, col("lb").asc)
+        top.groupBy(col("va"), col("actual"), col("lb"))
+          .agg(count(lit(1)).as("n_votes"))
+          .withColumn("vr", row_number().over(vw))
+          .filter(col("vr") === 1)
+          .select(col("va").as("vec_id"), col("actual"),
+            col("lb").as("predicted"), col("n_votes"),
+            (col("lb") === col("actual")).as("correct"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH $normedSql,
+        sig AS (
+          SELECT vec_id, label, embedding, nrm,
+                 array_to_string(list_transform(generate_series(0, 15), j ->
+                   CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                     i -> (CASE WHEN substr(md5(j::VARCHAR || '|' || (i-1)::VARCHAR), 1, 1) >= '8'
+                                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+                          * embedding[i]::DOUBLE), (x, y) -> x + y) >= 0
+                   THEN '1' ELSE '0' END), '') AS s
+          FROM e),
+        bands AS (
+          SELECT vec_id, b, substr(s, (b-1)*4 + 1, 4) AS bs
+          FROM sig CROSS JOIN (SELECT UNNEST(generate_series(1, 4)) AS b) g),
+        tb AS (
+          SELECT vec_id, b, bs FROM (
+            SELECT vec_id, b, bs,
+                   ROW_NUMBER() OVER (PARTITION BY b, bs
+                                      ORDER BY vec_id ASC) AS rn
+            FROM bands WHERE vec_id % 7 <> 0) t
+          WHERE rn <= $defaultBucketCap),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+          FROM bands a JOIN tb b ON a.b = b.b AND a.bs = b.bs
+          WHERE a.vec_id % 7 = 0),
+        scored AS (
+          SELECT va, vb, ea.label AS actual, eb.label AS lb,
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cosine
+          FROM cand
+          JOIN sig ea ON ea.vec_id = va
+          JOIN sig eb ON eb.vec_id = vb),
+        top AS (
+          SELECT va, actual, lb FROM (
+            SELECT va, actual, lb, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY va
+                                      ORDER BY cosine DESC, vb ASC) AS rn
+            FROM scored) t
+          WHERE rn <= 5),
+        votes AS (
+          SELECT va, actual, lb, CAST(COUNT(*) AS BIGINT) AS n_votes
+          FROM top GROUP BY va, actual, lb)
+        SELECT va AS vec_id, actual, lb AS predicted, n_votes,
+               lb = actual AS correct
+        FROM (
+          SELECT va, actual, lb, n_votes,
+                 ROW_NUMBER() OVER (PARTITION BY va
+                                    ORDER BY n_votes DESC, lb ASC) AS vr
+          FROM votes) t
+        WHERE vr = 1
+        ORDER BY vec_id
+      """))
   )
 
   /** Default IVF cell count. At corpus scale pick K ∝ n/targetCellSize

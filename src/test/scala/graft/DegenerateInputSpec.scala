@@ -72,12 +72,13 @@ class DegenerateInputSpec extends SparkSpec {
     "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",
     "sim_ann_lsh", "sim_ann_ivf", "sim_topk_cosine",
     "sim_quantize_int8", "sim_matryoshka_topk", "sim_ann_recall_gate",
-    "sim_range_search")
+    "sim_range_search", "ml_knn_classifier")
 
   // events-keyed operators: empty stream = routine (a fresh tenant)
   private val evQueries = Seq(
     "win_attribution", "ts_interpolate", "ts_seasonal_profile",
-    "stats_cohort_retention", "stats_ab_test", "ts_autocorr")
+    "stats_cohort_retention", "stats_ab_test", "ts_autocorr",
+    "ts_decompose")
 
   for (name <- docQueries ++ embQueries ++ evQueries)
     test(s"$name returns an empty result on an empty table, never throws") {

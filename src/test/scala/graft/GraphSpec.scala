@@ -348,4 +348,45 @@ class GraphSpec extends SparkSpec {
     }.sortBy { case (u, v, _, _, j) => (-j, u, v) }.take(50)
     assert(got === exp)
   }
+
+  test("graph_hits matches an exact BigInt replay at sf0.001") {
+    val got = SparkEntry.queries("graph_hits")(spark, sfTiny)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // same multimap adjacency as the pagerank replay: duplicate
+    // (order, linenumber) pairs yield duplicate edges, and HITS sums
+    // over edge INSTANCES
+    val li = Tables.lineitem(spark, sfTiny)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .as[(Long, Int, Long)].collect()
+    val adj = li.groupBy(_._1).values.flatMap { lines =>
+      val byLn = lines.groupBy(_._2).map { case (ln, ls) => ln -> ls.map(_._3).toSeq }
+      byLn.toSeq.flatMap { case (ln, ps) =>
+        val nxt = byLn.getOrElse(ln + 1, Seq.empty[Long])
+        for (p <- ps; p2 <- nxt if p2 != p) yield (p, p2)
+      }
+    }.toSeq
+    val nodes = (adj.map(_._1) ++ adj.map(_._2)).distinct
+    val UNIT = BigInt(1000000000000L)
+    var hub = nodes.map(_ -> UNIT).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 2) {
+      val araw = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      for ((u, v) <- adj) araw(v) += hub(u)
+      val amax = araw.values.max
+      auth = nodes.map(n => n -> araw(n) * UNIT / amax).toMap
+      val hraw = scala.collection.mutable.Map.empty[Long, BigInt]
+        .withDefaultValue(BigInt(0))
+      for ((u, v) <- adj) hraw(u) += auth(v)
+      val hmax = hraw.values.max
+      hub = nodes.map(n => n -> hraw(n) * UNIT / hmax).toMap
+    }
+    val exp = nodes.map(n => n -> ((hub(n).toLong, auth(n).toLong))).toMap
+    assert(got === exp)
+    // L-infinity normalization: both families peak exactly at the unit
+    assert(got.values.map(_._1).max === 1000000000000L)
+    assert(got.values.map(_._2).max === 1000000000000L)
+  }
 }

@@ -66,7 +66,10 @@ class PlanAuditSpec extends SparkSpec {
     "stats_ab_test",
     // |classes|-row broadcast model-constant frame + two 1-row scalars
     // (the K-row centroid pattern)
-    "ml_naive_bayes")
+    "ml_naive_bayes",
+    // four 1-row broadcast max-normalization scalars — the pagerank
+    // node-count pattern
+    "graph_hits")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

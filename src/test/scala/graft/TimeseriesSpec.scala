@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{count, expr, lit}
+
 /** Semantic tests for the time-series alignment family (`ts_gap_fill`):
   * the oracle gate pins cross-engine value equality at sf0.01; these pin
   * the SEMANTICS on planted gaps — dense grid bounds, LOCF carry, and
@@ -220,5 +222,37 @@ class TimeseriesSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("bucket")).as("first_obs"))
       .select("first_obs").as[Boolean].collect()
     assert(head.forall(identity))
+  }
+
+  test("ts_decompose: exact integer replay and the additive identity") {
+    val got = SparkEntry.queries("ts_decompose")(spark, sfTiny)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // the decomposition identity holds EXACTLY in integers, row by row
+    got.foreach { case (_, n, trend, _, seasonal, residual) =>
+      assert(trend + seasonal + residual === n * 1000000L)
+    }
+    // replay: centered 25-hour trend + per-hod seasonal means, all
+    // non-negative floor divisions (the truncate-vs-floor contract)
+    val counts = Tables.events(spark, sfTiny)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val trend = counts.indices.map { i =>
+      val lo = math.max(0, i - 12)
+      val hi = math.min(counts.length - 1, i + 12)
+      val frame = counts.slice(lo, hi + 1)
+      counts(i)._1 -> frame.map(_._2).sum * 1000000L / frame.length
+    }.toMap
+    val seasonal = counts.groupBy(_._1 % 24).map { case (hod, rs) =>
+      val cnt = rs.length
+      hod -> (rs.map(_._2).sum * 1000000L / cnt -
+        rs.map(r => trend(r._1)).sum / cnt)
+    }
+    got.foreach { case (h, _, t, hod, s2, _) =>
+      assert(hod === h % 24)
+      assert(t === trend(h), s"trend at h=$h")
+      assert(s2 === seasonal(hod), s"seasonal at hod=$hod")
+    }
   }
 }
