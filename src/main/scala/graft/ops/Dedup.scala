@@ -433,6 +433,91 @@ object Dedup extends QueryModule {
         ORDER BY new_doc, dup_of
       """)),
 
+    // ───── LSH recall eval: banding candidates vs the exact baseline ─────
+    // The measurement that TUNES the minhash family (bands × rows, the
+    // (1−J^r)^b S-curve): ground truth = exact all-pairs J ≥ 0.8 (the
+    // Σ df² baseline dedup_ngram_jaccard runs), candidates = the band
+    // join BEFORE exact verification. dedup_minhash's output precision
+    // is 1 by construction (candidates are exact-verified), so the two
+    // numbers that matter are RECALL (which true pairs the banding
+    // never surfaced — S-curve misses) and CANDIDATE precision (how
+    // much exact-verify work the banding wastes) — together they are
+    // the band-width tuning instrument, computed entirely in-engine on
+    // the corpus it will run on. Counts are exact integers; ratios are
+    // ppm floor divisions with DIV-0 as honest NULL.
+    //
+    // Scale shape: the truth side IS the quadratic baseline — at 100 TB
+    // this runs on a deterministic md5 SAMPLE of the corpus (swap
+    // `documents` for a doc_id-hash slice; the estimator is unbiased
+    // over pairs within the slice), exactly how production dedup recall
+    // is audited. The three 1-row count frames meet in broadcast cross
+    // joins (watermark-filter pattern).
+    GraftQuery(
+      "dedup_minhash_eval",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val sz = shingleSizes(sh)
+        val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"))
+        val truth = Materialize.stage(
+          a.join(b, col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+            .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+            .join(sz.select(col("doc_id"), col("n").as("na")),
+              col("doc_a") === col("doc_id")).drop("doc_id")
+            .join(sz.select(col("doc_id"), col("n").as("nb")),
+              col("doc_b") === col("doc_id")).drop("doc_id")
+            .filter(col("c").cast("double") /
+              (col("na") + col("nb") - col("c")) >= 0.8)
+            .select(col("doc_a"), col("doc_b")))
+        val mh = bandSignatures(Tables.documents(s, d),
+          Some(s.sparkContext.defaultParallelism))
+        val cand = Materialize.stage(
+          mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+            .join(mh.select(col("doc_id").as("doc_b"),
+                col("band").as("band2"), col("band_sig").as("band_sig2")),
+              col("band") === col("band2") &&
+                col("band_sig") === col("band_sig2") &&
+                col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b")).distinct())
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        val nFound = truth.join(cand, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_found"))
+        nTruth.join(broadcast(nCand)).join(broadcast(nFound))
+          .select(col("n_truth"), col("n_cand"), col("n_found"),
+            expr("if(n_truth = 0, null, n_found * 1000000L div n_truth)")
+              .as("recall_ppm"),
+            expr("if(n_cand = 0, null, n_found * 1000000L div n_cand)")
+              .as("cand_precision_ppm"))
+      },
+      Some(s"""
+        WITH $minhashBandsSql,
+        truth AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b) t
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM mh a JOIN mh b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+        f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+              FROM truth JOIN cand USING (doc_a, doc_b))
+        SELECT n_truth, n_cand, n_found,
+               CASE WHEN n_truth = 0 THEN NULL
+                    ELSE n_found * 1000000 // n_truth END AS recall_ppm,
+               CASE WHEN n_cand = 0 THEN NULL
+                    ELSE n_found * 1000000 // n_cand END AS cand_precision_ppm
+        FROM m CROSS JOIN c2 CROSS JOIN f
+      """)),
+
     // ───── dedup clustering: connected components over near-dup pairs ─────
     // Pairs are edges; a cluster is the min doc_id reachable. Computed
     // by alternating large-star/small-star (ConnectedComponents): round

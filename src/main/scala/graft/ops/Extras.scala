@@ -1409,6 +1409,59 @@ object Extras extends QueryModule {
                t.n * 1000000 - t.trend_ppm - s.seasonal_ppm AS residual_ppm
         FROM t JOIN s USING (hod)
         ORDER BY t.h
+      """)),
+
+    // ───── forecast backtest: seasonal-naive vs naive-1 baselines ─────
+    // Before any learned forecaster ships, it must beat the two free
+    // baselines — snaive24 (this hour yesterday) and naive1 (the last
+    // hour) — and this query IS that bar, backtested over the whole
+    // hourly series: per model, the count of scoreable points, the
+    // exact integer sum of absolute errors, and MAE in ppm. The ratio
+    // of the two MAEs is the MASE denominator decision: if snaive24
+    // does not beat naive1, the series has no daily season worth
+    // modeling (ts_autocorr's verdict, re-read as forecast skill).
+    // Forecasts are self-joins of the aggregated series on (h−24 / h−1)
+    // — errors are |BIGINT−BIGINT|, sums exact, divisions non-negative.
+    //
+    // Scale shape: one corpus-sized hourly aggregate; both lag joins and
+    // the 2-row summary run on the metadata-sized series (the
+    // ts_autocorr contract).
+    GraftQuery(
+      "ts_forecast_snaive",
+      (s, d) => {
+        val series = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("n"))
+        def backtest(lag: Int, name: String) = {
+          val f = series.select((col("h") + lag).as("hf"), col("n").as("fc"))
+          series.join(f, col("h") === col("hf"))
+            .agg(count(lit(1)).as("n_points"),
+              sum(abs(col("n") - col("fc"))).cast("long").as("sae"))
+            .select(lit(name).as("model"), col("n_points"), col("sae"),
+              expr("if(n_points = 0, null, sae * 1000000L div n_points)")
+                .as("mae_ppm"))
+        }
+        backtest(24, "snaive24").unionByName(backtest(1, "naive1"))
+          .orderBy(col("model"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT (epoch_ns(ts) // 1000) // 3600000000 AS h,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        b24 AS (
+          SELECT 'snaive24' AS model, CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(SUM(ABS(a.n - f.n)) AS BIGINT) AS sae
+          FROM series a JOIN series f ON a.h = f.h + 24),
+        b1 AS (
+          SELECT 'naive1' AS model, CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(SUM(ABS(a.n - f.n)) AS BIGINT) AS sae
+          FROM series a JOIN series f ON a.h = f.h + 1),
+        u AS (SELECT * FROM b24 UNION ALL SELECT * FROM b1)
+        SELECT model, n_points, sae,
+               CASE WHEN n_points = 0 THEN NULL
+                    ELSE sae * 1000000 // n_points END AS mae_ppm
+        FROM u ORDER BY model
       """))
   )
 }

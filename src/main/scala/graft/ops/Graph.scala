@@ -921,6 +921,83 @@ object Graph extends QueryModule {
         SELECT h2.node AS part, h2.score AS hub_fp, a2.score AS auth_fp
         FROM h2 JOIN a2 ON a2.node = h2.node
         ORDER BY part
+      """)),
+
+    // ───── degree assortativity: do hubs link to hubs? ─────
+    // Newman's degree-correlation coefficient over the directed co-line
+    // graph: the Pearson correlation, across edge INSTANCES, of the
+    // source's out-degree with the target's in-degree. r > 0 =
+    // assortative (hubs wire to hubs — social-graph shape), r < 0 =
+    // disassortative (hubs wire to leaves — dependency/star shape);
+    // the single number that says which skew mitigations the other
+    // graph operators will need (a disassortative graph concentrates
+    // join fanout on few keys). Degrees are exact integer counts; the
+    // five sums ride DECIMAL(38,0) (deg² × edges passes int64 at
+    // graph scale); the close is the stats_corr pinned double/sqrt
+    // chain with a zero-variance NULL guard.
+    //
+    // Scale shape: two degree aggregates (map-side combined) + two
+    // equi-joins of the edge frame against O(nodes) degree frames +
+    // ONE 1-row aggregate. The edge frame is the only corpus-sized
+    // exchange, and it moves twice (once per degree key).
+    GraftQuery(
+      "graph_assortativity",
+      (s, d) => {
+        val adj = Materialize.stage(coLineAdj(s, d))
+        val outdeg = adj.groupBy(col("u")).agg(count(lit(1)).as("du"))
+        val indeg = adj.groupBy(col("v")).agg(count(lit(1)).as("dv"))
+        adj.join(outdeg, Seq("u")).join(indeg, Seq("v"))
+          .agg(count(lit(1)).as("n_edges"),
+            sum(col("du").cast(DecimalType(38, 0))).as("sx"),
+            sum(col("dv").cast(DecimalType(38, 0))).as("sy"),
+            sum((col("du") * col("dv")).cast(DecimalType(38, 0))).as("sxy"),
+            sum((col("du") * col("du")).cast(DecimalType(38, 0))).as("sxx"),
+            sum((col("dv") * col("dv")).cast(DecimalType(38, 0))).as("syy"))
+          .select(col("n_edges"),
+            expr("""CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+                         OR CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) -
+                             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+                         THEN NULL
+                         ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                              (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                               sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) -
+                                    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    END""").as("assortativity"))
+      },
+      Some("""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        od AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS du FROM adj GROUP BY u),
+        id AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dv FROM adj GROUP BY v),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                 SUM(CAST(du AS HUGEINT)) AS sx,
+                 SUM(CAST(dv AS HUGEINT)) AS sy,
+                 SUM(CAST(du * dv AS HUGEINT)) AS sxy,
+                 SUM(CAST(du * du AS HUGEINT)) AS sxx,
+                 SUM(CAST(dv * dv AS HUGEINT)) AS syy
+          FROM adj JOIN od USING (u) JOIN id USING (v))
+        SELECT n_edges,
+               CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+                    OR CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) -
+                        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+                    THEN NULL
+                    ELSE (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                         (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                          sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) -
+                               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               END AS assortativity
+        FROM g
       """))
   )
 

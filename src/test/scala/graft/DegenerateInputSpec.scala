@@ -85,6 +85,23 @@ class DegenerateInputSpec extends SparkSpec {
       assert(SparkEntry.queries(name)(spark, dir).count() === 0L)
     }
 
+  test("dedup_minhash_eval on an empty corpus reports zero counts and NULL ratios") {
+    val row = SparkEntry.queries("dedup_minhash_eval")(spark, dir).head()
+    assert(row.getLong(row.fieldIndex("n_truth")) === 0L)
+    assert(row.getLong(row.fieldIndex("n_cand")) === 0L)
+    assert(row.isNullAt(row.fieldIndex("recall_ppm")))
+    assert(row.isNullAt(row.fieldIndex("cand_precision_ppm")))
+  }
+
+  test("ts_forecast_snaive on an empty stream reports both baselines at zero points") {
+    val rows = SparkEntry.queries("ts_forecast_snaive")(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_points")) === 0L)
+      assert(r.isNullAt(r.fieldIndex("mae_ppm")))
+    }
+  }
+
   test("curate_filter_attrition on an empty corpus reports a zero funnel, never throws") {
     // the funnel always has its 4 stage rows (global-agg semantics);
     // counts are zero and the DIV-0 survival ratio is an honest NULL

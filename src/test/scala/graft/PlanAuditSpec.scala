@@ -69,7 +69,9 @@ class PlanAuditSpec extends SparkSpec {
     "ml_naive_bayes",
     // four 1-row broadcast max-normalization scalars — the pagerank
     // node-count pattern
-    "graph_hits")
+    "graph_hits",
+    // three 1-row count frames meeting in broadcast cross joins
+    "dedup_minhash_eval")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
