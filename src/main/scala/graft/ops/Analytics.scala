@@ -1452,6 +1452,106 @@ object Analytics extends QueryModule {
                       * (1.0 / CAST(n_a AS DOUBLE)
                          + 1.0 / CAST(n_b AS DOUBLE))) AS z
         FROM a CROSS JOIN b
+      """)),
+
+    // ───── Tukey-fence outlier gate: exact IQR per event type ─────
+    // The data-cleaning rule every ingest pipeline applies before
+    // aggregates see the data: values outside [q1 − 1.5·IQR,
+    // q3 + 1.5·IQR] per event type, with EXACT discrete quartiles (the
+    // agg_quartiles_exact rank-pick, not an estimate — a fence built on
+    // an approximate quantile moves run to run and cannot be
+    // hash-gated). Everything rides integer cents: the 1.5 factor is
+    // ·3 div 2 on a non-negative IQR, so both engines floor alike; the
+    // output is the per-type fence plus the outlier count and ppm — the
+    // artifact a quality monitor alerts on.
+    //
+    // Scale shape: one shuffle on the type key for the rank window (the
+    // exact-order-statistics cost, stated at agg_quartiles_exact), one
+    // re-join of the |types|-row fence frame back to the scan (AQE
+    // broadcasts it), one count aggregate. |types| rows out.
+    GraftQuery(
+      "stats_iqr_outliers",
+      (s, d) => {
+        val cents = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents").asc, col("event_id").asc)
+        val ranked = cents
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+        val fences = ranked
+          .filter(col("rn") === expr("CAST(ceil(0.25 * n) AS BIGINT)") ||
+            col("rn") === expr("CAST(ceil(0.75 * n) AS BIGINT)"))
+          .groupBy(col("event_type"))
+          .agg(
+            min(when(col("rn") === expr("CAST(ceil(0.25 * n) AS BIGINT)"),
+              col("cents"))).as("q1_cents"),
+            min(when(col("rn") === expr("CAST(ceil(0.75 * n) AS BIGINT)"),
+              col("cents"))).as("q3_cents"))
+          .select(col("event_type"), col("q1_cents"), col("q3_cents"),
+            (col("q3_cents") - col("q1_cents")).as("iqr_cents"))
+          .select(col("event_type"), col("q1_cents"), col("q3_cents"),
+            col("iqr_cents"),
+            expr("q1_cents - (3 * iqr_cents) div 2").as("lo_cents"),
+            expr("q3_cents + (3 * iqr_cents) div 2").as("hi_cents"))
+        cents.join(fences, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("q1_cents")).as("q1_cents"),
+            min(col("q3_cents")).as("q3_cents"),
+            min(col("iqr_cents")).as("iqr_cents"),
+            min(col("lo_cents")).as("lo_cents"),
+            min(col("hi_cents")).as("hi_cents"),
+            count(when(col("cents") < col("lo_cents") ||
+              col("cents") > col("hi_cents"), 1)).as("n_outliers"))
+          .select(col("event_type"), col("n"), col("q1_cents"),
+            col("q3_cents"), col("iqr_cents"), col("lo_cents"),
+            col("hi_cents"), col("n_outliers"),
+            expr("n_outliers * 1000000L div n").as("outlier_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT event_type, event_id,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        ranked AS (
+          SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY cents ASC, event_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM cents),
+        q AS (
+          SELECT event_type,
+                 MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                     THEN cents END) AS q1_cents,
+                 MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                     THEN cents END) AS q3_cents
+          FROM ranked
+          WHERE rn = CAST(ceil(0.25 * n) AS BIGINT)
+             OR rn = CAST(ceil(0.75 * n) AS BIGINT)
+          GROUP BY event_type),
+        f AS (
+          SELECT event_type, q1_cents, q3_cents,
+                 q3_cents - q1_cents AS iqr_cents,
+                 q1_cents - (3 * (q3_cents - q1_cents)) // 2 AS lo_cents,
+                 q3_cents + (3 * (q3_cents - q1_cents)) // 2 AS hi_cents
+          FROM q)
+        SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(q1_cents) AS q1_cents, MIN(q3_cents) AS q3_cents,
+               MIN(iqr_cents) AS iqr_cents, MIN(lo_cents) AS lo_cents,
+               MIN(hi_cents) AS hi_cents,
+               CAST(COUNT(*) FILTER (WHERE c.cents < lo_cents
+                 OR c.cents > hi_cents) AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) FILTER (WHERE c.cents < lo_cents
+                 OR c.cents > hi_cents) AS BIGINT) * 1000000 // COUNT(*)
+                 AS outlier_ppm
+        FROM cents c JOIN f USING (event_type)
+        GROUP BY c.event_type
+        ORDER BY c.event_type
       """))
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftQuery, QueryModule, Tables}
+import graft.{GraftQuery, Materialize, QueryModule, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -875,6 +875,52 @@ object Curation extends QueryModule {
                                   (3, 'mean_tok_len_3_9'),
                                   (4, 'has_stopword')) AS s(stage_id, stage)
         ORDER BY s.stage_id
+      """)),
+
+    // ───── cross-source duplication matrix — the provenance diagnostic ─────
+    // Which crawl sources copy from which: the verified near-dup pairs
+    // (Dedup.minhashPairs — banded LSH candidates, exact-Jaccard
+    // verified at ≥ 0.8) attributed to their (source, source) cell,
+    // unordered (least/greatest), diagonal = within-source duplication.
+    // The dataset-card number that decides whether two sources should
+    // be ingested as one (mirrors), and the numerator for "dedup will
+    // save X% because source A mirrors B". The first cut grouped EXACT
+    // body digests instead — vacuous on this corpus (zero exact dups at
+    // sf0.01; duplication here is near-dup-shaped, as in real crawls),
+    // which is itself the diagnostic's point: the matrix must sit on
+    // the same near-dup relation the dedup pass actually uses.
+    //
+    // Scale shape: inherits dedup_minhash's ladder (§9) — banding keeps
+    // pair volume linear; what this adds is one join of the O(pairs)
+    // frame against the (doc_id, source) projection (twice) and a
+    // ≤ |sources|² aggregate.
+    GraftQuery(
+      "curate_source_overlap",
+      (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        Dedup.minhashPairs(s, d)
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("sa")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("sb")), Seq("doc_b"))
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_dup_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""
+        WITH ${Dedup.minhashPairsSql},
+        attributed AS (
+          SELECT LEAST(da.source, db.source) AS source_a,
+                 GREATEST(da.source, db.source) AS source_b
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.doc_a
+          JOIN documents db ON db.doc_id = p.doc_b)
+        SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        FROM attributed
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
       """))
   )
 

@@ -224,7 +224,7 @@ object Dedup extends QueryModule {
       GROUP BY doc_id, band)"""
 
   /** DuckDB twin of minhashPairs, ending in a `pairs` CTE. */
-  private lazy val minhashPairsSql = s"""
+  private[ops] lazy val minhashPairsSql = s"""
     $minhashBandsSql,
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

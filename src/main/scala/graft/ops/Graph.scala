@@ -998,6 +998,58 @@ object Graph extends QueryModule {
                                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                END AS assortativity
         FROM g
+      """)),
+
+    // ───── degree histogram: the graph-profiling pass ─────
+    // Log₂-bucketed in/out-degree distribution — with graph_assortativity
+    // the two-number-and-a-shape profile run BEFORE committing to a
+    // partitioning strategy: the top occupied bucket bounds the hottest
+    // join key (what AQE's skew split will face), the bucket slope says
+    // whether the tail is power-law (budget the cap bound, §15's
+    // jaccard-links lesson) or exponential (the 10× measurement already
+    // generalizes). Bucket = ⌊log₂ deg⌋ via the length(bin(·))−1
+    // spelling both engines share (IntMath's ilog2 — degrees are ≥ 1 by
+    // construction, no zero guard needed). Exact counts only.
+    //
+    // Scale shape: two degree aggregates (map-side combined) + one
+    // ≤2·64-row bucket aggregate. Output is metadata-sized at any
+    // corpus.
+    GraftQuery(
+      "graph_degree_histogram",
+      (s, d) => {
+        val adj = Materialize.stage(coLineAdj(s, d))
+        def hist(keyCol: String, side: String) = adj
+          .groupBy(col(keyCol).as("node")).agg(count(lit(1)).as("deg"))
+          .select(lit(side).as("side"),
+            expr("length(bin(deg)) - 1").cast("long").as("bucket"),
+            col("deg"))
+          .groupBy(col("side"), col("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        hist("u", "out").unionByName(hist("v", "in"))
+          .orderBy(col("side"), col("bucket"))
+      },
+      Some("""
+        WITH adj AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+           AND a.l_partkey <> b.l_partkey),
+        od AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM adj GROUP BY u),
+        id AS (SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM adj GROUP BY v),
+        b AS (
+          SELECT 'out' AS side, CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+                 deg FROM od
+          UNION ALL
+          SELECT 'in' AS side, CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+                 deg FROM id)
+        SELECT side, bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(deg) AS min_deg, MAX(deg) AS max_deg
+        FROM b GROUP BY side, bucket
+        ORDER BY side, bucket
       """))
   )
 

@@ -66,7 +66,9 @@ class DegenerateInputSpec extends SparkSpec {
     "mm_phash", "mm_audio_frames",
     // wave 12: learned NB has no holdout rows on an empty corpus; URL
     // canonicalization dedups an empty frontier
-    "ml_naive_bayes", "curate_url_canonical")
+    "ml_naive_bayes", "curate_url_canonical",
+    // wave 17: no content groups -> no overlap rows
+    "curate_source_overlap")
 
   private val embQueries = Seq(
     "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",
@@ -78,7 +80,7 @@ class DegenerateInputSpec extends SparkSpec {
   private val evQueries = Seq(
     "win_attribution", "ts_interpolate", "ts_seasonal_profile",
     "stats_cohort_retention", "stats_ab_test", "ts_autocorr",
-    "ts_decompose")
+    "ts_decompose", "stats_iqr_outliers")
 
   for (name <- docQueries ++ embQueries ++ evQueries)
     test(s"$name returns an empty result on an empty table, never throws") {

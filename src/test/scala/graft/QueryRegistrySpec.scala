@@ -24,7 +24,9 @@ class QueryRegistrySpec extends SparkSpec {
     "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
     // k = 20 sits at sf0.01's degeneracy edge; the 200-part sf0.001
     // graph dissolves entirely (6 peel rounds to the empty fixpoint)
-    "graph_k_core")
+    "graph_k_core",
+    // rides dedup_minhash's pair relation, empty whenever that is
+    "curate_source_overlap")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: plan executes at sf0.001") {
