@@ -68,7 +68,9 @@ class DegenerateInputSpec extends SparkSpec {
     // canonicalization dedups an empty frontier
     "ml_naive_bayes", "curate_url_canonical",
     // wave 17: no content groups -> no overlap rows
-    "curate_source_overlap")
+    "curate_source_overlap",
+    // wave 18: no train rows -> no candidate rule -> empty artifact
+    "ml_decision_stump")
 
   private val embQueries = Seq(
     "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",

@@ -65,6 +65,53 @@ class LearningSpec extends SparkSpec {
     assert(got.toSeq === exp.toSeq)
   }
 
+  test("ml_decision_stump replays the exact split search at sf0.001") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    val stop = Set("the", "a", "of", "and")
+    def fv(text: String): Seq[(String, Long)] = {
+      val toks = text.split(" ")
+      Seq("n_tok" -> toks.length.toLong,
+        "n_distinct" -> toks.distinct.length.toLong,
+        "n_stop" -> toks.count(stop).toLong)
+    }
+    val train = docs.filter(_._1 % 5 != 0)
+    val hold = docs.filter(_._1 % 5 == 0)
+    // exact search over the (feature, value) domain
+    val cands = for {
+      feat <- Seq("n_tok", "n_distinct", "n_stop")
+      rows = train.map { case (_, lang, text) =>
+        (fv(text).toMap.apply(feat), if (lang == "en") 1L else 0L) }
+      totN = rows.length.toLong
+      totP = rows.map(_._2).sum
+      v <- rows.map(_._1).distinct.sorted
+    } yield {
+      val cumN = rows.count(_._1 <= v).toLong
+      val cumP = rows.filter(_._1 <= v).map(_._2).sum
+      val errLe = (cumN - cumP) + (totP - cumP)
+      val errGt = cumP + ((totN - cumN) - (totP - cumP))
+      (math.min(errLe, errGt), feat, v, errLe <= errGt, totN, totP)
+    }
+    val (err, feat, v, enLeft, totN, totP) =
+      cands.minBy { case (e, f, vv, _, _, _) => (e, f, vv) }
+    // the stump can never be worse than majority prediction
+    assert(err <= math.min(totP, totN - totP))
+    val holdRows = hold.map { case (_, lang, text) =>
+      (fv(text).toMap.apply(feat), if (lang == "en") 1L else 0L) }
+    val holdErr = holdRows.count { case (hv, y) =>
+      val pred = if (enLeft) (if (hv <= v) 1L else 0L)
+                 else (if (hv > v) 1L else 0L)
+      pred != y
+    }.toLong
+    val row = SparkEntry.queries("ml_decision_stump")(spark, sfTiny).head()
+    assert(row.getString(row.fieldIndex("feature")) === feat)
+    assert(row.getLong(row.fieldIndex("threshold")) === v)
+    assert(row.getBoolean(row.fieldIndex("en_on_left")) === enLeft)
+    assert(row.getLong(row.fieldIndex("train_err")) === err)
+    assert(row.getLong(row.fieldIndex("holdout_err")) === holdErr)
+  }
+
   test("ml_knn_classifier: holdout-only rows, bounded votes, trained labels") {
     val got = SparkEntry.queries("ml_knn_classifier")(spark, sfTiny)
       .as[(Long, Int, Int, Long, Boolean)].collect()
