@@ -1472,7 +1472,12 @@ object Analytics extends QueryModule {
     GraftQuery(
       "stats_iqr_outliers",
       (s, d) => {
+        // NULL values are filtered on BOTH sides: Spark's ASC window
+        // order puts NULLs first while DuckDB's puts them last, so an
+        // unfiltered rank pick would diverge on any NULL-bearing type
+        // (the win_rolling_median contract)
         val cents = Tables.events(s, d)
+          .filter(col("value").isNotNull)
           .select(col("event_type"), col("event_id"),
             expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
               .as("cents"))
@@ -1517,7 +1522,7 @@ object Analytics extends QueryModule {
         WITH cents AS (
           SELECT event_type, event_id,
                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-          FROM events),
+          FROM events WHERE value IS NOT NULL),
         ranked AS (
           SELECT event_type, cents,
                  ROW_NUMBER() OVER (PARTITION BY event_type
