@@ -518,6 +518,80 @@ object Dedup extends QueryModule {
         FROM m CROSS JOIN c2 CROSS JOIN f
       """)),
 
+    // ───── dedup savings card: what running the dedup would buy ─────
+    // The one-row artifact a dedup pass reports before anyone commits
+    // to it: near-dup clusters (the same verified pair relation +
+    // connected components as dedup_clusters), docs removable under
+    // keep-the-canon (cluster size − 1 each; the canon IS the min
+    // doc_id, which is exactly the component label large-star/small-star
+    // converges to), characters those docs carry, and the corpus-share
+    // saved in ppm. The ratio rides DECIMAL(38,0)/HUGEINT —
+    // chars_removed·10⁶ passes int64 once the corpus passes ~9 TB of
+    // text. Every count is an exact integer; DIV-0 on an empty corpus
+    // is an honest NULL.
+    //
+    // Scale shape: inherits dedup_minhash (banded candidates, §9) and
+    // dedup_clusters (O(log n) CC rounds); the additions are one join
+    // of the O(clustered docs) label frame against (doc_id, n_chars)
+    // and three 1-row aggregates meeting in broadcast crosses
+    // (watermark-filter pattern).
+    GraftQuery(
+      "dedup_savings",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val (labels, _) = ConnectedComponents.run(pairs)
+        val cl = labels.select(col("node").as("doc_id"),
+          col("component").as("cluster_id"))
+        val clStats = cl.agg(count(lit(1)).as("n_clustered_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        val removed = cl.filter(col("doc_id") =!= col("cluster_id"))
+          .join(docs, Seq("doc_id"))
+          .agg(coalesce(sum(col("n_chars")), lit(0L)).cast("long")
+            .as("chars_removed"))
+        val totals = docs.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).cast("long")
+            .as("total_chars"))
+        totals.join(broadcast(clStats)).join(broadcast(removed))
+          .select(col("n_docs"), col("total_chars"), col("n_clusters"),
+            col("n_clustered_docs"),
+            (col("n_clustered_docs") - col("n_clusters")).as("n_removable"),
+            col("chars_removed"),
+            expr("""if(total_chars = 0, null,
+                      CAST(CAST(chars_removed AS DECIMAL(38,0)) * 1000000
+                        DIV total_chars AS BIGINT))""").as("savings_ppm"))
+      },
+      Some(s"""
+        WITH RECURSIVE $minhashPairsSql,
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS doc FROM edges),
+        reach(doc, r) AS (
+          SELECT doc, doc FROM nodes
+          UNION
+          SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        cl AS (SELECT doc AS doc_id, MIN(r) AS cluster_id
+               FROM reach GROUP BY doc),
+        cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clustered_docs,
+                      CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+               FROM cl),
+        rm AS (SELECT CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT)
+                 AS chars_removed
+               FROM cl JOIN documents d USING (doc_id)
+               WHERE cl.doc_id <> cl.cluster_id),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars
+              FROM documents)
+        SELECT n_docs, total_chars, n_clusters, n_clustered_docs,
+               n_clustered_docs - n_clusters AS n_removable, chars_removed,
+               CASE WHEN total_chars = 0 THEN NULL
+                    ELSE CAST(CAST(chars_removed AS HUGEINT) * 1000000
+                              // total_chars AS BIGINT) END AS savings_ppm
+        FROM t CROSS JOIN cs CROSS JOIN rm
+      """)),
+
     // ───── dedup clustering: connected components over near-dup pairs ─────
     // Pairs are edges; a cluster is the min doc_id reachable. Computed
     // by alternating large-star/small-star (ConnectedComponents): round

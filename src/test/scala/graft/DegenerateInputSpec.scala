@@ -89,6 +89,14 @@ class DegenerateInputSpec extends SparkSpec {
       assert(SparkEntry.queries(name)(spark, dir).count() === 0L)
     }
 
+  test("dedup_savings on an empty corpus reports a zero card, never throws") {
+    val row = SparkEntry.queries("dedup_savings")(spark, dir).head()
+    assert(row.getLong(row.fieldIndex("n_docs")) === 0L)
+    assert(row.getLong(row.fieldIndex("n_removable")) === 0L)
+    assert(row.getLong(row.fieldIndex("chars_removed")) === 0L)
+    assert(row.isNullAt(row.fieldIndex("savings_ppm")))
+  }
+
   test("dedup_minhash_eval on an empty corpus reports zero counts and NULL ratios") {
     val row = SparkEntry.queries("dedup_minhash_eval")(spark, dir).head()
     assert(row.getLong(row.fieldIndex("n_truth")) === 0L)

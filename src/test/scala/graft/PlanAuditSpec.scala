@@ -71,7 +71,9 @@ class PlanAuditSpec extends SparkSpec {
     // node-count pattern
     "graph_hits",
     // three 1-row count frames meeting in broadcast cross joins
-    "dedup_minhash_eval")
+    "dedup_minhash_eval",
+    // same shape: totals/cluster-stats/removed-chars 1-row frames
+    "dedup_savings")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {

@@ -508,6 +508,9 @@ class SqlRegistrySweepSpec extends SparkSpec {
     "dedup_semantic" ->
       ("same recursive-CTE UNION limitation (connected components for " +
         "duplicate-cluster transitivity)"),
+    "dedup_savings" ->
+      ("same recursive-CTE UNION limitation (the savings card runs " +
+        "connected components for its cluster counts)"),
     "graph_reach" ->
       ("the oracle IS a WITH RECURSIVE UNION-distinct walk (the operator " +
         "exists precisely because Spark 4.1 cannot run it as SQL)"))
