@@ -1260,8 +1260,10 @@ object Extras extends QueryModule {
     // an equi-join of the aggregated series on (h + k = h') with the lag
     // index EXPLODED per row (sequence(1, 24) — no cross join), so the
     // pair volume is 24·|hours|. All five sums are products of exact
-    // BIGINT counts ridden on DECIMAL(38,0) (the stats_corr doctrine —
-    // hourly counts reach ~1e9 at 100 TB, squaring past int64); the one
+    // BIGINT counts with one factor widened to DECIMAL(38,0)/HUGEINT
+    // BEFORE the multiply (the stats_corr doctrine — hourly counts
+    // reach ~1e9 at 100 TB, squaring past int64; a post-product cast
+    // would leave x·y in BIGINT and cap counts at ~3e9/hour); the one
     // double division and sqrt at the end are shape-pinned, correctly
     // rounded per IEEE-754 from identical exact integers in both engines.
     // Degenerate overlap (constant series → zero variance) emits NULL by
@@ -1288,9 +1290,9 @@ object Extras extends QueryModule {
           .agg(count(lit(1)).as("n"),
             sum(col("x").cast(DecimalType(38, 0))).as("sx"),
             sum(col("y").cast(DecimalType(38, 0))).as("sy"),
-            sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
-            sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
-            sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+            sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+            sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+            sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
           .select(col("k"), col("n"),
             expr("""CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
                              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
@@ -1321,9 +1323,9 @@ object Extras extends QueryModule {
           SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
                  SUM(CAST(x AS HUGEINT)) AS sx,
                  SUM(CAST(y AS HUGEINT)) AS sy,
-                 SUM(CAST(x * y AS HUGEINT)) AS sxy,
-                 SUM(CAST(x * x AS HUGEINT)) AS sxx,
-                 SUM(CAST(y * y AS HUGEINT)) AS syy
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
           FROM pairs GROUP BY k)
         SELECT CAST(k AS BIGINT) AS k, n,
                CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -

@@ -831,10 +831,13 @@ object Graph extends QueryModule {
     // half-round MAX-normalizes back to the 10¹² unit, the classic
     // L∞ HITS variant whose ranking fixpoint equals the L2 textbook
     // form's. The max is a 1-row broadcast scalar (watermark-filter
-    // pattern, same as pagerank's node-count frame); the product
-    // raw·10¹² rides DECIMAL(38,0) (≤10²⁷ at in-degree 10¹⁵ — integer
-    // headroom for any real graph) and floor-divides back to BIGINT on
-    // non-negative values only, so both engines agree bit-for-bit.
+    // pattern, same as pagerank's node-count frame); the per-node raw
+    // sums accumulate directly in DECIMAL(38,0)/HUGEINT (scores are
+    // ≤10¹², so a BIGINT sum would cap safe in-degree at ~9.2·10⁶ —
+    // real graphs exceed that) and the raw·10¹² rescale product stays
+    // inside the wide type (≤10³⁸ up to in-degree 10¹⁴), floor-dividing
+    // back to BIGINT on non-negative values only, so both engines agree
+    // bit-for-bit.
     // The oracle unrolls the same two rounds as plain SQL CTEs — like
     // graph_pagerank, no recursion for a fixed horizon, so it also
     // runs in the Spark SQL sweep.
@@ -867,12 +870,14 @@ object Graph extends QueryModule {
           val araw = adj
             .join(hub.select(col("node").as("hu"), col("score").as("hs")),
               col("u") === col("hu"))
-            .groupBy(col("v")).agg(sum(col("hs")).cast("long").as("raw"))
+            .groupBy(col("v"))
+            .agg(sum(col("hs").cast(DecimalType(38, 0))).as("raw"))
           auth = rescale(araw, "v")
           val hraw = adj
             .join(auth.select(col("node").as("av"), col("score").as("ascore")),
               col("v") === col("av"))
-            .groupBy(col("u")).agg(sum(col("ascore")).cast("long").as("raw"))
+            .groupBy(col("u"))
+            .agg(sum(col("ascore").cast(DecimalType(38, 0))).as("raw"))
           hub = rescale(hraw, "u")
         }
         hub.select(col("node"), col("score").as("hub_fp"))
@@ -890,28 +895,28 @@ object Graph extends QueryModule {
            AND a.l_partkey <> b.l_partkey),
         nodes AS (SELECT u AS node FROM adj UNION SELECT v AS node FROM adj),
         h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS score FROM nodes),
-        ar1 AS (SELECT e.v, CAST(SUM(h.score) AS BIGINT) AS raw
+        ar1 AS (SELECT e.v, SUM(CAST(h.score AS HUGEINT)) AS raw
                 FROM adj e JOIN h0 h ON h.node = e.u GROUP BY e.v),
         am1 AS (SELECT MAX(raw) AS mx FROM ar1),
         a1 AS (SELECT n.node,
                       CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000000
                         // mx AS BIGINT) AS score
                FROM nodes n LEFT JOIN ar1 r ON r.v = n.node CROSS JOIN am1),
-        hr1 AS (SELECT e.u, CAST(SUM(a.score) AS BIGINT) AS raw
+        hr1 AS (SELECT e.u, SUM(CAST(a.score AS HUGEINT)) AS raw
                 FROM adj e JOIN a1 a ON a.node = e.v GROUP BY e.u),
         hm1 AS (SELECT MAX(raw) AS mx FROM hr1),
         h1 AS (SELECT n.node,
                       CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000000
                         // mx AS BIGINT) AS score
                FROM nodes n LEFT JOIN hr1 r ON r.u = n.node CROSS JOIN hm1),
-        ar2 AS (SELECT e.v, CAST(SUM(h.score) AS BIGINT) AS raw
+        ar2 AS (SELECT e.v, SUM(CAST(h.score AS HUGEINT)) AS raw
                 FROM adj e JOIN h1 h ON h.node = e.u GROUP BY e.v),
         am2 AS (SELECT MAX(raw) AS mx FROM ar2),
         a2 AS (SELECT n.node,
                       CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT) * 1000000000000
                         // mx AS BIGINT) AS score
                FROM nodes n LEFT JOIN ar2 r ON r.v = n.node CROSS JOIN am2),
-        hr2 AS (SELECT e.u, CAST(SUM(a.score) AS BIGINT) AS raw
+        hr2 AS (SELECT e.u, SUM(CAST(a.score AS HUGEINT)) AS raw
                 FROM adj e JOIN a2 a ON a.node = e.v GROUP BY e.u),
         hm2 AS (SELECT MAX(raw) AS mx FROM hr2),
         h2 AS (SELECT n.node,
@@ -931,10 +936,13 @@ object Graph extends QueryModule {
     // disassortative (hubs wire to leaves — dependency/star shape);
     // the single number that says which skew mitigations the other
     // graph operators will need (a disassortative graph concentrates
-    // join fanout on few keys). Degrees are exact integer counts; the
-    // five sums ride DECIMAL(38,0) (deg² × edges passes int64 at
-    // graph scale); the close is the stats_corr pinned double/sqrt
-    // chain with a zero-variance NULL guard.
+    // join fanout on few keys). Degrees are exact integer counts; one
+    // factor of each product is widened to DECIMAL(38,0)/HUGEINT BEFORE
+    // the multiply (a post-product cast would leave deg·deg in BIGINT,
+    // capping safe degrees at ~3·10⁹ per endpoint), so per-term and
+    // sum headroom are both the wide type's; the close is the
+    // stats_corr pinned double/sqrt chain with a zero-variance NULL
+    // guard.
     //
     // Scale shape: two degree aggregates (map-side combined) + two
     // equi-joins of the edge frame against O(nodes) degree frames +
@@ -950,9 +958,9 @@ object Graph extends QueryModule {
           .agg(count(lit(1)).as("n_edges"),
             sum(col("du").cast(DecimalType(38, 0))).as("sx"),
             sum(col("dv").cast(DecimalType(38, 0))).as("sy"),
-            sum((col("du") * col("dv")).cast(DecimalType(38, 0))).as("sxy"),
-            sum((col("du") * col("du")).cast(DecimalType(38, 0))).as("sxx"),
-            sum((col("dv") * col("dv")).cast(DecimalType(38, 0))).as("syy"))
+            sum(col("du").cast(DecimalType(38, 0)) * col("dv")).as("sxy"),
+            sum(col("du").cast(DecimalType(38, 0)) * col("du")).as("sxx"),
+            sum(col("dv").cast(DecimalType(38, 0)) * col("dv")).as("syy"))
           .select(col("n_edges"),
             expr("""CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) -
                              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
@@ -980,9 +988,9 @@ object Graph extends QueryModule {
           SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
                  SUM(CAST(du AS HUGEINT)) AS sx,
                  SUM(CAST(dv AS HUGEINT)) AS sy,
-                 SUM(CAST(du * dv AS HUGEINT)) AS sxy,
-                 SUM(CAST(du * du AS HUGEINT)) AS sxx,
-                 SUM(CAST(dv * dv AS HUGEINT)) AS syy
+                 SUM(CAST(du AS HUGEINT) * dv) AS sxy,
+                 SUM(CAST(du AS HUGEINT) * du) AS sxx,
+                 SUM(CAST(dv AS HUGEINT) * dv) AS syy
           FROM adj JOIN od USING (u) JOIN id USING (v))
         SELECT n_edges,
                CASE WHEN CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) -

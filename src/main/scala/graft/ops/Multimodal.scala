@@ -413,7 +413,14 @@ object Multimodal extends QueryModule {
       decodeWav(docId, bytes)
     else sys.error(s"unrecognized media magic (doc $docId)")
 
-  /** Batched decode: the mapPartitions plumbing around the stub. */
+  /** Batched decode: the mapPartitions plumbing around the stub.
+    *
+    * SYNTHETIC feature contract — `decodeStub` derives deterministic fake
+    * features from the blob bytes so the batching/schema/partitioning
+    * plumbing is testable without image/audio libs. Real decoding lives in
+    * the `mm_decode_real` / `mm_phash` / `mm_audio_frames` queries, which
+    * parse genuine P6 PPM and RIFF/WAVE bytes via `decodeMedia` above.
+    */
   def decodeFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
     assets.mapPartitions { rows =>
