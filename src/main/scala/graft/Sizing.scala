@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shuffle-partition sizing derived from data size — the seam between
+  * "shuffle is linear" and "no partition ever outgrows task memory".
+  *
+  * The engine-wide `spark.sql.shuffle.partitions` is cores-sized (32 in
+  * the harness), which is right for the metadata-sized exchanges that
+  * dominate the registry but wrong for the handful of exchanges whose
+  * payload grows with the corpus: at the 100× ladder rung, 32 partitions
+  * put ~8 GB of wedge pairs into each `graph_jaccard_links` aggregation
+  * task (265 GB of sort-fallback spill) and the whole event grid into 32
+  * `ts_interpolate` window sorts (17 GB spill). AQE can coalesce small
+  * partitions and split skewed JOIN partitions, but it never raises the
+  * partition count of an aggregate or window above
+  * `spark.sql.shuffle.partitions` — the ceiling itself must scale.
+  *
+  * So the documented hot exchanges size themselves: the operator computes
+  * a cheap exact row estimate for the exchange payload (a 1-row aggregate
+  * over an already-staged metadata frame — never a corpus scan), converts
+  * it to bytes, and pins `repartition(n, keys...)` with
+  * n = ceil(bytes / target) clamped to [defaultParallelism, cap]. Because
+  * the explicit `HashPartitioning(keys, n)` satisfies the downstream
+  * aggregate/window/join distribution, the sized exchange REPLACES the
+  * default one rather than adding a second shuffle; at test scale the
+  * clamp floor keeps n = defaultParallelism, i.e. exactly the plan the
+  * oracle gate has always verified. Partition count never changes values,
+  * only memory-per-task, so no oracle pins any of this.
+  *
+  * On a real cluster the same arithmetic holds: 265 GB of wedge pairs at
+  * a 64 MB target yields ~4,200 partitions — a normal shuffle width for a
+  * 1000-executor job — and the clamp cap (65,536) is far above it. The
+  * target is conf-tunable for executors with different memory budgets.
+  */
+object Sizing {
+
+  /** Per-partition payload target. 64 MB of serialized shuffle rows
+    * expands 3–5× as JVM objects in a hash-aggregate / sort buffer, so
+    * this keeps each task's working set comfortably inside a standard
+    * 300–400 MB task memory share (1 GB executor core with default
+    * memory fractions) — conservative enough that estimate error of 2–3×
+    * still doesn't spill.
+    */
+  val DefaultTargetBytes: Long = 64L << 20
+
+  /** Hard width cap: far above any measured need (100 TB of pair payload
+    * at 64 MB = 1.6 M partitions would be mis-DESIGN, not mis-sizing —
+    * the bucketed/banded operators bound payload long before that), and
+    * low enough that the map-side shuffle file fan-out stays sane.
+    */
+  val MaxPartitions: Int = 65536
+
+  private def targetBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.sizing.targetPartitionBytes")
+      .map(_.toLong).filter(_ > 0).getOrElse(DefaultTargetBytes)
+
+  /** Partition count for an exchange expected to carry `estBytes`. */
+  def partitionsForBytes(spark: SparkSession, estBytes: Long): Int = {
+    val floor = spark.sparkContext.defaultParallelism
+    val n = math.ceil(math.max(0L, estBytes).toDouble / targetBytes(spark))
+    math.max(floor.toLong, math.min(n.toLong, MaxPartitions.toLong)).toInt
+  }
+
+  /** Partition count for an exchange of `rows` rows at ~`bytesPerRow`
+    * serialized bytes each (UnsafeRow: 8 B header + 8 B per field plus
+    * var-len payloads — callers state their row shape at the call site).
+    */
+  def partitionsForRows(spark: SparkSession, rows: Long, bytesPerRow: Int): Int =
+    partitionsForBytes(spark, rows * bytesPerRow.toLong)
+
+  /** Catalyst's size estimate for a frame — file-size-derived for scans,
+    * so reliable exactly where a scan feeds the exchange directly.
+    */
+  def planBytes(df: DataFrame): Long = {
+    val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (b.isValidLong) b.toLong else Long.MaxValue
+  }
+}

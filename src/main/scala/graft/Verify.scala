@@ -19,7 +19,8 @@ object Verify {
     Seq("spark.graft.semantic.tau", "spark.graft.tfidf.minDf",
         "spark.graft.ann.bucketCap", "spark.graft.ann.ivfCells",
         "spark.graft.ann.nprobe", "spark.graft.ann.ivfCellCap",
-        "spark.graft.ann.ivfKmeansIters").foreach { k =>
+        "spark.graft.ann.ivfKmeansIters",
+        "spark.graft.eval.sampleMod").foreach { k =>
       require(spark.conf.getOption(k).forall(_.trim.isEmpty),
         s"$k is set, but its oracle pins the default — unset it for verification")
     }

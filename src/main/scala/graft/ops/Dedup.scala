@@ -455,7 +455,19 @@ object Dedup extends QueryModule {
     GraftQuery(
       "dedup_minhash_eval",
       (s, d) => {
-        val sh = shingles(s, d)
+        // spark.graft.eval.sampleMod slices BOTH pair sides: truth
+        // membership and band-candidate membership are per-pair
+        // properties (signatures are per-doc), so the sliced counts are
+        // EXACTLY the full-run counts restricted to in-slice pairs and
+        // the (n/m)² truth arm replaces the n² one. The oracle pins the
+        // exhaustive default; Verify refuses the knob (EvalSampling
+        // scaladoc).
+        val m = EvalSampling.sampleMod(s)
+        val sh = {
+          val sh0 = shingles(s, d)
+          if (m <= 1L) sh0
+          else sh0.filter(EvalSampling.inSlice(col("doc_id"), m))
+        }
         val sz = shingleSizes(sh)
         val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
         val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"))
@@ -469,7 +481,12 @@ object Dedup extends QueryModule {
             .filter(col("c").cast("double") /
               (col("na") + col("nb") - col("c")) >= 0.8)
             .select(col("doc_a"), col("doc_b")))
-        val mh = bandSignatures(Tables.documents(s, d),
+        val docsIn = {
+          val d0 = Tables.documents(s, d)
+          if (m <= 1L) d0
+          else d0.filter(EvalSampling.inSlice(col("doc_id"), m))
+        }
+        val mh = bandSignatures(docsIn,
           Some(s.sparkContext.defaultParallelism))
         val cand = Materialize.stage(
           mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
@@ -1036,6 +1053,103 @@ object Dedup extends QueryModule {
                COALESCE(n_kept, 0) AS n_kept,
                COALESCE(text_clean, '') AS text_clean
         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+      """)),
+
+    // ───── exact-substring span removal: scrub duplicated spans ≥ W ─────
+    // The ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training
+    // Data Makes Language Models Better") / RefinedWeb: any EXACT token
+    // span duplicated elsewhere in the corpus is removed from every
+    // occurrence but the globally-first one, and the surviving tokens are
+    // re-joined into cleaned text. Unlike dedup_lines (fixed phase-10
+    // grid — a span straddling a grid boundary at a different phase in
+    // the second doc is invisible) this detects duplication at EVERY
+    // offset: windows are all W=10-token grams at stride 1, a window
+    // occurrence is `marked` iff its hash's globally-first occurrence —
+    // min over (doc_id·10⁶ + pos), the dedup_lines total order — is
+    // someone else, and a TOKEN is removed iff at least one marked
+    // window covers it. Any duplicated span of length L ≥ W is covered
+    // in full at each non-first occurrence (the L−W+1 interior windows
+    // are all marked, and their union is exactly the span), while
+    // tokens outside a duplicated span are never covered — span-exact
+    // removal, no suffix array needed. Spans of length < W survive by
+    // design (the published threshold is 50 BPE tokens; W is the same
+    // knob).
+    //
+    // Scale: the decision plane shuffles (doc_id, pos, md5) at stride 1
+    // — n_token digest rows (~40 B each, ~6× the raw text bytes; that
+    // constant is the honest cost of offset-exact detection, and it is
+    // LINEAR — the CDC-anchored dedup_substring is the cheap pre-filter
+    // that SCORES, this pass REMOVES). Covered positions explode W ints
+    // per marked window, bounded by W × duplicated mass, collapse via
+    // distinct, and ride doc_id back. Body bytes move exactly once: the
+    // staged narrow (doc_id, text) exchange feeds both the window
+    // explode and the rebuild join (the dedup_lines dataflow), and the
+    // rebuild is an array_except over positions — hash-set linear, not
+    // a per-token membership scan.
+    GraftQuery(
+      "dedup_span_scrub",
+      (s, d) => {
+        val W = 10
+        val toks = Materialize.stage(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks")))
+        // stride-1 W-gram digests; docs shorter than W have no windows
+        // (guarded: Spark's sequence(0, negative) would DESCEND)
+        val wins = Materialize.stage(toks
+          .filter(size(col("toks")) >= W)
+          .select(col("doc_id"),
+            explode(expr(s"sequence(0, size(toks) - $W)")).as("pos"),
+            col("toks"))
+          .select(col("doc_id"), col("pos"),
+            expr(s"md5(array_join(slice(toks, pos + 1, $W), ' '))").as("hsh")))
+        val first = wins.groupBy(col("hsh"))
+          .agg(min(col("doc_id") * 1000000L + col("pos")).as("fk"))
+        val removed = wins.join(first, "hsh")
+          .filter(col("doc_id") * 1000000L + col("pos") =!= col("fk"))
+          .select(col("doc_id"),
+            explode(expr(s"sequence(pos, pos + ${W - 1})")).as("tp"))
+          .distinct()
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("tp"))).as("rm"))
+        toks.join(removed, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            coalesce(size(col("rm")).cast("long"), lit(0L)).as("n_removed"),
+            when(col("rm").isNull, expr("array_join(toks, ' ')"))
+              .otherwise(expr(
+                "array_join(transform(" +
+                  "array_except(sequence(0, size(toks) - 1), rm), " +
+                  "i -> toks[i]), ' ')"))
+              .as("text_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        w AS (
+          SELECT doc_id, UNNEST(generate_series(0, len(t)-10)) AS pos, t
+          FROM d WHERE len(t) >= 10),
+        h AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(t[pos+1 : pos+10], ' ')) AS hsh
+          FROM w),
+        f AS (SELECT hsh, MIN(doc_id*1000000+pos) AS fk FROM h GROUP BY hsh),
+        mk AS (
+          SELECT doc_id, pos FROM h JOIN f USING (hsh)
+          WHERE doc_id*1000000+pos <> fk),
+        rmp AS (
+          SELECT DISTINCT doc_id, UNNEST(generate_series(pos, pos+9)) AS tp
+          FROM mk),
+        rm AS (SELECT doc_id, list_sort(list(tp)) AS rm FROM rmp GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(rm), 0) AS BIGINT) AS n_removed,
+               CASE WHEN rm IS NULL THEN array_to_string(t, ' ')
+                    ELSE COALESCE(array_to_string(list_transform(
+                      list_filter(generate_series(0, len(t)-1),
+                        i -> NOT list_contains(rm, i)),
+                      i -> t[i+1]), ' '), '')
+               END AS text_clean
+        FROM d LEFT JOIN rm USING (doc_id) ORDER BY d.doc_id
       """)),
 
     // ───── boilerplate scrub: remove EVERY occurrence of shared lines ─────

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftQuery, Materialize, QueryModule, Tables}
+import graft.{GraftQuery, Materialize, QueryModule, Sizing, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -490,15 +490,37 @@ object Extras extends QueryModule {
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("ts_us"), col("value"))
           .withColumn("bucket", expr("ts_us div 3600000000"))
+        // Sizing seam (SCALE.md §4b): the dense grid rides THREE sorts
+        // (SMJ + the two window orders) — 17 GB of spill at the 100× rung
+        // in 32 partitions. The grid row count is exact and metadata-cheap
+        // (1-row aggregate over the staged per-user span frame), so the
+        // three corpus exchanges below — the dedup-window/join side on
+        // (user_id, bucket), the grid side on (user_id, bucket), and the
+        // carry-window side on user_id — each pin an explicit sized
+        // hash partitioning. The pins REPLACE the engine-default
+        // exchanges (the join reads both sides co-partitioned at n, the
+        // windows' clustering is satisfied), so the exchange count is
+        // unchanged and every sort buffer lands on the byte target.
+        val spans = Materialize.stage(b.groupBy(col("user_id"))
+          .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi")))
+        val gridRows = Option(
+          spans.agg(sum(col("hi") - col("lo") + lit(1)).as("g"))
+            .first().getAs[java.lang.Long]("g"))
+          .map(_.longValue).getOrElse(0L)
+        // 40 B/grid row (user_id + bucket + carried obs/value UnsafeRow);
+        // the events side of the join is bounded by the scan estimate
+        val n = Sizing.partitionsForBytes(s,
+          gridRows * 40L + Sizing.planBytes(b))
+        val bP = b.repartition(n, col("user_id"), col("bucket"))
         val wRep = Window.partitionBy(col("user_id"), col("bucket"))
           .orderBy(col("ts_us").desc, col("event_id").desc)
-        val rep = b.withColumn("rn", row_number().over(wRep))
+        val rep = bP.withColumn("rn", row_number().over(wRep))
           .filter(col("rn") === 1)
           .select(col("user_id"), col("bucket"), col("value").as("obs"))
-        val grid = b.groupBy(col("user_id"))
-          .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        val grid = spans
           .select(col("user_id"),
             explode(expr("sequence(lo, hi)")).as("bucket"))
+          .repartition(n, col("user_id"), col("bucket"))
         val wPrev = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // the "next observation" carry is spelled as a RUNNING frame over
@@ -511,6 +533,7 @@ object Extras extends QueryModule {
         val wNext = Window.partitionBy(col("user_id")).orderBy(col("bucket").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         grid.join(rep, Seq("user_id", "bucket"), "left")
+          .repartition(n, col("user_id"))
           .select(col("user_id"), col("bucket"), col("obs"),
             last(col("obs"), ignoreNulls = true).over(wPrev).as("pv"),
             last(when(col("obs").isNotNull, col("bucket")),

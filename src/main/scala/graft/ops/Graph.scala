@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftQuery, Materialize, QueryModule, Tables}
+import graft.{GraftQuery, Materialize, QueryModule, Sizing, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -764,21 +764,59 @@ object Graph extends QueryModule {
             .union(und.select(col("b").as("u"), col("a").as("v"))))
         val deg = Materialize.stage(
           sym.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+        val capped = deg.filter(col("deg") <= lit(64))
+        // Sizing seam (SCALE.md §4b): the self-join emits exactly
+        // Σ_w C(deg(w), 2) wedge pairs, and at the 100× rung the default
+        // 32-partition aggregation of that stream spilled 265 GB — 83 GB
+        // in the partial aggregate's sort fallback and 111 GB AGAIN in
+        // the final (the hash maps overflow on both sides of the
+        // exchange, so map-side combine was costing more IO than the
+        // 6× shuffle reduction it bought). The pair mass is exact and
+        // metadata-cheap (1-row aggregate over the staged degree frame,
+        // bounded by cap·m), so instead: shuffle the RAW pair stream
+        // ONCE, hash(u, v) at a width sized to the mass, and aggregate
+        // exactly once on the sized side — no sort fallback anywhere,
+        // streaming map tasks, and each reduce task's hash map is
+        // bounded by the byte target. The staged wedge frame itself pins
+        // hash(w, n) so both self-join sides read it co-partitioned at
+        // the same width (join CPU ∝ pair mass — width must scale with
+        // it, not with cores).
+        val wedgeMass = Option(
+          capped.agg(sum(expr("deg * (deg - 1) div 2")).as("wm"))
+            .first().getAs[java.lang.Long]("wm"))
+          .map(_.longValue).getOrElse(0L)
+        // 48 B/pair: two 8 B longs + UnsafeRow header + agg-map pointer
+        val n = Sizing.partitionsForRows(s, wedgeMass, 48)
         // wedges through capped mid nodes only: the staged frame is
         // self-joined on w, so the quadratic term is per-mid-bucket
         val wed = Materialize.stage(
           sym.select(col("u").as("w"), col("v").as("x"))
-            .join(deg.filter(col("deg") <= lit(64)).select(col("u").as("w")),
-              Seq("w")))
+            .join(capped.select(col("u").as("w")), Seq("w"))
+            .repartition(n, col("w")))
         val pairs = wed.as("l").join(wed.as("r"),
             col("l.w") === col("r.w") && col("l.x") < col("r.x"))
-          .groupBy(col("l.x").as("u"), col("r.x").as("v"))
+          .select(col("l.x").as("u"), col("r.x").as("v"))
+          .repartition(n, col("u"), col("v"))
+          .groupBy(col("u"), col("v"))
           .agg(count(lit(1)).as("cn"))
+        // Tail discipline: the cn frame is the pair mass — it must never
+        // re-exchange at the engine default (measured 32+39 GB of SMJ
+        // sort spill at the 100× rung doing exactly that). The anti-join
+        // reads it in place (cn is already hash(u, v, n); the edge side
+        // pins the SAME width so co-partitioning needs no negotiation),
+        // and the two degree joins BROADCAST: deg is the node dimension
+        // — bounded by the part universe, ~16 B/node — so the pair mass
+        // crosses zero further exchanges between the aggregate and the
+        // TakeOrdered heap. (A graph whose node set outgrows broadcast
+        // would swap these for sized hash(u)/hash(v) repartitions — the
+        // same seam, one line each.)
         pairs
-          .join(und, pairs("u") === und("a") && pairs("v") === und("b"),
+          .join(und.repartition(n, col("a"), col("b")),
+            pairs("u") === und("a") && pairs("v") === und("b"),
             "left_anti")
-          .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
-          .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+          .join(broadcast(deg.select(col("u"), col("deg").as("du"))), Seq("u"))
+          .join(broadcast(deg.select(col("u").as("v"), col("deg").as("dv"))),
+            Seq("v"))
           .select(col("u"), col("v"), col("cn"),
             (col("du") + col("dv") - col("cn")).as("uni"),
             expr("cn * 1000000L div (du + dv - cn)").as("jacc_ppm"))

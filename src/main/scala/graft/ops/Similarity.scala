@@ -631,6 +631,14 @@ object Similarity extends QueryModule {
         val e = Materialize.stageEager(
           normed(s, d).select(col("vec_id"), col("embedding"), col("nrm"))
             .repartition(s.sparkContext.defaultParallelism, col("vec_id")))
+        // spark.graft.eval.sampleMod slices the QUERY side only (the
+        // corpus, seeds, and learned centroids stay full), turning the
+        // n² yardstick into n·n/m — recall per sliced query is exactly
+        // its full-run value. The oracle pins the exhaustive default;
+        // Verify refuses the knob (EvalSampling scaladoc).
+        val m = EvalSampling.sampleMod(s)
+        val eq =
+          if (m <= 1L) e else e.filter(EvalSampling.inSlice(col("vec_id"), m))
         // per-nprobe IVF top-1 under a given quantizer: one assignment
         // (ranked to `depth` cells), candidates exploded over the given
         // nprobe values, ties to lowest id. Probing depth = K is the
@@ -640,8 +648,7 @@ object Similarity extends QueryModule {
         // exchange on the cell key — no cartesian, no nested loop; the
         // plan audit holds for the yardstick too). Cost is inherently
         // n×n pairs — ground truth is the one thing that can't be
-        // pruned; at 100 TB the gate runs on a query SAMPLE, which
-        // changes only the filter feeding `qa`.
+        // pruned; at 100 TB the gate runs on the query SLICE above.
         def ivfTop1(seeds: DataFrame, probes: Seq[Int],
                     capped: Boolean): DataFrame = {
           val depth = probes.max
@@ -653,7 +660,7 @@ object Similarity extends QueryModule {
                 .as("c"))
             .withColumn("rn", row_number().over(aw))
             .filter(col("rn") <= depth)
-          val qa = e.join(assign, "vec_id")
+          val qa = eq.join(assign, "vec_id")
             .select(col("vec_id").as("va"), col("sid").as("cell"),
               col("rn").as("arn"), col("embedding").as("ea"),
               col("nrm").as("na"))
@@ -699,7 +706,7 @@ object Similarity extends QueryModule {
         val learnedHits =
           hits(ivfTop1(kmeansCentroids(e, k, 5), probes, capped = true))
             .select(col("nprobe"), col("hits").as("lhits"))
-        val n = e.select(count(lit(1)).as("n_queries"))
+        val n = eq.select(count(lit(1)).as("n_queries"))
         seedHits.join(learnedHits, "nprobe").crossJoin(broadcast(n))
           .select(col("nprobe"), col("n_queries"),
             col("hits").as("seed_hits"),

@@ -358,6 +358,95 @@ class DedupSpec extends SparkSpec {
     assert(r.toSeq === Seq((7L, 2L, 1L, lineA)))
   }
 
+  test("dedup_minhash_eval md5-slice counts are exact over in-slice pairs") {
+    val d = scratchDir("mh_eval_slice")
+    // 40 docs = 20 planted identical pairs (2k, 2k+1); texts across pairs
+    // share no shingles, so FULL truth is exactly the 20 planted pairs
+    // and recall is 1.0 (identical docs ⇒ identical signatures ⇒ banded
+    // candidates). With the 1/2 slice set, the truth/cand/found counts
+    // must equal the full run's counts restricted to pairs with BOTH
+    // docs in slice — computed here independently from the same md5
+    // rule — which is the unbiasedness contract: slice membership is
+    // id-hash-determined, never result-dependent.
+    val docs = (0 until 20).flatMap { k =>
+      val text = (1 to 30).map(i => s"w${k}_$i").mkString(" ")
+      Seq((2L * k, text, "en", s"s${2 * k}", 0L),
+        (2L * k + 1, text, "en", s"s${2 * k + 1}", 0L))
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def run() = SparkEntry.queries("dedup_minhash_eval")(spark, d)
+      .select("n_truth", "n_cand", "n_found")
+      .as[(Long, Long, Long)].collect().head
+    val full = run()
+    assert(full._1 === 20L, "full truth = the 20 planted pairs")
+    assert(full._3 === 20L, "identical docs are always banded candidates")
+    val m = 2L
+    val inSlice = (0L until 40L).filter { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % m == 0L
+    }.toSet
+    val expTruth = (0 until 20).count(k =>
+      inSlice(2L * k) && inSlice(2L * k + 1)).toLong
+    assert(expTruth >= 1L, "fixture must keep at least one in-slice pair")
+    spark.conf.set("spark.graft.eval.sampleMod", m.toString)
+    try {
+      val sliced = run()
+      assert(sliced._1 === expTruth, "sliced truth = full truth ∩ slice²")
+      assert(sliced._3 === expTruth, "sliced found matches (recall still 1.0)")
+      assert(sliced._2 <= full._2, "candidates can only shrink under the slice")
+    } finally spark.conf.unset("spark.graft.eval.sampleMod")
+    // m = 1 is the identity, not a third behavior
+    spark.conf.set("spark.graft.eval.sampleMod", "1")
+    try assert(run() === full)
+    finally spark.conf.unset("spark.graft.eval.sampleMod")
+  }
+
+  test("dedup_span_scrub removes cross-doc spans at DIFFERENT offsets, keeps first") {
+    val d = scratchDir("span_scrub")
+    // S is a 14-token span planted at offset 7 in doc 0 and offset 3 in
+    // doc 1 — different phases, so dedup_lines' fixed grid cannot see it;
+    // stride-1 windows must recover it exactly. N is a 9-token shared
+    // run (below W=10): no full window fits inside it, so it survives.
+    val span = (1 to 14).map(i => s"s$i").mkString(" ")
+    val nine = (1 to 9).map(i => s"n$i").mkString(" ")
+    val p = (1 to 7).map(i => s"p$i").mkString(" ")
+    val q = (1 to 3).map(i => s"q$i").mkString(" ")
+    val r = (1 to 5).map(i => s"r$i").mkString(" ")
+    Seq(
+      (0L, s"$p $span", "en", "s0", 0L),            // first occurrence: kept whole
+      (1L, s"$q $span $r", "en", "s1", 0L),         // span removed, q/r context kept
+      (2L, span, "en", "s2", 0L),                   // all-duplicate doc → empty
+      (3L, s"$nine alpha beta gamma", "en", "s3", 0L), // 9-token run + context
+      (4L, s"delta $nine epsilon zeta", "en", "s4", 0L) // same 9 tokens, other context
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("dedup_span_scrub")(spark, d)
+      .select("doc_id", "n_tokens", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows(0) === ((0L, 21L, 0L, s"$p $span")))
+    assert(rows(1) === ((1L, 22L, 14L, s"$q $r")))
+    assert(rows(2) === ((2L, 14L, 14L, "")))
+    assert(rows(3) === ((3L, 12L, 0L, s"$nine alpha beta gamma")))
+    assert(rows(4) === ((4L, 12L, 0L, s"delta $nine epsilon zeta")))
+  }
+
+  test("dedup_span_scrub collapses a self-repeat to its first copy") {
+    val d = scratchDir("span_scrub_self")
+    // S+S inside ONE doc: only the second occurrence's interior windows
+    // find an earlier twin, and their union is exactly the second S.
+    val span = (1 to 12).map(i => s"x$i").mkString(" ")
+    Seq((7L, s"$span $span", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("dedup_span_scrub")(spark, d)
+      .select("doc_id", "n_tokens", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.toSeq === Seq((7L, 24L, 12L, span)))
+  }
+
   test("curate_boilerplate scrubs shared lines EVERYWHERE, first copy included") {
     val d = scratchDir("boilerplate")
     // A is in 3 distinct docs → boilerplate, removed from all three

@@ -314,6 +314,36 @@ class SimilaritySpec extends SparkSpec {
       .select("va", "vb").as[(Long, Long)].collect().toMap
   }
 
+  test("sim_ann_recall_gate md5-slice: sliced queries, full corpus, gate intact") {
+    def run() = SparkEntry.queries("sim_ann_recall_gate")(spark, sfTiny)
+      .select("nprobe", "n_queries", "seed_hits")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val full = run()
+    val total = Tables.embeddings(spark, sfTiny).count()
+    assert(full.forall(_._2 == total), "default gate counts every query")
+    val m = 4L
+    val sliceCount = Tables.embeddings(spark, sfTiny)
+      .filter(ops.EvalSampling.inSlice(col("vec_id"), m)).count()
+    assert(sliceCount > 0 && sliceCount < total,
+      s"fixture slice must be proper, got $sliceCount of $total")
+    spark.conf.set("spark.graft.eval.sampleMod", m.toString)
+    try {
+      val sliced = run()
+      assert(sliced.map(_._1) === full.map(_._1), "same nprobe rows")
+      assert(sliced.forall(_._2 == sliceCount),
+        "n_queries is exactly the md5 slice")
+      // the slice restricts the query set without touching the corpus or
+      // quantizer, so per-query recall is the full run's — sliced hits
+      // are a subset sum: bounded by the slice size and by the full hits
+      sliced.zip(full).foreach { case (sr, fr) =>
+        assert(sr._3 <= sliceCount && sr._3 <= fr._3)
+      }
+    } finally spark.conf.unset("spark.graft.eval.sampleMod")
+    spark.conf.set("spark.graft.eval.sampleMod", "1")
+    try assert(run() === full, "m = 1 is the identity")
+    finally spark.conf.unset("spark.graft.eval.sampleMod")
+  }
+
   test("sim_ann_pq: planted near-dup survives quantization and ranks first") {
     // crafted fixture: vector 1 is a near-duplicate of query vector 0
     // (cos ≈ 0.9998). With ≤16 corpus vectors every sub-slice is its own
