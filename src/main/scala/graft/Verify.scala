@@ -17,10 +17,12 @@ object Verify {
     // the default: verifying with one set would guarantee a false
     // hash-mismatch, so refuse to produce the artifact at all
     Seq("spark.graft.semantic.tau", "spark.graft.tfidf.minDf",
+        "spark.graft.shingle.dfCutoff",
         "spark.graft.ann.bucketCap", "spark.graft.ann.ivfCells",
         "spark.graft.ann.nprobe", "spark.graft.ann.ivfCellCap",
         "spark.graft.ann.ivfKmeansIters",
-        "spark.graft.eval.sampleMod").foreach { k =>
+        "spark.graft.eval.sampleMod",
+        "spark.graft.graph.wedgeCap").foreach { k =>
       require(spark.conf.getOption(k).forall(_.trim.isEmpty),
         s"$k is set, but its oracle pins the default — unset it for verification")
     }

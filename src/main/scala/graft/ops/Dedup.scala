@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{GraftQuery, Materialize, QueryModule, Tables}
+import graft.{GraftQuery, Materialize, QueryModule, Sizing, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,7 +37,7 @@ object Dedup extends QueryModule {
   /** Distinct word-bigram shingles per document. Guard `size >= 2`:
     * Spark's sequence(0, -1) would descend, not return empty.
     */
-  private[ops] def shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     Materialize.stageEager(
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -302,12 +302,28 @@ object Dedup extends QueryModule {
             // then exact-verify candidates against full shingle sets.
             // Recall loss is confined to pairs overlapping ONLY in
             // ultra-hot shingles, which at J >= 0.8 means boilerplate.
-            val k = cutoff.toIntOption.getOrElse(sys.error(
-              s"spark.graft.shingle.dfCutoff must be a positive integer, got '$cutoff'"))
-            require(k >= 1,
-              s"spark.graft.shingle.dfCutoff must be >= 1 (a df-1 shingle is unique to one doc), got $k")
-            val keep = sh.groupBy(col("shingle"))
-              .agg(count(lit(1)).as("df"))
+            // `auto` derives the cutoff from the df distribution's own
+            // tail (AutoKnob scaladoc): 8 × p99(df), floor 8 — p99 sits
+            // at the corpus's NORMAL shared-shingle frequency (ScaleGen
+            // replication shifts it with the replica count; a fixed
+            // cutoff tuned at one sf is wrong at 100×), and 8× of it is
+            // deep enough that only boilerplate-grade shingles fall
+            // outside. The df frame is staged: the pre-aggregate and
+            // the keep-filter read one computation.
+            val dfs = Materialize.stage(
+              sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+            val k =
+              if (cutoff == "auto")
+                AutoKnob.fromP99(dfs, "df", mult = 8, floor = 8, fallback = 8)
+              else {
+                val c = cutoff.toIntOption.getOrElse(sys.error(
+                  s"spark.graft.shingle.dfCutoff must be a positive integer " +
+                    s"or 'auto', got '$cutoff'"))
+                require(c >= 1,
+                  s"spark.graft.shingle.dfCutoff must be >= 1 (a df-1 shingle is unique to one doc), got $c")
+                c
+              }
+            val keep = dfs
               .filter(col("df") <= k)
               .select(col("shingle").as("keep_sh"))
             val cand = a.join(keep, col("shingle") === col("keep_sh"))
@@ -1094,6 +1110,21 @@ object Dedup extends QueryModule {
           .select(col("doc_id"), col("text"))
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), split(col("text"), " ").as("toks")))
+        // Sizing seam (SCALE.md §4b/§18): the digest plane is exactly
+        // Σ max(n_tokens − W + 1, 0) rows (~80 B each with the 32-char
+        // md5), and the ladder showed the hsh-keyed join + coverage
+        // explode + distinct partial degrading ~4× per row at the 100×
+        // rung in 32 tasks. The count is exact and metadata-cheap (1-row
+        // aggregate over the staged body frame), and staging the digest
+        // frame ALREADY hash(hsh, n)-partitioned makes the
+        // first-occurrence groupBy and the keep-decision join both read
+        // it co-partitioned — one sized exchange where the default plan
+        // re-exchanged twice.
+        val winCount = Option(
+          toks.agg(sum(greatest(size(col("toks")) - lit(W - 1), lit(0))
+            .cast("long")).as("wc")).first().getAs[java.lang.Long]("wc"))
+          .map(_.longValue).getOrElse(0L)
+        val nWin = Sizing.partitionsForRows(s, winCount, 80)
         // stride-1 W-gram digests; docs shorter than W have no windows
         // (guarded: Spark's sequence(0, negative) would DESCEND)
         val wins = Materialize.stage(toks
@@ -1102,7 +1133,8 @@ object Dedup extends QueryModule {
             explode(expr(s"sequence(0, size(toks) - $W)")).as("pos"),
             col("toks"))
           .select(col("doc_id"), col("pos"),
-            expr(s"md5(array_join(slice(toks, pos + 1, $W), ' '))").as("hsh")))
+            expr(s"md5(array_join(slice(toks, pos + 1, $W), ' '))").as("hsh"))
+          .repartition(nWin, col("hsh")))
         val first = wins.groupBy(col("hsh"))
           .agg(min(col("doc_id") * 1000000L + col("pos")).as("fk"))
         val removed = wins.join(first, "hsh")

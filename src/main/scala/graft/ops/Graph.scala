@@ -224,7 +224,7 @@ object Graph extends QueryModule {
     * the ln+1 window and the u ≠ v guard live HERE only; `weighted`
     * adds the destination line's quantity as an integer edge weight.
     */
-  private def coLineAdj(s: SparkSession, d: String,
+  private[graft] def coLineAdj(s: SparkSession, d: String,
                         weighted: Boolean = false): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
@@ -764,7 +764,26 @@ object Graph extends QueryModule {
             .union(und.select(col("b").as("u"), col("a").as("v"))))
         val deg = Materialize.stage(
           sym.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-        val capped = deg.filter(col("deg") <= lit(64))
+        // `spark.graft.graph.wedgeCap` overrides the mid-degree cap (the
+        // oracle pins the default 64; Verify refuses the knob). `auto`
+        // derives it from the degree distribution's own tail (AutoKnob
+        // scaladoc): 2 × p99(deg), floor 8 — mids inside twice the
+        // 99th-percentile degree are normal graph mass, beyond it the
+        // celebrity tail whose deg² wedge term the cap exists to bound.
+        // The pre-aggregate rides the already-staged degree frame.
+        val capRaw = s.conf.get("spark.graft.graph.wedgeCap", "").trim
+        val wedgeCap =
+          if (capRaw.isEmpty) 64
+          else if (capRaw == "auto")
+            AutoKnob.fromP99(deg, "deg", mult = 2, floor = 8, fallback = 64)
+          else {
+            val c = capRaw.toIntOption.getOrElse(sys.error(
+              s"spark.graft.graph.wedgeCap must be a positive int or " +
+                s"'auto', got '$capRaw'"))
+            require(c >= 1, s"spark.graft.graph.wedgeCap must be >= 1, got $c")
+            c
+          }
+        val capped = deg.filter(col("deg") <= lit(wedgeCap))
         // Sizing seam (SCALE.md §4b): the self-join emits exactly
         // Σ_w C(deg(w), 2) wedge pairs, and at the 100× rung the default
         // 32-partition aggregation of that stream spilled 265 GB — 83 GB

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
 object Similarity extends QueryModule {
 
   /** embeddings + precomputed L2 norm (shared by every query here). */
-  private def normed(s: SparkSession, d: String): DataFrame =
+  private[graft] def normed(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"), col("embedding"),
       // vec_dot (graft.functions.FloatVecDot): codegen'd, bit-identical
@@ -538,19 +538,31 @@ object Similarity extends QueryModule {
           .filter(col("rn") <= nprobe)
           .select(col("vec_id"), col("sid").as("cell"), col("rn"))
         val capRaw = s.conf.get("spark.graft.ann.ivfCellCap", "").trim
-        val cellCap =
-          if (capRaw.isEmpty) defaultIvfCellCap
+        // `auto` derives the cap from the measured occupancy tail
+        // (AutoKnob scaladoc): 2 × p99 of primary-cell sizes — inside
+        // that is normal cell mass, beyond it the skew the cap bounds.
+        // The assignment is staged so the occupancy pre-aggregate and
+        // both probe sides read one computation.
+        val (cellCap, assignC) =
+          if (capRaw == "auto") {
+            val st = Materialize.stage(assign)
+            val occ = st.filter(col("rn") === 1)
+              .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+            (AutoKnob.fromP99(occ, "n", mult = 2, floor = 2,
+              fallback = defaultIvfCellCap), st)
+          } else if (capRaw.isEmpty) (defaultIvfCellCap, assign)
           else {
             val c = capRaw.toIntOption.getOrElse(sys.error(
-              s"spark.graft.ann.ivfCellCap must be a positive int, got '$capRaw'"))
+              s"spark.graft.ann.ivfCellCap must be a positive int or " +
+                s"'auto', got '$capRaw'"))
             require(c >= 2, s"spark.graft.ann.ivfCellCap must be >= 2, got $c")
-            c
+            (c, assign)
           }
         // exact search: query probes its cells; corpus sits in its primary
-        val a = e.join(assign.drop("rn"), "vec_id")
+        val a = e.join(assignC.drop("rn"), "vec_id")
           .select(col("vec_id").as("va"), col("cell"),
             col("embedding").as("ea"), col("nrm").as("na"))
-        val b = e.join(assign.filter(col("rn") === 1).drop("rn"), "vec_id")
+        val b = e.join(assignC.filter(col("rn") === 1).drop("rn"), "vec_id")
           .select(col("vec_id").as("vb"), col("cell").as("cell2"),
             col("embedding").as("eb"), col("nrm").as("nb"))
           .withColumn("crn", row_number().over(

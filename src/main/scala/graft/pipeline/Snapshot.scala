@@ -40,12 +40,41 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, when}
   * quotient is a sane task size (the knob is per-table, pinned in the
   * first version's manifest; re-bucketing is a full rewrite by design).
   *
-  * Single-writer contract: one writer per snapshot dir (a streaming
-  * query IS single-writer per checkpoint). Concurrent writers would race
-  * version numbers — coordination is the caller's job, as in any
-  * single-log table format.
+  * Concurrent writers (optimistic concurrency): a writer CLAIMS its
+  * version before touching any data — an empty create-once file at
+  * `dir/_claims/vNNNNNNNN`, the same atomic primitive as the commit
+  * markers. The claim loser gets a loud [[ConcurrentWriteException]]
+  * immediately (retry against the new head with a fresh version), so
+  * two writers can never interleave inside one version dir. Just
+  * before the commit marker the writer RE-VALIDATES that the head it
+  * merged from is still the head — a writer that raced a DIFFERENT
+  * version number fails loudly there instead of silently stranding the
+  * other commit outside the manifest chain (the classic lost update:
+  * both read head v, both commit, the higher version's manifest never
+  * saw the lower's buckets). Claims are deleted on commit AND on every
+  * in-process failure; only a hard writer crash leaves one behind, and
+  * a stale claim (older than `spark.graft.snapshot.claimTtlMs`, default
+  * 30 min) is auto-reclaimed by the next writer — set the TTL above
+  * any plausible write duration, because a writer that outlives its
+  * own claim re-enters the race it thought it had won. Honest residual:
+  * head re-validation and marker creation are two filesystem calls, so
+  * two different-version writers both passing validation inside that
+  * window can still interleave; closing it outright needs a true CAS
+  * on the head (contiguous version numbers or an external log — the
+  * Delta/Iceberg route), noted as the upgrade path. Within one
+  * streaming checkpoint the query remains single-writer and none of
+  * this machinery is exercised beyond one create/delete per commit.
   */
 object SnapshotStore {
+
+  /** Another writer holds (or held) this version — the OCC loser path.
+    * The message carries the claim path and age so an operator can
+    * distinguish a live contender (retry with a fresh version once it
+    * commits) from a crashed writer's leftover (delete the claim file,
+    * or wait out the TTL).
+    */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
 
   /** Which version dir currently owns each bucket's rows. `mode`
     * records HOW rows were placed — `hash:<key>` (the default
@@ -255,6 +284,10 @@ object SnapshotStore {
         "checkpoint driving this writer was reset against a live snapshot " +
         "dir (single-writer, monotone-version contract)")
 
+    // OCC claim: create-once BEFORE any data write, so two writers can
+    // never interleave inside one version dir (object-doc at top of file)
+    claimVersion(spark, f, dir, version)
+    try {
     val head = latest.map(readManifest(f, dir, _))
     // explicit per-store sizing beats the session default for content-
     // bucketed stores (numBuckets IS the content-domain size, e.g. the
@@ -358,9 +391,65 @@ object SnapshotStore {
         head.map(_.buckets).getOrElse(Map.empty) ++
           owned.map(_ -> version), Some(mode)))
       f.mkdirs(new Path(s"$dir/_commits"))
+      // OCC re-validation: this manifest carries forward the bucket
+      // ownership of `latest` — if another writer committed meanwhile,
+      // publishing it would strand that commit outside the manifest
+      // chain (lost update). Fail loudly instead; the caller re-runs
+      // against the new head with a fresh version.
+      val nowLatest = latestVersion(spark, dir)
+      if (nowLatest != latest)
+        throw new ConcurrentWriteException(
+          s"head moved from ${latest.getOrElse("∅")} to " +
+            s"${nowLatest.getOrElse("∅")} while version $version was " +
+            "being written — this merge is stale; re-run the upsert " +
+            "against the new head with a fresh version")
       f.create(markerPath(dir, version), false).close() // create-once: commit
       pruneData(spark, dir, retain)
     } finally tagged.unpersist()
+    } finally {
+      // release the claim in every outcome: a committed version is now
+      // protected by its create-once marker, and a failed attempt must
+      // reopen the slot for the caller's retry (only a hard crash leaves
+      // a claim behind — see the TTL reclaim in claimVersion)
+      f.delete(claimPath(dir, version), false)
+    }
+  }
+
+  private def claimPath(dir: String, v: Long): Path =
+    new Path(s"$dir/_claims/${versionName(v)}")
+
+  /** Claim `version` via an empty create-once file, the OCC entry gate.
+    * An existing claim younger than `spark.graft.snapshot.claimTtlMs`
+    * (default 30 min) is a live contender → loud loser. An older one is
+    * a crashed writer's leftover (every in-process exit deletes its
+    * claim) → reclaimed by delete + re-create, where the create-once on
+    * the re-create keeps simultaneous reclaimers serialized. Set the TTL
+    * above any plausible write duration: a writer slower than the TTL
+    * can lose its claim and re-enter the race it had won.
+    */
+  private def claimVersion(spark: SparkSession, f: FileSystem, dir: String,
+                           version: Long): Unit = {
+    f.mkdirs(new Path(s"$dir/_claims"))
+    val p = claimPath(dir, version)
+    val ttlMs = spark.conf.getOption("spark.graft.snapshot.claimTtlMs")
+      .map(_.toLong).getOrElse(30L * 60 * 1000)
+    def tryCreate(): Boolean =
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age =
+        try System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry
+      val reclaimed = age > ttlMs && { f.delete(p, false); tryCreate() }
+      if (!reclaimed)
+        throw new ConcurrentWriteException(
+          s"version $version of $dir is claimed by another writer " +
+            s"(claim $p, age ${age / 1000}s, ttl ${ttlMs / 1000}s) — " +
+            "either a live concurrent commit (retry with a fresh version " +
+            "once it lands) or a crashed writer's leftover (wait out the " +
+            "ttl, or delete the claim file after confirming the writer " +
+            "is dead)")
+    }
   }
 
   /** Point lookup: the current row(s) for one key value, reading ONLY

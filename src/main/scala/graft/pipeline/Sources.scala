@@ -79,6 +79,76 @@ object Sources extends QueryModule {
 
   override def queries: Seq[GraftQuery] = Seq(
 
+    // ───── the reference pipeline, end-to-end, on the oracle surface ─────
+    // SURVEY §2's S1→P1→P2→S3→S6→S7 chain as ONE hash-pinned row set
+    // (the curate_corpus_build pattern applied to the ETL runner, which
+    // until round 9 was ScalaTest-only): two landing uploads drive the
+    // REAL `EventsPipeline.run`. Batch 1 lands the early two thirds —
+    // ts at-or-below the (min+max)/2 midpoint AND event_id % 3 <> 0 —
+    // batch 2 is the FULL corpus (an at-least-once re-delivery carrying
+    // genuinely new rows on both sides of the watermark), so the second
+    // run must exercise all three P2 semantics at every sf: the
+    // redelivered batch-1 rows are dropped (ts ≤ sink max), the
+    // strictly-newer remainder is appended, and the NEW-but-late rows
+    // (event_id % 3 = 0 under the watermark) are LOST BY DESIGN — the
+    // reference's late-arrival contract, now value-pinned. DuckDB
+    // states the final sink as three CTEs. Runs FAILFAST; runDate
+    // d1/d2 exercises S6 archival across two dates. The returned plan
+    // is just the partitioned sink scan + sort — the pipeline executes
+    // eagerly at build time, like every e2e query.
+    GraftQuery(
+      "ref_pipeline_e2e",
+      (s, d) => {
+        val root = scratch(d, "e2e_")
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val f = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // the sink APPENDS: a prior invocation's leftovers would
+        // watermark-away everything, so each build starts clean
+        f.delete(rootPath, true)
+        val landing = s"$root/landing"
+        val sink = s"$root/sink"
+        val arch = s"$root/archive"
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+        def land(df: org.apache.spark.sql.DataFrame): Unit =
+          df.repartition(s.sparkContext.defaultParallelism)
+            .write.mode("overwrite").option("header", "true").csv(landing)
+        // 1-row metadata aggregate (the watermark-filter pattern, eager
+        // here because the value shapes the landing upload itself)
+        val mid = Option(ev
+          .agg(expr("(min(ts_us) + max(ts_us)) div 2").as("m"))
+          .first().getAs[java.lang.Long]("m")).map(_.longValue)
+        land(ev.filter(col("ts_us") <= lit(mid.getOrElse(0L)) &&
+          col("event_id") % 3 =!= 0))
+        EventsPipeline.run(s, landing, sink, arch, runDate = "d1")
+        land(ev)
+        EventsPipeline.run(s, landing, sink, arch, runDate = "d2")
+        // empty corpus → batch 1 writes no csv → run() short-circuits →
+        // no sink dir; the empty pipeline result is a legitimate output
+        if (!f.exists(new org.apache.hadoop.fs.Path(sink))) ev.limit(0)
+        else s.read.parquet(sink)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e0 AS (
+          SELECT event_id, epoch_ns(ts) // 1000 AS ts_us,
+                 user_id, event_type, value
+          FROM events),
+        mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS m FROM e0),
+        b1 AS (
+          SELECT e0.* FROM e0 CROSS JOIN mid
+          WHERE ts_us <= m AND event_id % 3 <> 0),
+        wm AS (SELECT MAX(ts_us) AS w FROM b1),
+        late AS (
+          SELECT e0.* FROM e0 CROSS JOIN wm WHERE ts_us > w)
+        SELECT event_id, ts_us, user_id, event_type, value
+        FROM (SELECT * FROM b1 UNION ALL SELECT * FROM late) u
+        ORDER BY event_id
+      """)),
+
     // ───── S1: CSV sink → schema'd FAILFAST scan → typed rows ─────
     GraftQuery(
       "src_csv_roundtrip",

@@ -227,7 +227,33 @@ class DedupSpec extends SparkSpec {
       // no candidates can form, demonstrating the gate actually applies
       spark.conf.set("spark.graft.shingle.dfCutoff", "1")
       assert(pairs().isEmpty)
+      // `auto` derives 8 × p99(df): the fixture's hottest shingles are
+      // the dup trio's (df = 3), so p99 lands on the SHARED-shingle
+      // frequency and the derived cutoff (8×3 = 24) sits far above it —
+      // the tail-multiple contract: normal shared mass survives, only
+      // boilerplate-grade outliers would be cut. Same pairs as the
+      // exact default path, and identical to setting the derived value
+      // explicitly.
+      val derived = ops.AutoKnob.fromP99(
+        ops.Dedup.shingles(spark, dir).groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")),
+        "df", mult = 8, floor = 8, fallback = 8)
+      assert(derived === 24, s"8 × p99(df=3) = 24 expected, got $derived")
+      spark.conf.set("spark.graft.shingle.dfCutoff", "auto")
+      assert(pairs() === dflt)
+      spark.conf.set("spark.graft.shingle.dfCutoff", derived.toString)
+      assert(pairs() === dflt)
     } finally spark.conf.unset("spark.graft.shingle.dfCutoff")
+  }
+
+  test("AutoKnob.fromP99: tail multiple, floor clamp, empty fallback") {
+    val sizes = (1 to 100).map(_.toLong).toDF("n")
+    // p99 of 1..100 ≈ 99 → 2×99 = 198
+    assert(ops.AutoKnob.fromP99(sizes, "n", 2, 8, 64) === 198)
+    // floor wins when the tail is small
+    assert(ops.AutoKnob.fromP99(Seq(1L, 1L, 2L).toDF("n"), "n", 2, 8, 64) === 8)
+    // empty distribution → fixed fallback
+    assert(ops.AutoKnob.fromP99(sizes.filter(col("n") < 0), "n", 2, 8, 64) === 64)
   }
 
   test("dedup_substring: content-defined chunks catch offset-SHIFTED duplication") {

@@ -349,6 +349,27 @@ class GraphSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("graph_jaccard_links wedgeCap=auto equals the explicitly-set derived cap") {
+    def links(): Seq[(Long, Long, Long, Long, Long)] =
+      SparkEntry.queries("graph_jaccard_links")(spark, sfTiny)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // derive the cap independently via the operator's own degree frame
+    val adj = ops.Graph.coLineAdj(spark, sfTiny)
+    val und = adj.select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .distinct()
+    val deg = und.select($"a".as("u")).union(und.select($"b".as("u")))
+      .groupBy($"u").agg(count(lit(1)).as("deg"))
+    val derived = ops.AutoKnob.fromP99(deg, "deg", mult = 2, floor = 8,
+      fallback = 64)
+    try {
+      spark.conf.set("spark.graft.graph.wedgeCap", "auto")
+      val auto = links()
+      spark.conf.set("spark.graft.graph.wedgeCap", derived.toString)
+      assert(auto === links(),
+        s"auto (derived cap $derived) must equal the explicit cap")
+    } finally spark.conf.unset("spark.graft.graph.wedgeCap")
+  }
+
   test("graph_hits matches an exact BigInt replay at sf0.001") {
     val got = SparkEntry.queries("graph_hits")(spark, sfTiny)
       .as[(Long, Long, Long)].collect()

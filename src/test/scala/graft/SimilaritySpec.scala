@@ -314,6 +314,19 @@ class SimilaritySpec extends SparkSpec {
       .select("va", "vb").as[(Long, Long)].collect().toMap
   }
 
+  test("sim_ann_ivf ivfCellCap=auto derives from occupancy and stays exact here") {
+    def ann() = SparkEntry.queries("sim_ann_ivf")(spark, dir)
+      .select("vec_id", "ann_id").as[(Long, Long)].collect().toSet
+    val dflt = ann()
+    try {
+      // the fixture's 8 vectors spread over K=16 cells: p99 occupancy is
+      // single digits, so 2×p99 comfortably exceeds every real cell —
+      // auto must reproduce the default-path result exactly
+      spark.conf.set("spark.graft.ann.ivfCellCap", "auto")
+      assert(ann() === dflt)
+    } finally spark.conf.unset("spark.graft.ann.ivfCellCap")
+  }
+
   test("sim_ann_recall_gate md5-slice: sliced queries, full corpus, gate intact") {
     def run() = SparkEntry.queries("sim_ann_recall_gate")(spark, sfTiny)
       .select("nprobe", "n_queries", "seed_hits")

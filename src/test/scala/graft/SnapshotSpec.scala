@@ -886,4 +886,100 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.lookupKey(spark, out, "k", 7L).get
       .as[(Long, String)].collect().toSeq == Seq((7L, "v7b")))
   }
+
+  test("OCC: a claimed version rejects the second writer loudly, store intact") {
+    import spark.implicits._
+    val dir = scratchDir("snap_occ_claim") + "/tbl"
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, "a")).toDF("k", "v"), "k", None, dir, 0L)
+    // simulate a live writer mid-flight on v1: its claim exists, no marker
+    val claims = new java.io.File(s"$dir/_claims")
+    claims.mkdirs()
+    val claim = new java.io.File(claims, "v00000001")
+    assert(claim.createNewFile())
+    val e = intercept[SnapshotStore.ConcurrentWriteException] {
+      SnapshotStore.upsertVersion(spark,
+        Seq((2L, "b")).toDF("k", "v"), "k", None, dir, 1L)
+    }
+    assert(e.getMessage.contains("claimed by another writer"))
+    // the loser wrote nothing: head and contents unchanged
+    assert(SnapshotStore.latestVersion(spark, dir).contains(0L))
+    assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+    // the claim belongs to the (simulated) first writer — still held
+    assert(claim.exists())
+    // once the holder is gone the slot reopens
+    assert(claim.delete())
+    SnapshotStore.upsertVersion(spark,
+      Seq((2L, "b")).toDF("k", "v"), "k", None, dir, 1L)
+    assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // successful commits release their claims
+    assert(!new java.io.File(claims, "v00000001").exists())
+  }
+
+  test("OCC: two interleaved writers — the stale merge loses loudly, nothing is lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val dir = scratchDir("snap_occ_race") + "/tbl"
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, "base")).toDF("k", "v"), "k", None, dir, 1L)
+    // Writer A reads head v1 and targets v3; its delta carries an
+    // executor-side barrier that holds A's data write until writer B's
+    // commit marker lands — a deterministic interleaving of "A read the
+    // head, then B committed, then A tried to publish".
+    val marker2 = s"$dir/_commits/v00000002"
+    val slowDelta = spark.range(1).map { i =>
+      var waited = 0
+      while (!new java.io.File(marker2).exists() && waited < 60000) {
+        Thread.sleep(50); waited += 50
+      }
+      (100L + i, "from_A")
+    }.toDF("k", "v")
+    val a = Future(intercept[SnapshotStore.ConcurrentWriteException] {
+      SnapshotStore.upsertVersion(spark, slowDelta, "k", None, dir, 3L)
+    })
+    // wait until A is inside its claim, then B commits v2 from head v1
+    val claim3 = new java.io.File(s"$dir/_claims/v00000003")
+    var waited = 0
+    while (!claim3.exists() && waited < 60000) { Thread.sleep(50); waited += 50 }
+    assert(claim3.exists(), "writer A never claimed v3")
+    SnapshotStore.upsertVersion(spark,
+      Seq((2L, "from_B")).toDF("k", "v"), "k", None, dir, 2L)
+    // A must fail its head re-validation — B's commit would otherwise be
+    // stranded outside A's manifest chain (the lost update)
+    val err = Await.result(a, 120.seconds)
+    assert(err.getMessage.contains("head moved"))
+    // nothing lost: head is B's commit, A's claim is released, A's
+    // orphan dir is invisible
+    assert(SnapshotStore.latestVersion(spark, dir).contains(2L))
+    assert(!claim3.exists(), "failed writer must release its claim")
+    assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+      .collect().toSet == Set((1L, "base"), (2L, "from_B")))
+    // A's retry against the new head lands cleanly
+    SnapshotStore.upsertVersion(spark,
+      Seq((100L, "from_A")).toDF("k", "v"), "k", None, dir, 3L)
+    assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+      .collect().toSet ==
+      Set((1L, "base"), (2L, "from_B"), (100L, "from_A")))
+  }
+
+  test("OCC: a crashed writer's stale claim is reclaimed after the TTL") {
+    import spark.implicits._
+    val dir = scratchDir("snap_occ_ttl") + "/tbl"
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, "a")).toDF("k", "v"), "k", None, dir, 0L)
+    val claim = new java.io.File(s"$dir/_claims/v00000001")
+    claim.getParentFile.mkdirs()
+    assert(claim.createNewFile()) // leftover of a crashed writer
+    spark.conf.set("spark.graft.snapshot.claimTtlMs", "1")
+    try {
+      Thread.sleep(10) // age past the 1 ms TTL
+      SnapshotStore.upsertVersion(spark,
+        Seq((2L, "b")).toDF("k", "v"), "k", None, dir, 1L)
+      assert(SnapshotStore.latestVersion(spark, dir).contains(1L))
+    } finally spark.conf.unset("spark.graft.snapshot.claimTtlMs")
+  }
 }
