@@ -283,15 +283,43 @@ object Dedup extends QueryModule {
         val pairs =
           if (cutoff.isEmpty) {
             // exact path: the equi-join on shingle IS the intersection
-            // counter; partial agg collapses the Σ df² join output
-            // before the (doc_a, doc_b) shuffle
+            // counter. Sizing seam (SCALE.md §18c): the join emits
+            // exactly Σ_shingle C(df, 2) pairs — on a df-dense corpus
+            // the default partial+final aggregation sort-falls-back on
+            // both sides of the exchange (measured on the eval twin of
+            // this arm: 134 + 108 GB of spill at the 40× rung), so the
+            // raw pair stream shuffles ONCE at a width sized to the
+            // exact mass and aggregates exactly once. Size joins stay
+            // hint-free (sz is corpus-sized at 100 TB — a forced
+            // broadcast is the audit-forbidden OOM) with the cn frame's
+            // re-key exchanges pinned to the sized width.
             val sz = shingleSizes(sh)
-            a.join(b, col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+            val dfm = Materialize.stage(
+              sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+            val pairMass = Option(
+              dfm.agg(sum(expr("df * (df - 1) div 2")).as("pm"))
+                .first().getAs[java.lang.Long]("pm"))
+              .map(_.longValue).getOrElse(0L)
+            val nPair = Sizing.partitionsForRows(s, pairMass, 48)
+            // join width ∝ pair mass too (see dedup_minhash_eval's truth
+            // arm — shingle keys are plentiful, so the sized hash(shingle)
+            // co-partitioning widens pair construction itself)
+            a.repartition(nPair, col("shingle"))
+              .join(b.repartition(nPair, col("sh2")),
+                col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+              .select(col("doc_a"), col("doc_b"))
+              .repartition(nPair, col("doc_a"), col("doc_b"))
               .groupBy(col("doc_a"), col("doc_b"))
               .agg(count(lit(1)).as("c"))
-              .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id"))
+              .repartition(nPair, col("doc_a"))
+              .join(sz.select(col("doc_id"), col("n").as("na"))
+                  .repartition(nPair, col("doc_id")),
+                col("doc_a") === col("doc_id"))
               .drop("doc_id")
-              .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id"))
+              .repartition(nPair, col("doc_b"))
+              .join(sz.select(col("doc_id"), col("n").as("nb"))
+                  .repartition(nPair, col("doc_id")),
+                col("doc_b") === col("doc_id"))
               .drop("doc_id")
               .select(col("doc_a"), col("doc_b"),
                 (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
@@ -487,12 +515,45 @@ object Dedup extends QueryModule {
         val sz = shingleSizes(sh)
         val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
         val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"))
+        // Sizing seam (SCALE.md §18c): the truth arm's posting self-join
+        // emits exactly Σ_shingle C(df, 2) pairs, and the 40× probe
+        // measured the default partial+final aggregation of that stream
+        // spilling 134 + 108 GB in 32 tasks (the jaccard_links sort-
+        // fallback pathology). One raw sized hash(doc_a, doc_b) shuffle
+        // + a single complete aggregate instead; the mass is exact from
+        // a 1-row aggregate over the staged df frame. The size joins
+        // stay hint-free — sz is per-doc, i.e. corpus-sized at 100 TB,
+        // so forcing a broadcast is the OOM the plan audit forbids —
+        // and the pair frame's two re-key exchanges pin the sized width
+        // instead (the default-width SMJ sorts of the cn frame measured
+        // 35 GB of spill at 40×).
+        val dfm = Materialize.stage(
+          sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+        val pairMass = Option(
+          dfm.agg(sum(expr("df * (df - 1) div 2")).as("pm"))
+            .first().getAs[java.lang.Long]("pm"))
+          .map(_.longValue).getOrElse(0L)
+        val nPair = Sizing.partitionsForRows(s, pairMass, 48)
+        // the posting self-join's WIDTH must also scale with the pair
+        // mass it emits (37k shingle keys are plentiful — the 40× probe
+        // showed the 32-task join stage costing 236 s straight-line of
+        // pair construction + map-side sort-shuffle): both sides pin the
+        // same sized hash(shingle) partitioning, so the join runs
+        // co-partitioned at nPair with per-task sorts that fit memory
+        val aW = a.repartition(nPair, col("shingle"))
+        val bW = b.repartition(nPair, col("sh2"))
         val truth = Materialize.stage(
-          a.join(b, col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+          aW.join(bW, col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b"))
+            .repartition(nPair, col("doc_a"), col("doc_b"))
             .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-            .join(sz.select(col("doc_id"), col("n").as("na")),
+            .repartition(nPair, col("doc_a"))
+            .join(sz.select(col("doc_id"), col("n").as("na"))
+                .repartition(nPair, col("doc_id")),
               col("doc_a") === col("doc_id")).drop("doc_id")
-            .join(sz.select(col("doc_id"), col("n").as("nb")),
+            .repartition(nPair, col("doc_b"))
+            .join(sz.select(col("doc_id"), col("n").as("nb"))
+                .repartition(nPair, col("doc_id")),
               col("doc_b") === col("doc_id")).drop("doc_id")
             .filter(col("c").cast("double") /
               (col("na") + col("nb") - col("c")) >= 0.8)

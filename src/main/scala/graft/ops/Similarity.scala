@@ -661,6 +661,31 @@ object Similarity extends QueryModule {
         // plan audit holds for the yardstick too). Cost is inherently
         // n×n pairs — ground truth is the one thing that can't be
         // pruned; at 100 TB the gate runs on the query SLICE above.
+        // Scale disciplines on the pair stream (SCALE.md §18c — the 40×
+        // probe measured the unsized gate dying of disk on the full arm
+        // and spilling 157 GB even sliced, with the scoring stage
+        // key-bounded on K = 16 cells):
+        //  - ARGMAX AS AGGREGATE, not window: top-1 per (nprobe, query)
+        //    is max(struct(cosine, -vb)) — the same (cosine DESC, vb
+        //    ASC) order the oracle's ROW_NUMBER states — so the pair
+        //    stream terminates in the join stage's PARTIAL aggregate
+        //    (one row per (nprobe, va) per task) and the billions of
+        //    scored pairs never cross any exchange. Struct buffers are
+        //    not hash-mutable, so the partial is a SortAggregate — but
+        //    its input is one task's pair slice, which the sizing below
+        //    bounds at the byte target: a bounded in-memory per-task
+        //    sort, not the corpus-sized window sort + 24 GB pair
+        //    exchange this replaced.
+        //  - SALT + SIZE the cell join: a fixed 8-way salt (corpus side
+        //    hashed, query side replicated ×8) breaks the K-key bound,
+        //    and both sides pin hash(cell, salt) at a width sized to
+        //    the exact pair mass (|queries| × |corpus| uncapped;
+        //    nprobe × cellCap bounded for the measured arms), so pair
+        //    construction — the inherent n²/m cpu — runs at full
+        //    cluster width instead of ≤K tasks.
+        val SALT = 8
+        val eCount = e.count()   // staged frame — metadata-cheap action
+        val eqCount = if (m <= 1L) eCount else eq.count()
         def ivfTop1(seeds: DataFrame, probes: Seq[Int],
                     capped: Boolean): DataFrame = {
           val depth = probes.max
@@ -672,10 +697,19 @@ object Similarity extends QueryModule {
                 .as("c"))
             .withColumn("rn", row_number().over(aw))
             .filter(col("rn") <= depth)
+          val perQuery =
+            if (capped) math.min(eCount,
+              probes.max.toLong * defaultIvfCellCap)
+            else eCount
+          val nJ = graft.Sizing.partitionsForRows(s,
+            eqCount * perQuery * probes.size, 48)
           val qa = eq.join(assign, "vec_id")
             .select(col("vec_id").as("va"), col("sid").as("cell"),
               col("rn").as("arn"), col("embedding").as("ea"),
               col("nrm").as("na"))
+            .withColumn("salt",
+              explode(array((0 until SALT).map(lit): _*)))
+            .repartition(nJ, col("cell"), col("salt"))
           // the exhaustive yardstick stays UNcapped (capped-exact would
           // silently under-count the truth if a cell ever outgrew the
           // cap); the measured paths cap exactly like sim_ann_ivf
@@ -683,22 +717,24 @@ object Similarity extends QueryModule {
             .select(col("vec_id").as("vb"), col("sid").as("cell2"),
               col("embedding").as("eb"), col("nrm").as("nb"))
           val cb =
-            if (!capped) cb0
-            else cb0
-              .withColumn("crn", row_number().over(
-                Window.partitionBy(col("cell2")).orderBy(col("vb").asc)))
-              .filter(col("crn") <= defaultIvfCellCap).drop("crn")
-          qa.join(cb, col("cell") === col("cell2") && col("va") =!= col("vb"))
+            (if (!capped) cb0
+             else cb0
+               .withColumn("crn", row_number().over(
+                 Window.partitionBy(col("cell2")).orderBy(col("vb").asc)))
+               .filter(col("crn") <= defaultIvfCellCap).drop("crn"))
+              .withColumn("salt2", pmod(hash(col("vb")), lit(SALT)))
+              .repartition(nJ, col("cell2"), col("salt2"))
+          qa.join(cb, col("cell") === col("cell2") &&
+              col("salt") === col("salt2") && col("va") =!= col("vb"))
             .select(col("va"), col("arn"), col("vb"),
               cosine("ea", "eb", "na", "nb"))
             .select(col("va"), col("arn"), col("vb"), col("cosine"),
               explode(array(probes.map(lit): _*)).as("nprobe"))
             .filter(col("arn") <= col("nprobe"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("nprobe"), col("va"))
-                .orderBy(col("cosine").desc, col("vb").asc)))
-            .filter(col("rn") === 1)
-            .select(col("nprobe"), col("va"), col("vb").as("ann_id"))
+            .groupBy(col("nprobe"), col("va"))
+            .agg(max(struct(col("cosine"), (-col("vb")).as("nvb"))).as("top"))
+            .select(col("nprobe"), col("va"),
+              (-col("top.nvb")).as("ann_id"))
         }
         val seeds = e
           .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
