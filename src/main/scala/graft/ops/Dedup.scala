@@ -209,6 +209,53 @@ object Dedup extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(min(col("canon_doc")).as("dup_of"))
 
+  // ───── dedup_span_scrub's decision plane, shared with streaming ─────
+  // The same three stateless projections the batch query (below) inlines,
+  // factored so `StreamingPipeline.runIncrementalSpanScrub` computes
+  // bit-identical windows/coverage/rebuild over micro-batches — one
+  // definition, two execution modes (the bandSignatures precedent).
+
+  /** Stride-1 `w`-gram digest rows (doc_id, pos, hsh) of (doc_id, text)
+    * docs; docs shorter than `w` have no windows.
+    */
+  private[graft] def spanWindows(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(toks) - $w)")).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"md5(array_join(slice(toks, pos + 1, $w), ' '))").as("hsh"))
+
+  /** Token positions covered by marked windows, one sorted removal list
+    * per doc: the union of [pos, pos+w-1] over `marked` (doc_id, pos).
+    */
+  private[graft] def spanCoverage(marked: DataFrame, w: Int): DataFrame =
+    marked
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("tp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tp"))).as("rm"))
+
+  /** Re-join surviving tokens into cleaned text: docs (doc_id, text)
+    * left-joined to `removed` (doc_id, rm) — docs with nothing removed
+    * (including sub-`w` docs) pass through verbatim.
+    */
+  private[graft] def spanRebuild(docs: DataFrame,
+                                 removed: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("rm")).cast("long"), lit(0L)).as("n_removed"),
+        when(col("rm").isNull, expr("array_join(toks, ' ')"))
+          .otherwise(expr(
+            "array_join(transform(" +
+              "array_except(sequence(0, size(toks) - 1), rm), " +
+              "i -> toks[i]), ' ')"))
+          .as("text_clean"))
+
   /** DuckDB twin of `bandSignatures` (shingles + per-doc band sigs). */
   private lazy val minhashBandsSql = s"""
     $shinglesSql,
@@ -1091,10 +1138,15 @@ object Dedup extends QueryModule {
             col("toks"))
           .select(col("doc_id"), col("idx"),
             expr("md5(array_join(slice(toks, idx*10+1, 10), ' '))").as("hsh")))
+        // first occurrence = min over the LEXICOGRAPHIC (doc_id, idx)
+        // struct, not an arithmetic doc_id*K+idx encoding: the encoded
+        // key aliases once idx outgrows K (a ≥K-line doc bleeds into
+        // the next doc_id's key space and the wrong occurrence wins) —
+        // struct min is the same single-pass partial-aggregable min
         val first = lines.groupBy(col("hsh"))
-          .agg(min(col("doc_id") * 1000000L + col("idx")).as("fk"))
+          .agg(min(struct(col("doc_id"), col("idx"))).as("fst"))
         val kept = lines.join(first, "hsh")
-          .filter(col("doc_id") * 1000000L + col("idx") === col("fk"))
+          .filter(struct(col("doc_id"), col("idx")) === col("fst"))
           .groupBy(col("doc_id"))
           .agg(sort_array(collect_list(col("idx"))).as("keep_idx"))
         toks
@@ -1118,10 +1170,12 @@ object Dedup extends QueryModule {
                  array_to_string(t[idx*10+1 : idx*10+10], ' ') AS line
           FROM ln),
         h AS (SELECT doc_id, idx, line, md5(line) AS hsh FROM lns),
-        f AS (SELECT hsh, MIN(doc_id*1000000+idx) AS fk FROM h GROUP BY hsh),
-        k AS (
-          SELECT doc_id, idx, line FROM h JOIN f USING (hsh)
-          WHERE doc_id*1000000+idx = fk),
+        f AS (
+          SELECT doc_id, idx, line,
+                 ROW_NUMBER() OVER (PARTITION BY hsh ORDER BY doc_id, idx)
+                   AS rn
+          FROM h),
+        k AS (SELECT doc_id, idx, line FROM f WHERE rn = 1),
         agg AS (
           SELECT doc_id, COUNT(*) AS n_kept,
                  string_agg(line, ' ' ORDER BY idx) AS text_clean
@@ -1142,7 +1196,7 @@ object Dedup extends QueryModule {
     // the second doc is invisible) this detects duplication at EVERY
     // offset: windows are all W=10-token grams at stride 1, a window
     // occurrence is `marked` iff its hash's globally-first occurrence —
-    // min over (doc_id·10⁶ + pos), the dedup_lines total order — is
+    // lexicographic min over (doc_id, pos) — is
     // someone else, and a TOKEN is removed iff at least one marked
     // window covers it. Any duplicated span of length L ≥ W is covered
     // in full at each non-first occurrence (the L−W+1 interior windows
@@ -1196,10 +1250,13 @@ object Dedup extends QueryModule {
           .select(col("doc_id"), col("pos"),
             expr(s"md5(array_join(slice(toks, pos + 1, $W), ' '))").as("hsh"))
           .repartition(nWin, col("hsh")))
+        // globally-first = lexicographic min(struct(doc_id, pos)) — see
+        // dedup_lines: the arithmetic doc_id*K+pos encoding aliases on
+        // ≥K-token docs, and both arms sharing it would blind the oracle
         val first = wins.groupBy(col("hsh"))
-          .agg(min(col("doc_id") * 1000000L + col("pos")).as("fk"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("fst"))
         val removed = wins.join(first, "hsh")
-          .filter(col("doc_id") * 1000000L + col("pos") =!= col("fk"))
+          .filter(struct(col("doc_id"), col("pos")) =!= col("fst"))
           .select(col("doc_id"),
             explode(expr(s"sequence(pos, pos + ${W - 1})")).as("tp"))
           .distinct()
@@ -1226,10 +1283,12 @@ object Dedup extends QueryModule {
           SELECT doc_id, pos,
                  md5(array_to_string(t[pos+1 : pos+10], ' ')) AS hsh
           FROM w),
-        f AS (SELECT hsh, MIN(doc_id*1000000+pos) AS fk FROM h GROUP BY hsh),
-        mk AS (
-          SELECT doc_id, pos FROM h JOIN f USING (hsh)
-          WHERE doc_id*1000000+pos <> fk),
+        f AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY hsh ORDER BY doc_id, pos)
+                   AS rn
+          FROM h),
+        mk AS (SELECT doc_id, pos FROM f WHERE rn <> 1),
         rmp AS (
           SELECT DISTINCT doc_id, UNNEST(generate_series(pos, pos+9)) AS tp
           FROM mk),

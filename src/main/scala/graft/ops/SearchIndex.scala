@@ -132,7 +132,7 @@ object SearchIndex extends QueryModule {
   /** Incrementally index a batch of new documents. */
   def ingest(s: SparkSession, docs: DataFrame, dir: String): Unit =
     commit(s, docs, dir,
-      SnapshotStore.latestVersion(s, dir).map(_ + 1).getOrElse(0L))
+      SnapshotStore.latestTxn(s, dir).map(_ + 1).getOrElse(0L))
 
   /** Remove documents from the index. `docs` must carry each doc's
     * LAST-INDEXED text (delete-by-reindex): its postings tombstone out
@@ -143,7 +143,7 @@ object SearchIndex extends QueryModule {
   def remove(s: SparkSession, docs: DataFrame, dir: String): Unit = {
     val tagged = docs.withColumn("_docop", lit("d"))
     commit(s, tagged, dir,
-      SnapshotStore.latestVersion(s, dir).map(_ + 1).getOrElse(0L),
+      SnapshotStore.latestTxn(s, dir).map(_ + 1).getOrElse(0L),
       opCol = Some("_docop"))
   }
 

@@ -226,7 +226,7 @@ object VectorIndex extends QueryModule {
   def ingest(s: SparkSession, vecs: DataFrame, dir: String,
              evolve: Boolean = false): Unit =
     ingestVersion(s, vecs, dir,
-      SnapshotStore.latestVersion(s, dir).map(_ + 1).getOrElse(0L), evolve)
+      SnapshotStore.latestTxn(s, dir).map(_ + 1).getOrElse(0L), evolve)
 
   /** `ingest` with an explicit version — the exactly-once seam for a
     * streaming writer (version = batchId; replays no-op on the marker).

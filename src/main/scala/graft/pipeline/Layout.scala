@@ -140,25 +140,36 @@ object Layout extends QueryModule {
                          statsCols: Seq[String]): DataFrame = {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    // _metadata.file_size rides along for free (computed per-file by the
+    // scan, no extra listing): prunedScan's FileIndex needs lengths to
+    // plan read splits without re-statting any admitted file
     spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("file"))
+      .groupBy(col("_metadata.file_path").as("file"),
+        col("_metadata.file_size").as("file_size"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Read `dataDir` with file pruning: consult the skipping `index` for
     * files whose [min, max] intervals intersect EVERY requested range,
     * read only those, and re-apply the ranges as a residual row filter
-    * (file stats admit, never decide). The collected file list is
-    * metadata-scale (≤ index rows — the same class of driver action as
-    * compaction's listing), but it IS a driver array: at ~10⁶ admitted
-    * files the 100 TB form skips the collect and hands Spark a
-    * DataFrame-backed `FileIndex` (an `InMemoryFileIndex` fed from the
-    * index query's iterator, or a catalog table whose partitions ARE the
-    * index rows) so the admitted set never materializes on the driver.
-    * The pruning predicate and residual-filter contract are unchanged
-    * in that form — only the path-plumbing widens. A file whose stats
-    * are null for a range column holds only nulls there and no range
-    * predicate can admit a null, so excluding it is exact.
+    * (file stats admit, never decide).
+    *
+    * The admitted set reaches Spark as a custom [[FileIndex]] fed
+    * directly by the index query — no `collect()` of a path-string
+    * array, and crucially none of `spark.read.parquet(paths: _*)`'s
+    * per-path re-listing/qualification pass (at 10⁶ admitted files that
+    * is 10⁶ filesystem RPCs before the first byte of data). File
+    * lengths come from the index itself (`file_size`, recorded by
+    * `buildSkippingIndex` from `_metadata`), so split planning touches
+    * no filesystem metadata at all; the admitted `FileStatus` sequence
+    * itself still lives on the driver during planning — the irreducible
+    * cost every lake format's scan pays — streamed in via
+    * `toLocalIterator`, never duplicated as a string array. A legacy
+    * index without `file_size` falls back to the collected-paths read.
+    *
+    * A file whose stats are null for a range column holds only nulls
+    * there and no range predicate can admit a null, so excluding it is
+    * exact.
     */
   def prunedScan(spark: SparkSession, dataDir: String, index: DataFrame,
                  ranges: Seq[(String, Any, Any)]): DataFrame = {
@@ -166,14 +177,69 @@ object Layout extends QueryModule {
     val admit = ranges.map { case (c, lo, hi) =>
       col(s"${c}_min") <= lit(hi) && col(s"${c}_max") >= lit(lo)
     }.reduce(_ && _)
-    val files = index.filter(admit).select(col("file"))
-      .collect().map(_.getString(0))
     val residual = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    if (files.isEmpty)
-      spark.read.parquet(dataDir).limit(0).filter(residual)
-    else spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+    if (!index.columns.contains("file_size")) {
+      // legacy index without lengths: the documented driver-array path
+      val files = index.filter(admit).select(col("file"))
+        .collect().map(_.getString(0))
+      return (if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
+              else spark.read.parquet(files.toIndexedSeq: _*))
+        .filter(residual)
+    }
+    val adm = index.filter(admit).select(col("file"), col("file_size"))
+    // two scalars + one schema footer: the only up-front driver actions
+    val head = adm
+      .agg(count(lit(1)).as("n"), sum(col("file_size")).as("bytes"),
+        min(col("file")).as("f0"))
+      .head()
+    if (head.getLong(0) == 0L)
+      return spark.read.parquet(dataDir).limit(0).filter(residual)
+    val dataSchema = spark.read.parquet(head.getString(2)).schema
+    val fileIndex = new SkippingFileIndex(new Path(dataDir),
+      () => adm.toLocalIterator(), head.getLong(1))
+    val relation = org.apache.spark.sql.execution.datasources
+      .HadoopFsRelation(fileIndex, new StructType(), dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat(),
+        Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation).filter(residual)
+  }
+
+  /** A [[org.apache.spark.sql.execution.datasources.FileIndex]] whose
+    * file list IS the skipping-index query: `listFiles` streams
+    * (path, length) rows straight into the scan's split planner, so the
+    * admitted set is never collected as a path array and no admitted
+    * file is ever re-listed or re-statted (lengths come from the index).
+    * Partition pruning stays with the index predicate upstream; this
+    * index is deliberately partition-schema-free.
+    */
+  private final class SkippingFileIndex(
+      root: Path,
+      admitted: () => java.util.Iterator[org.apache.spark.sql.Row],
+      totalBytes: Long)
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, PartitionDirectory}
+    import scala.jdk.CollectionConverters._
+
+    override def rootPaths: Seq[Path] = Seq(root)
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[PartitionDirectory] = {
+      val files = admitted().asScala.map { r =>
+        FileStatusWithMetadata(new org.apache.hadoop.fs.FileStatus(
+          r.getLong(1), false, 1, 128L << 20, 0L, new Path(r.getString(0))))
+      }.toSeq
+      Seq(PartitionDirectory(InternalRow.empty, files))
+    }
+    override def inputFiles: Array[String] =
+      admitted().asScala.map(_.getString(0)).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = totalBytes
+    override def partitionSchema: StructType = new StructType()
   }
 
   /** Copy-on-write upsert: rows of `base` whose key appears in `delta`
@@ -770,13 +836,13 @@ object Layout extends QueryModule {
         val base = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_orderpriority"))
-        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, tmp, 1L)
+        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, tmp, 0L)
         val delta = base
           .filter(pmod(col("o_orderkey"), lit(89)) === 0)
           .withColumn("o_orderstatus", lit("E"))
           .withColumn("o_risk_score",
             pmod(col("o_orderkey"), lit(7)).cast("int"))
-        SnapshotStore.upsertVersion(s, delta, "o_orderkey", None, tmp, 2L,
+        SnapshotStore.upsertVersion(s, delta, "o_orderkey", None, tmp, 1L,
           evolve = true)
         SnapshotStore.read(s, tmp).get.orderBy(col("o_orderkey"))
       },
@@ -812,7 +878,7 @@ object Layout extends QueryModule {
         val base = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_orderpriority"))
-        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, tmp, 1L)
+        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, tmp, 0L)
         val updates = base
           .filter(pmod(col("o_orderkey"), lit(97)) === 0 &&
             pmod(col("o_orderkey"), lit(151)) =!= 0)
@@ -833,8 +899,8 @@ object Layout extends QueryModule {
           .withColumn("_op", lit("u"))
         SnapshotStore.upsertVersion(s,
           updates.unionByName(deletes).unionByName(inserts).unionByName(noops),
-          "o_orderkey", None, tmp, 2L, opCol = Some("_op"))
-        SnapshotStore.changes(s, tmp, "o_orderkey", 1L, 2L)
+          "o_orderkey", None, tmp, 1L, opCol = Some("_op"))
+        SnapshotStore.changes(s, tmp, "o_orderkey", 0L, 1L)
           .orderBy(col("o_orderkey"))
       },
       Some("""
@@ -875,7 +941,7 @@ object Layout extends QueryModule {
         val base = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey").as("ck"),
             col("o_totalprice"))
-        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, aDir, 1L)
+        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, aDir, 0L)
         SnapshotStore.upsertVersion(s,
           Tables.customer(s, d)
             .select(col("c_custkey").as("ck"), col("c_mktsegment")),
@@ -896,8 +962,8 @@ object Layout extends QueryModule {
           .withColumn("_op", lit("u"))
         SnapshotStore.upsertVersion(s,
           updates.unionByName(deletes).unionByName(inserts),
-          "o_orderkey", None, aDir, 2L, opCol = Some("_op"))
-        SnapshotStore.maintainJoin(s, aDir, "o_orderkey", 1L, 2L,
+          "o_orderkey", None, aDir, 1L, opCol = Some("_op"))
+        SnapshotStore.maintainJoin(s, aDir, "o_orderkey", 0L, 1L,
             bDir, "ck", "ck", oldView, "_ab", "_bb")
           .select(col("o_orderkey"), col("ck"), col("o_totalprice"),
             col("c_mktsegment"))
@@ -944,9 +1010,9 @@ object Layout extends QueryModule {
         val base = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_totalprice"))
-        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, tmp, 1L)
+        SnapshotStore.upsertVersion(s, base, "o_orderkey", None, tmp, 0L)
         val spendExpr = col("o_totalprice").cast(DecimalType(18, 2))
-        val oldView = SnapshotStore.readVersion(s, tmp, 1L)
+        val oldView = SnapshotStore.readVersion(s, tmp, 0L)
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("cnt"), sum(spendExpr).as("spend"))
         val updates = base
@@ -965,8 +1031,8 @@ object Layout extends QueryModule {
           .withColumn("_op", lit("u"))
         SnapshotStore.upsertVersion(s,
           updates.unionByName(deletes).unionByName(inserts),
-          "o_orderkey", None, tmp, 2L, opCol = Some("_op"))
-        SnapshotStore.maintainAgg(s, tmp, 1L, 2L, oldView,
+          "o_orderkey", None, tmp, 1L, opCol = Some("_op"))
+        SnapshotStore.maintainAgg(s, tmp, 0L, 1L, oldView,
             Seq("o_custkey"), Seq("spend" -> spendExpr))
           .select(col("o_custkey"), col("cnt"),
             col("spend").cast("double").as("spend"))

@@ -5,15 +5,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, hash, lit, pmod, when}
 
 /** Versioned keyed snapshot on plain parquet: the minimal table-format
-  * core (hash-bucketed versioned data dirs + an append-only commit log)
-  * that makes a continuously-upserted lake table safe without a
-  * heavyweight format.
+  * core (hash-bucketed data dirs + an append-only commit log) that
+  * makes a continuously-upserted lake table safe without a heavyweight
+  * format.
   *
   * Layout:
   * {{{
-  *   dir/v00000007/_bucket=3/   parquet for bucket 3, rewritten at v7
-  *   dir/v00000007/_manifest    bucket -> owning version, written pre-marker
-  *   dir/_commits/v00000007     empty marker, created AFTER data + manifest
+  *   dir/v00000007-3fa94c12/_bucket=3/  parquet for bucket 3, written
+  *                                      by version 7's winning ATTEMPT
+  *   dir/_commits/v00000007             commit-log entry: created once
+  *                                      (the CAS), content = manifest
+  *   dir/_claims/v00000007              advisory writer claim (fast
+  *                                      fail only — never correctness)
   * }}}
   *
   * Rows are hash-partitioned on the key into a fixed number of buckets
@@ -21,94 +24,107 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, when}
   * rewrites ONLY the buckets its delta touches — upsert IO is
   * O(delta + touched buckets), not O(table), which is what makes
   * continuous CDC viable on a 100 TB snapshot. Untouched buckets keep
-  * serving from the older version dir that last wrote them; the
-  * per-version `_manifest` records, for every bucket, which version dir
-  * holds its current rows, and readers union exactly those leaf dirs.
+  * serving from the older attempt dir that last wrote them; each
+  * commit's manifest records, for every bucket, which data dir holds
+  * its current rows, and readers union exactly those leaf dirs.
   *
-  * Crash safety is unchanged from the unbucketed design: readers
-  * resolve max(committed version) from the EMPTY create-once markers,
-  * so a writer crashing mid-data or mid-manifest leaves an orphan dir
-  * that is never visible — no mutable pointer file, no rename anywhere
-  * (S3A-safe), and markers stay content-free so a torn marker write
-  * cannot corrupt head resolution. A RETRIED version commit (same
-  * version number, e.g. a replayed foreachBatch) short-circuits on the
-  * existing marker, which is what turns streaming's at-least-once batch
-  * delivery into an exactly-once snapshot.
+  * Commit protocol (true compare-and-swap, the Delta/Iceberg-log
+  * shape): versions are CONTIGUOUS — every commit is exactly
+  * head + 1 — and the commit-log entry `_commits/vNNNNNNNN` is written
+  * with create-once semantics, so of all writers that merged from the
+  * same head, exactly ONE can ever publish the next version; every
+  * other contender gets a loud [[ConcurrentWriteException]] at the
+  * create and retries against the new head. There is no
+  * validate-then-publish window: the atomic create IS the validation.
+  * Two same-slot attempts can also never mix files, because each
+  * attempt writes its data into its own `vNNNNNNNN-<token>` dir and
+  * only the winning manifest's dirs are ever read; a loser's dir is an
+  * invisible orphan swept by retention. No rename anywhere (S3A-safe).
+  *
+  * Crash safety: a writer crashing before its marker create leaves
+  * only an invisible orphan dir. A writer crashing INSIDE the marker
+  * write (after the create, before the content lands — a sub-
+  * millisecond window on a <1 KB file) leaves a torn log entry; that
+  * version reads back with a loud repair message (delete the torn
+  * entry to reopen the slot), never a silent partial snapshot, and
+  * later writers allocate PAST it so the store keeps committing.
+  *
+  * Replay idempotence: the caller's `version` argument is a
+  * TRANSACTION id (a streaming batchId), recorded in the manifest as
+  * `txn`. Re-delivering the last committed txn no-ops on the head's
+  * recorded txn — which is what turns streaming's at-least-once batch
+  * delivery into an exactly-once snapshot — and a txn BELOW the head's
+  * fails loudly (a reset checkpoint against a live store). Callers
+  * that feed contiguous txns from 0 (every maintainer here) get
+  * version numbers that coincide with their txns; a deliberately
+  * lagging caller (the view fold catching up across a crash window)
+  * reads its high-water mark back via [[latestTxn]].
+  *
+  * Claims are an ADVISORY fast-fail so a contender aborts before
+  * paying for a doomed merge, not a correctness mechanism: an empty
+  * create-once file per slot carrying the writer's token. A claim
+  * older than `spark.graft.snapshot.claimTtlMs` (default 30 min) is a
+  * crashed writer's leftover and is reclaimed (delete + re-create +
+  * read-back ownership verify — the read-back keeps simultaneous
+  * reclaimers from both believing they won in all but a vanishing
+  * interleave, and the marker CAS settles even that one). A writer
+  * that outlives its own claim simply loses the CAS; it can never
+  * corrupt the winner's data because attempts never share a dir.
+  * Within one streaming checkpoint the query remains single-writer and
+  * none of this machinery is exercised beyond one create/delete per
+  * commit.
   *
   * Sizing: a bucket's data is table_size / numBuckets and each touched
   * bucket is rewritten by one task, so pick the bucket count so that
-  * quotient is a sane task size (the knob is per-table, pinned in the
-  * first version's manifest; re-bucketing is a full rewrite by design).
-  *
-  * Concurrent writers (optimistic concurrency): a writer CLAIMS its
-  * version before touching any data — an empty create-once file at
-  * `dir/_claims/vNNNNNNNN`, the same atomic primitive as the commit
-  * markers. The claim loser gets a loud [[ConcurrentWriteException]]
-  * immediately (retry against the new head with a fresh version), so
-  * two writers can never interleave inside one version dir. Just
-  * before the commit marker the writer RE-VALIDATES that the head it
-  * merged from is still the head — a writer that raced a DIFFERENT
-  * version number fails loudly there instead of silently stranding the
-  * other commit outside the manifest chain (the classic lost update:
-  * both read head v, both commit, the higher version's manifest never
-  * saw the lower's buckets). Claims are deleted on commit AND on every
-  * in-process failure; only a hard writer crash leaves one behind, and
-  * a stale claim (older than `spark.graft.snapshot.claimTtlMs`, default
-  * 30 min) is auto-reclaimed by the next writer — set the TTL above
-  * any plausible write duration, because a writer that outlives its
-  * own claim re-enters the race it thought it had won. Honest residual:
-  * head re-validation and marker creation are two filesystem calls, so
-  * two different-version writers both passing validation inside that
-  * window can still interleave; closing it outright needs a true CAS
-  * on the head (contiguous version numbers or an external log — the
-  * Delta/Iceberg route), noted as the upgrade path. Within one
-  * streaming checkpoint the query remains single-writer and none of
-  * this machinery is exercised beyond one create/delete per commit.
+  * quotient is a sane task size (the knob is per-table, pinned at the
+  * first commit; re-bucketing is a full rewrite by design).
   */
 object SnapshotStore {
 
-  /** Another writer holds (or held) this version — the OCC loser path.
-    * The message carries the claim path and age so an operator can
-    * distinguish a live contender (retry with a fresh version once it
-    * commits) from a crashed writer's leftover (delete the claim file,
-    * or wait out the TTL).
+  /** Another writer holds this version's claim or won its commit race —
+    * the OCC loser path. Retry against the new head with a fresh txn.
     */
   final class ConcurrentWriteException(msg: String)
     extends RuntimeException(msg)
 
-  /** Which version dir currently owns each bucket's rows. `mode`
-    * records HOW rows were placed — `hash:<key>` (the default
+  /** One committed version's bucket ownership: for every bucket, the
+    * DATA DIR NAME (under the store root) holding its current rows.
+    * `mode` records HOW rows were placed — `hash:<key>` (the default
     * hash-partitioned layout) or `content:<col>` (explicit content ids,
     * e.g. IVF cells) — so read paths that assume hash placement
     * (`lookupKey`, `maintainJoin`'s bucket prune) can verify it instead
-    * of trusting a doc-comment contract: before this was recorded, a
-    * caller hash-pruning a content-bucketed store silently read the
-    * wrong buckets and dropped rows. None only on manifests written
-    * before the field existed (readers treat that as "unknown" and take
-    * the unpruned path).
+    * of trusting a doc-comment contract. `txn` is the caller-supplied
+    * transaction id this commit recorded (replay idempotence).
     */
-  final case class Manifest(numBuckets: Int, buckets: Map[Int, Long],
-                            mode: Option[String] = None)
+  final case class Manifest(numBuckets: Int, buckets: Map[Int, String],
+                            mode: Option[String] = None, txn: Long = 0L) {
+    /** The version whose attempt last rewrote bucket `b` (parsed from
+      * the owning dir name `vNNNNNNNN-<token>`). */
+    def ownerVersion(b: Int): Long =
+      buckets(b).drop(1).takeWhile(_ != '-').toLong
+  }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def versionName(v: Long): String = f"v$v%08d"
 
-  def versionDir(dir: String, v: Long): String = s"$dir/${versionName(v)}"
-
   private def markerPath(dir: String, v: Long): Path =
     new Path(s"$dir/_commits/${versionName(v)}")
 
-  private def manifestPath(dir: String, v: Long): Path =
-    new Path(s"${versionDir(dir, v)}/_manifest")
-
   private def bucketDirName(b: Int): String = s"_bucket=$b"
+
+  private def bucketPath(dir: String, owningDir: String, b: Int): String =
+    s"$dir/$owningDir/${bucketDirName(b)}"
 
   private def bucketExpr(key: String, numBuckets: Int): Column =
     pmod(hash(col(key)), lit(numBuckets))
 
   private val versionPat = "v(\\d{8,})".r
+  private val dataDirPat = "v(\\d{8,})-[0-9a-f]+".r
+
+  private def newToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(16)
 
   private def confBuckets(spark: SparkSession): Int = {
     val raw = spark.conf.get("spark.graft.snapshot.buckets", "16")
@@ -133,44 +149,77 @@ object SnapshotStore {
       .reduceOption(_ max _)
   }
 
+  /** The head's recorded transaction id (None before the first commit)
+    * — the high-water mark a lagging exactly-once caller compares its
+    * own txns against (versions are the store's contiguous commit
+    * numbers; txns are the caller's, and they may lag apart).
+    */
+  def latestTxn(spark: SparkSession, dir: String): Option[Long] =
+    manifest(spark, dir).map(_.txn)
+
   /** The head manifest (None before the first commit). */
   def manifest(spark: SparkSession, dir: String): Option[Manifest] =
     latestVersion(spark, dir).map(readManifest(fs(spark, dir), dir, _))
 
-  private def readManifest(f: FileSystem, dir: String, v: Long): Manifest = {
-    val in = f.open(manifestPath(dir, v))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    val n = lines.head.stripPrefix("buckets=").toInt
-    val mode = lines.tail.find(_.startsWith("mode="))
-      .map(_.stripPrefix("mode="))
-    Manifest(n, lines.tail
-      .filter(l => l.nonEmpty && !l.startsWith("mode=")).map { l =>
-        val Array(b, ver) = l.split(",")
-        b.toInt -> ver.toLong
-      }.toMap, mode)
-  }
+  private def readManifest(f: FileSystem, dir: String, v: Long): Manifest =
+    try {
+      val in = f.open(markerPath(dir, v))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val n = lines.head.stripPrefix("buckets=").toInt
+      val mode = lines.tail.find(_.startsWith("mode="))
+        .map(_.stripPrefix("mode="))
+      val txn = lines.tail.find(_.startsWith("txn="))
+        .map(_.stripPrefix("txn=").toLong).getOrElse(0L)
+      Manifest(n, lines.tail
+        .filter(l => l.nonEmpty && l.contains(","))
+        .map { l =>
+          val Array(b, dn) = l.split(",")
+          b.toInt -> dn
+        }.toMap, mode, txn)
+    } catch {
+      case e: java.io.IOException => throw e // marker absent: caller's bug
+      case e: Exception => throw new IllegalStateException(
+        s"commit-log entry ${markerPath(dir, v)} is torn or unparseable " +
+          "— its writer crashed between the create and the content " +
+          s"landing. The version is unreadable but LOUDLY so; repair by " +
+          "deleting the torn entry (its data dir is an orphan that " +
+          "retention sweeps), which reopens the slot for the next commit.",
+        e)
+    }
 
-  private def writeManifest(f: FileSystem, dir: String, v: Long,
-                            m: Manifest): Unit = {
-    val out = f.create(manifestPath(dir, v), false)
-    try out.write(
-      (s"buckets=${m.numBuckets}" +:
-        (m.mode.map(md => s"mode=$md").toSeq ++
-          m.buckets.toSeq.sortBy(_._1).map { case (b, ver) => s"$b,$ver" }))
-        .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def renderManifest(m: Manifest): Array[Byte] =
+    (Seq(s"buckets=${m.numBuckets}", s"txn=${m.txn}") ++
+      m.mode.map(md => s"mode=$md").toSeq ++
+      m.buckets.toSeq.sortBy(_._1).map { case (b, dn) => s"$b,$dn" })
+      .mkString("\n").getBytes("UTF-8")
 
   /** The current snapshot contents (None before the first commit):
     * the union of every bucket's owning leaf dir per the head manifest.
     */
   def read(spark: SparkSession, dir: String): Option[DataFrame] =
-    latestVersion(spark, dir).map(readVersion(spark, dir, _))
+    latestVersion(spark, dir).map { v =>
+      readFrames(spark, dir, readManifest(fs(spark, dir), dir, v))
+    }
 
-  /** All committed versions, ascending — the auditable history (markers
-    * are never pruned; DATA older than the retention window is).
+  private def readFrames(spark: SparkSession, dir: String,
+                         m: Manifest): DataFrame = {
+    val paths = m.buckets.toSeq.sortBy(_._1).map { case (b, dn) =>
+      bucketPath(dir, dn, b)
+    }
+    // mergeSchema: after an additive schema evolution (`evolve=true`
+    // upsert) untouched buckets still serve pre-evolution files, so the
+    // union across leaf dirs must reconcile by NAME, null-filling the
+    // columns a leaf predates. Cost is one footer read per leaf dir
+    // (<= numBuckets), not a data scan; on a never-evolved store the
+    // schemas are identical and this is a no-op.
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /** All committed versions, ascending — the auditable history (commit
+    * log entries are never pruned; DATA older than the retention
+    * window is).
     */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val commits = new Path(s"$dir/_commits")
@@ -183,40 +232,42 @@ object SnapshotStore {
   /** The snapshot AS OF committed `version` (time travel): the union of
     * every bucket's owning leaf dir per THAT version's manifest — the
     * same plan shape as a head read, so an as-of query costs exactly a
-    * current query. Readable while the version sits inside the `retain`
-    * window; asking for a version whose data has been pruned fails on
-    * the missing leaf dirs (loudly — never a silent partial snapshot),
-    * and asking for a never-committed version fails here on the marker
-    * check, which also keeps crash-orphan dirs unreadable.
+    * current query. Readable while the version's data sits inside the
+    * `retain` window; asking for a version whose data has been pruned
+    * fails loudly on the missing leaf dirs (never a silent partial
+    * snapshot), and asking for a never-committed version fails on the
+    * commit-log check, which also keeps crash-orphan dirs unreadable.
     */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val f = fs(spark, dir)
     require(f.exists(markerPath(dir, version)),
       s"version $version was never committed in $dir " +
         s"(committed: ${versions(spark, dir).mkString(", ")})")
-    require(f.exists(manifestPath(dir, version)),
-      s"version $version is outside the retention window: its manifest " +
-        "was pruned (raise `retain` on the writer to keep deeper history)")
     val m = readManifest(f, dir, version)
-    val paths = m.buckets.toSeq.sortBy(_._1).map { case (b, ver) =>
-      s"${versionDir(dir, ver)}/${bucketDirName(b)}"
+    // time-travel reads below the head verify their leaf dirs survive
+    // retention up front (a handful of metadata calls) so a pruned
+    // version refuses with the actionable message, not a scan error;
+    // the head's dirs are never pruned, so head reads skip the checks
+    if (!latestVersion(spark, dir).contains(version)) {
+      val gone = m.buckets.collect {
+        case (b, dn) if !f.exists(new Path(bucketPath(dir, dn, b))) => b
+      }
+      require(gone.isEmpty,
+        s"version $version is outside the retention window: bucket(s) " +
+          s"${gone.toSeq.sorted.mkString(", ")} were pruned (raise " +
+          "`retain` on the writer to keep deeper history)")
     }
-    // mergeSchema: after an additive schema evolution (`evolve=true`
-    // upsert) untouched buckets still serve pre-evolution files, so the
-    // union across leaf dirs must reconcile by NAME, null-filling the
-    // columns a leaf predates. Cost is one footer read per leaf dir
-    // (<= numBuckets), not a data scan; on a never-evolved store the
-    // schemas are identical and this is a no-op.
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    readFrames(spark, dir, m)
   }
 
-  /** Merge `delta` into the snapshot as `version` (idempotent: a version
-    * already committed is a no-op, so at-least-once callers get an
-    * exactly-once snapshot). Delta rows win over snapshot rows on `key`;
-    * new keys append. Within the delta, the row with the highest
-    * `seqCol` per key wins, with an md5-of-row tiebreak on equal seq so
-    * replays pick the SAME winner (deterministic snapshot contents);
-    * pass a delta already unique on `key` to skip that pass.
+  /** Merge `delta` into the snapshot under transaction id `version`
+    * (idempotent: the head's recorded txn no-ops a replay, so
+    * at-least-once callers get an exactly-once snapshot). Delta rows
+    * win over snapshot rows on `key`; new keys append. Within the
+    * delta, the row with the highest `seqCol` per key wins, with an
+    * md5-of-row tiebreak on equal seq so replays pick the SAME winner
+    * (deterministic snapshot contents); pass a delta already unique on
+    * `key` to skip that pass.
     *
     * With `opCol` set, the delta is a CDC feed: rows with op `'d'` are
     * tombstones that REMOVE their key from the snapshot, anything else
@@ -242,19 +293,19 @@ object SnapshotStore {
     * is collecting the distinct touched bucket ids (<= numBuckets ints).
     *
     * After committing, bucket dirs no retained manifest references are
-    * deleted; a version dir survives as long as ANY retained version
-    * still reads one of its buckets (markers stay forever, so version
-    * history remains auditable).
+    * deleted; a data dir survives as long as ANY retained version
+    * still reads one of its buckets (log entries stay forever, so
+    * version history remains auditable).
     *
     * Replay vs collision: at-least-once streaming can only replay the
-    * LAST committed batch, so version == latest no-ops (the replay) but
-    * version < latest throws — that is a writer running against a
+    * LAST committed batch, so txn == head's txn no-ops (the replay) but
+    * txn < head's throws — that is a writer running against a
     * checkpoint that was reset while the snapshot dir survived, and a
     * silent no-op there would discard every batch whose id collides
-    * with an old marker. (The one undetectable case is a reset
-    * checkpoint colliding on the very latest version; recovery from a
-    * checkpoint loss is to also start a fresh snapshot dir or
-    * re-point `retain`-aware tooling at the old one.)
+    * with an old txn. (The one undetectable case is a reset checkpoint
+    * colliding on the very latest txn; recovery from a checkpoint loss
+    * is to also start a fresh snapshot dir or re-point `retain`-aware
+    * tooling at the old one.)
     *
     * With `bucketCol` set, rows are placed by that column's value (an
     * int in `[0, numBuckets)`) instead of `hash(key)` — the seam that
@@ -278,17 +329,23 @@ object SnapshotStore {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val f = fs(spark, dir)
     val latest = latestVersion(spark, dir)
-    if (latest.contains(version)) return // replay of the last batch
-    require(latest.forall(_ < version),
-      s"version $version collides below committed ${latest.get}: the " +
-        "checkpoint driving this writer was reset against a live snapshot " +
-        "dir (single-writer, monotone-version contract)")
-
-    // OCC claim: create-once BEFORE any data write, so two writers can
-    // never interleave inside one version dir (object-doc at top of file)
-    claimVersion(spark, f, dir, version)
-    try {
     val head = latest.map(readManifest(f, dir, _))
+    head.map(_.txn).foreach { t =>
+      if (t == version) return // replay of the last committed batch
+      require(t < version,
+        s"txn $version collides below committed txn $t: the checkpoint " +
+          "driving this writer was reset against a live snapshot dir " +
+          "(single-writer, monotone-txn contract)")
+    }
+    // the CAS target: commits are contiguous, so every writer that
+    // merged from this head races for exactly this slot
+    val slot = latest.map(_ + 1).getOrElse(0L)
+    val token = newToken()
+
+    // advisory claim: fail a contender fast, before it pays for a
+    // doomed merge (correctness is the marker CAS below, never this)
+    acquireClaim(spark, f, dir, slot, token)
+    try {
     // explicit per-store sizing beats the session default for content-
     // bucketed stores (numBuckets IS the content-domain size, e.g. the
     // IVF cell count); once committed the manifest's count is law
@@ -330,6 +387,15 @@ object SnapshotStore {
       case None => delta
     }
 
+    // a writer that lost its claim to a TTL reclaimer is already doomed
+    // at the CAS — abort here, before the expensive merge, not after
+    verifyClaim(f, dir, slot, token)
+
+    // every attempt writes its own dir: two same-slot contenders can
+    // never interleave files, and the loser's dir is an invisible
+    // orphan (swept by retention once the head passes it)
+    val attemptDir = s"$dir/${versionName(slot)}-$token"
+
     // Stage the bucket-tagged delta once: it feeds both the touched-set
     // collect and the merge write (otherwise the delta source recomputes).
     val tagged = deltaLatest
@@ -338,8 +404,8 @@ object SnapshotStore {
       val touched = tagged.select("_bucket").distinct()
         .collect().map(_.getInt(0)).toSet
       val baseTouched = head.flatMap { m =>
-        val paths = m.buckets.collect { case (b, ver) if touched(b) =>
-          s"${versionDir(dir, ver)}/${bucketDirName(b)}"
+        val paths = m.buckets.collect { case (b, dn) if touched(b) =>
+          bucketPath(dir, dn, b)
         }.toSeq
         if (paths.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
@@ -361,7 +427,7 @@ object SnapshotStore {
       merged.withColumn("_bucket", placeExpr)
         .repartition(touched.size max 1, col("_bucket"))
         .write.partitionBy("_bucket")
-        .mode("overwrite").parquet(versionDir(dir, version))
+        .mode("overwrite").parquet(attemptDir)
       // A bucket whose merge DELETED every row writes no partition dir
       // (partitionBy skips empty groups). The manifest must still own it
       // at this version — pointing at the old dir would resurrect the
@@ -369,12 +435,12 @@ object SnapshotStore {
       // for each (Catalyst folds limit(0) to an empty relation; the
       // write is a footer-only file). Listing the written dirs is
       // filesystem metadata, no recompute.
-      val written = f.listStatus(new Path(versionDir(dir, version)))
+      val written = f.listStatus(new Path(attemptDir))
         .map(_.getPath.getName).filter(_.startsWith("_bucket="))
         .map(_.stripPrefix("_bucket=").toInt).toSet
       (touched -- written).foreach { b =>
         merged.limit(0).write.mode("overwrite")
-          .parquet(s"${versionDir(dir, version)}/${bucketDirName(b)}")
+          .parquet(s"$attemptDir/${bucketDirName(b)}")
       }
       // An EMPTY first commit (a store seeded ahead of its first data —
       // the pattern streaming maintainers use to create the table) must
@@ -384,58 +450,80 @@ object SnapshotStore {
       val owned =
         if (head.isEmpty && touched.isEmpty) {
           merged.limit(0).write.mode("overwrite")
-            .parquet(s"${versionDir(dir, version)}/${bucketDirName(0)}")
+            .parquet(s"$attemptDir/${bucketDirName(0)}")
           Set(0)
         } else touched
-      writeManifest(f, dir, version, Manifest(nBuckets,
+      val attemptName = s"${versionName(slot)}-$token"
+      val manifest = Manifest(nBuckets,
         head.map(_.buckets).getOrElse(Map.empty) ++
-          owned.map(_ -> version), Some(mode)))
+          owned.map(_ -> attemptName), Some(mode), version)
+      // THE COMMIT — a single atomic create-once of the log entry. Of
+      // every writer that merged from this head, exactly one create
+      // succeeds; the rest fail loudly right here with their data
+      // stranded in invisible orphan dirs. No separate validation step
+      // exists to race past: losing writers include a TTL-reclaimed
+      // original that resumed after its reclaimer already published.
       f.mkdirs(new Path(s"$dir/_commits"))
-      // OCC re-validation: this manifest carries forward the bucket
-      // ownership of `latest` — if another writer committed meanwhile,
-      // publishing it would strand that commit outside the manifest
-      // chain (lost update). Fail loudly instead; the caller re-runs
-      // against the new head with a fresh version.
-      val nowLatest = latestVersion(spark, dir)
-      if (nowLatest != latest)
-        throw new ConcurrentWriteException(
-          s"head moved from ${latest.getOrElse("∅")} to " +
-            s"${nowLatest.getOrElse("∅")} while version $version was " +
-            "being written — this merge is stale; re-run the upsert " +
-            "against the new head with a fresh version")
-      f.create(markerPath(dir, version), false).close() // create-once: commit
+      val out =
+        try f.create(markerPath(dir, slot), false)
+        catch {
+          case e: java.io.IOException =>
+            throw new ConcurrentWriteException(
+              s"lost the commit race for version $slot of $dir: another " +
+                "writer (a concurrent commit, or the TTL-reclaimer of " +
+                "this writer's own stalled claim) published it first — " +
+                "this merge is stale; re-run the upsert against the new " +
+                s"head with a fresh txn ($e)")
+        }
+      try out.write(renderManifest(manifest)) finally out.close()
       pruneData(spark, dir, retain)
     } finally tagged.unpersist()
     } finally {
-      // release the claim in every outcome: a committed version is now
-      // protected by its create-once marker, and a failed attempt must
-      // reopen the slot for the caller's retry (only a hard crash leaves
-      // a claim behind — see the TTL reclaim in claimVersion)
-      f.delete(claimPath(dir, version), false)
+      // release the claim in every outcome — but only OUR claim: after
+      // a TTL reclaim the file belongs to the reclaimer, and deleting
+      // it out from under them would re-open the slot to a third writer
+      val p = claimPath(dir, slot)
+      if (claimOwner(f, p).contains(token)) f.delete(p, false)
     }
   }
 
   private def claimPath(dir: String, v: Long): Path =
     new Path(s"$dir/_claims/${versionName(v)}")
 
-  /** Claim `version` via an empty create-once file, the OCC entry gate.
-    * An existing claim younger than `spark.graft.snapshot.claimTtlMs`
+  /** The token inside a claim file, if the file exists and its content
+    * is readable (a torn or vanished claim reads as un-owned — the
+    * conservative answer for every caller).
+    */
+  private def claimOwner(f: FileSystem, p: Path): Option[String] =
+    try {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Claim `slot` via a create-once file carrying this writer's token —
+    * the advisory OCC entry gate (commit correctness is the log-entry
+    * CAS; this only fails contenders before they pay for a merge). An
+    * existing claim younger than `spark.graft.snapshot.claimTtlMs`
     * (default 30 min) is a live contender → loud loser. An older one is
     * a crashed writer's leftover (every in-process exit deletes its
-    * claim) → reclaimed by delete + re-create, where the create-once on
-    * the re-create keeps simultaneous reclaimers serialized. Set the TTL
-    * above any plausible write duration: a writer slower than the TTL
-    * can lose its claim and re-enter the race it had won.
+    * claim) → reclaimed by delete + re-create + read-back: the re-read
+    * verifies THIS writer's token landed, so of two simultaneous
+    * reclaimers at most one can believe it won in every interleaving
+    * short of a delete landing between a rival's create and read-back —
+    * and even that one is settled by the commit CAS, losing loudly.
     */
-  private def claimVersion(spark: SparkSession, f: FileSystem, dir: String,
-                           version: Long): Unit = {
+  private def acquireClaim(spark: SparkSession, f: FileSystem, dir: String,
+                           slot: Long, token: String): Unit = {
     f.mkdirs(new Path(s"$dir/_claims"))
-    val p = claimPath(dir, version)
+    val p = claimPath(dir, slot)
     val ttlMs = spark.conf.getOption("spark.graft.snapshot.claimTtlMs")
       .map(_.toLong).getOrElse(30L * 60 * 1000)
     def tryCreate(): Boolean =
-      try { f.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = f.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        claimOwner(f, p).contains(token)
+      } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
       val age =
         try System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
@@ -443,14 +531,25 @@ object SnapshotStore {
       val reclaimed = age > ttlMs && { f.delete(p, false); tryCreate() }
       if (!reclaimed)
         throw new ConcurrentWriteException(
-          s"version $version of $dir is claimed by another writer " +
+          s"version $slot of $dir is claimed by another writer " +
             s"(claim $p, age ${age / 1000}s, ttl ${ttlMs / 1000}s) — " +
-            "either a live concurrent commit (retry with a fresh version " +
+            "either a live concurrent commit (retry with a fresh txn " +
             "once it lands) or a crashed writer's leftover (wait out the " +
             "ttl, or delete the claim file after confirming the writer " +
             "is dead)")
     }
   }
+
+  /** Abort if this writer's claim was TTL-reclaimed while it prepared —
+    * it is already doomed at the commit CAS, so stop before the merge.
+    */
+  private def verifyClaim(f: FileSystem, dir: String, slot: Long,
+                          token: String): Unit =
+    if (!claimOwner(f, claimPath(dir, slot)).contains(token))
+      throw new ConcurrentWriteException(
+        s"claim on version $slot of $dir was reclaimed (TTL) while this " +
+          "writer prepared its merge — aborting before the data write; " +
+          "re-run the upsert against the new head with a fresh txn")
 
   /** Point lookup: the current row(s) for one key value, reading ONLY
     * that key's hash bucket — IO is table_size/numBuckets at any table
@@ -478,9 +577,9 @@ object SnapshotStore {
       // from any bucket's footer, then route via a 1-row local eval
       // through the same expression the writer bucketed with (no table
       // data is touched)
-      val (b0, v0) = m.buckets.head
+      val (b0, dn0) = m.buckets.head
       val keyType = spark.read
-        .parquet(s"${versionDir(dir, v0)}/${bucketDirName(b0)}")
+        .parquet(bucketPath(dir, dn0, b0))
         .schema(key).dataType
       val b = spark.range(1)
         .select(pmod(hash(lit(value).cast(keyType)), lit(m.numBuckets)).as("b"))
@@ -488,11 +587,11 @@ object SnapshotStore {
       m.buckets.get(b) match {
         case Some(owner) =>
           spark.read.option("mergeSchema", "true")
-            .parquet(s"${versionDir(dir, owner)}/${bucketDirName(b)}")
+            .parquet(bucketPath(dir, owner, b))
             .filter(col(key) === lit(value).cast(keyType))
         case None => // the key's bucket was never written: no such key
           spark.read
-            .parquet(s"${versionDir(dir, v0)}/${bucketDirName(b0)}")
+            .parquet(bucketPath(dir, dn0, b0))
             .limit(0)
       }
     }
@@ -516,8 +615,8 @@ object SnapshotStore {
         s"bucket id(s) ${bad.toSeq.sorted.mkString(", ")} outside " +
           s"[0, ${m.numBuckets}) — probe and writer disagree on the layout")
       val paths = m.buckets.toSeq.sortBy(_._1)
-        .collect { case (b, ver) if buckets(b) =>
-          s"${versionDir(dir, ver)}/${bucketDirName(b)}"
+        .collect { case (b, dn) if buckets(b) =>
+          bucketPath(dir, dn, b)
         }
       if (paths.isEmpty) read(spark, dir).get.limit(0)
       else spark.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -543,8 +642,8 @@ object SnapshotStore {
     * the two versions are read (ownership changes iff the bucket was
     * rewritten in the span), then one full-outer join on the key over
     * just those buckets' rows — O(churned buckets + changed rows),
-    * never O(table). Both versions must still sit inside the retention
-    * window (same loud refusal as `readVersion`).
+    * never O(table). Both versions' churned data must still sit inside
+    * the retention window (same loud refusal as `readVersion`).
     */
   def changes(spark: SparkSession, dir: String, key: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
@@ -585,11 +684,12 @@ object SnapshotStore {
     }
   }
 
-  /** Validate a version span (both committed, both inside retention) and
-    * return its manifests plus the bucket ids whose OWNERSHIP differs —
-    * exactly the buckets some version in the span rewrote. Shared by the
-    * change feed and incremental view maintenance, which both owe their
-    * O(churned buckets) cost bound to this set.
+  /** Validate a version span (both committed, churned data inside
+    * retention) and return its manifests plus the bucket ids whose
+    * OWNERSHIP differs — exactly the buckets some version in the span
+    * rewrote. Shared by the change feed and incremental view
+    * maintenance, which both owe their O(churned buckets) cost bound to
+    * this set.
     */
   private def spanChurn(f: FileSystem, spark: SparkSession, dir: String,
                         fromVersion: Long, toVersion: Long)
@@ -600,14 +700,22 @@ object SnapshotStore {
       require(f.exists(markerPath(dir, v)),
         s"version $v was never committed in $dir " +
           s"(committed: ${versions(spark, dir).mkString(", ")})")
-      require(f.exists(manifestPath(dir, v)),
-        s"version $v is outside the retention window: its manifest was " +
-          "pruned (raise `retain` on the writer to keep deeper history)")
     }
     val m1 = readManifest(f, dir, fromVersion)
     val m2 = readManifest(f, dir, toVersion)
     val churned = (m1.buckets.keySet ++ m2.buckets.keySet)
       .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
+    // both sides' churned data must survive retention — a handful of
+    // metadata calls, bounded by the churn, never the table
+    Seq(fromVersion -> m1, toVersion -> m2).foreach { case (v, m) =>
+      val gone = m.buckets.collect {
+        case (b, dn) if churned(b) && !f.exists(new Path(bucketPath(dir, dn, b))) => b
+      }
+      require(gone.isEmpty,
+        s"version $v is outside the retention window: churned bucket(s) " +
+          s"${gone.toSeq.sorted.mkString(", ")} were pruned (raise " +
+          "`retain` on the writer to keep deeper history)")
+    }
     (m1, m2, churned)
   }
 
@@ -616,8 +724,8 @@ object SnapshotStore {
     */
   private def churnedRows(spark: SparkSession, dir: String, m: Manifest,
                           churned: Set[Int]): Option[DataFrame] = {
-    val paths = m.buckets.collect { case (b, ver) if churned(b) =>
-      s"${versionDir(dir, ver)}/${bucketDirName(b)}"
+    val paths = m.buckets.collect { case (b, dn) if churned(b) =>
+      bucketPath(dir, dn, b)
     }.toSeq
     if (paths.isEmpty) None
     else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
@@ -630,17 +738,14 @@ object SnapshotStore {
     spanChurn(fs(spark, dir), spark, dir, fromVersion, toVersion)._3
 
   /** Whether a span can be read incrementally: both versions committed
-    * AND their manifests still inside the retention window. Lets a
+    * AND their churned data still inside the retention window. Lets a
     * caller choose a full-rebuild fallback instead of hitting
     * `changes`/`maintainAgg`'s loud refusal.
     */
   def spanReadable(spark: SparkSession, dir: String,
-                   fromVersion: Long, toVersion: Long): Boolean = {
-    val f = fs(spark, dir)
-    fromVersion < toVersion &&
-      Seq(fromVersion, toVersion).forall(v =>
-        f.exists(markerPath(dir, v)) && f.exists(manifestPath(dir, v)))
-  }
+                   fromVersion: Long, toVersion: Long): Boolean =
+    try { spanChurn(fs(spark, dir), spark, dir, fromVersion, toVersion); true }
+    catch { case _: IllegalArgumentException => false }
 
   /** Incrementally maintain a grouped count-and-sums aggregate view
     * across a version span — the materialized-view counterpart of
@@ -798,9 +903,10 @@ object SnapshotStore {
   }
 
   /** Delete bucket dirs that none of the `retain` newest committed
-    * manifests reference, then any version dir left empty. Uncommitted
-    * orphan dirs (crash leftovers) older than the retention horizon are
-    * removed whole.
+    * manifests reference, then any data dir left empty. Loser-attempt
+    * and crash-orphan dirs (never referenced by any manifest) are
+    * removed the same way once their slot falls below the retention
+    * horizon.
     */
   private def pruneData(spark: SparkSession, dir: String, retain: Int): Unit = {
     val f = fs(spark, dir)
@@ -809,30 +915,28 @@ object SnapshotStore {
       .collect { case versionPat(n) => n.toLong }
     val retained = committed.sorted.takeRight(retain)
     val cutoff = retained.min
-    // (owning version, bucket) pairs some retained manifest still reads
-    // NB: .toSeq before the swap — mapping the Map directly would re-key
-    // on the version and collapse every bucket it owns into one entry
-    val referenced: Set[(Long, Int)] = retained.flatMap { v =>
-      readManifest(f, dir, v).buckets.toSeq.map { case (b, ver) => (ver, b) }
+    // (owning dir, bucket) pairs some retained manifest still reads; a
+    // torn entry inside the window owns nothing (its data was never
+    // visible)
+    val referenced: Set[(String, Int)] = retained.flatMap { v =>
+      try readManifest(f, dir, v).buckets.toSeq.map { case (b, dn) => (dn, b) }
+      catch { case _: IllegalStateException => Seq.empty }
     }.toSet
     f.listStatus(new Path(dir))
       .filter(_.isDirectory)
       .flatMap(s => s.getPath.getName match {
-        case versionPat(n) => Some(s.getPath -> n.toLong)
+        case dataDirPat(n) => Some(s.getPath -> n.toLong)
         case _             => None
       })
       .foreach { case (p, v) =>
         if (v < cutoff) {
-          if (!committed.contains(v)) f.delete(p, true) // invisible orphan
-          else {
-            f.listStatus(p).foreach { st =>
-              val name = st.getPath.getName
-              val keep = name.startsWith("_bucket=") &&
-                referenced((v, name.stripPrefix("_bucket=").toInt))
-              if (!keep) f.delete(st.getPath, true)
-            }
-            if (f.listStatus(p).isEmpty) f.delete(p, true)
+          f.listStatus(p).foreach { st =>
+            val name = st.getPath.getName
+            val keep = name.startsWith("_bucket=") &&
+              referenced((p.getName, name.stripPrefix("_bucket=").toInt))
+            if (!keep) f.delete(st.getPath, true)
           }
+          if (f.listStatus(p).isEmpty) f.delete(p, true)
         }
       }
   }

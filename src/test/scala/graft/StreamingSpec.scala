@@ -707,4 +707,70 @@ class StreamingSpec extends SparkSpec {
         === Set((34L, 4.0, true)))
     } finally q.stop()
   }
+
+  test("streaming span scrub verdicts equal the batch operator's, exactly-once") {
+    import graft.pipeline.SnapshotStore
+    val landing = scratchDir("span_landing")
+    val idx     = scratchDir("span_idx") + "/idx"
+    val clean   = scratchDir("span_clean") + "/docs"
+    val ckpt    = scratchDir("span_ckpt") + "/cp"
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // a 14-token span: every non-first occurrence must be scrubbed in
+    // FULL (the W=10 windows' union covers it), at ANY offset
+    val span = (1 to 14).map(i => s"dup$i").mkString(" ")
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Map(
+      1L -> s"${words("a", 5)} $span ${words("b", 4)}", // first occurrence
+      2L -> words("c", 12),                             // clean
+      3L -> s"${words("d", 3)} $span ${words("e", 7)}", // cross-batch dup, new offset
+      4L -> span,                                       // the span alone
+      5L -> words("f", 6))                              // sub-W doc: no windows
+    def writeDocs(name: String, ids: Seq[Long]): Unit =
+      Files.write(Paths.get(landing, name),
+        ("doc_id\ttext" +: ids.map(id => s"$id\t${docs(id)}"))
+          .mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = StreamingPipeline.runIncrementalSpanScrub(
+      spark,
+      spark.readStream.option("header", "true").option("sep", "\t")
+        .schema(docSchema).csv(s"$landing/*.csv"),
+      idx, clean, ckpt).awaitTermination()
+    def cleanedRows: Set[(Long, Long, Long, String)] =
+      SnapshotStore.read(spark, clean).get
+        .select("doc_id", "n_tokens", "n_removed", "text_clean")
+        .as[(Long, Long, Long, String)].collect().toSet
+
+    writeDocs("b1.csv", Seq(1L, 2L))
+    run()
+    writeDocs("b2.csv", Seq(3L, 4L, 5L))
+    run()
+
+    // the batch operator over the SAME corpus (replayed in doc_id order)
+    // must produce identical verdicts: write the corpus as a documents
+    // table and run the registered query against it
+    val batchDir = scratchDir("span_batch")
+    docs.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
+    val batch = SparkEntry.queries("dedup_span_scrub")(spark, batchDir)
+      .select("doc_id", "n_tokens", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(cleanedRows === batch,
+      "stream verdicts must equal the batch operator's")
+    // the dup's whole 14-token span vanished from docs 3 and 4, the
+    // first occurrence survived, and the sub-W doc passed through
+    val byId = cleanedRows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 == 0L && byId(2L)._3 == 0L && byId(5L)._3 == 0L)
+    assert(byId(3L)._3 == 14L && !byId(3L)._4.contains("dup"))
+    assert(byId(4L) == (4L, 14L, 14L, ""))
+
+    // restart with no new files: checkpoint replays nothing, both
+    // stores keep their heads (exactly-once across the pair)
+    run()
+    assert(SnapshotStore.latestVersion(spark, clean).contains(1L))
+    assert(SnapshotStore.latestVersion(spark, idx).contains(1L))
+    assert(cleanedRows === batch)
+  }
 }
