@@ -55,10 +55,25 @@ object Sizing {
     spark.conf.getOption("spark.graft.sizing.targetPartitionBytes")
       .map(_.toLong).filter(_ > 0).getOrElse(DefaultTargetBytes)
 
-  /** Partition count for an exchange expected to carry `estBytes`. */
+  /** Saturating multiply for size estimates (non-negative inputs): an
+    * estimate that overflows Long clamps to Long.MaxValue so the width
+    * degrades UP to `MaxPartitions` — a wrapped-negative product would
+    * otherwise be floored away and silently collapse the sized exchange
+    * back to the defaultParallelism floor, reinstating exactly the
+    * spill pathology the seam exists to prevent.
+    */
+  def satMul(a: Long, b: Long): Long =
+    try Math.multiplyExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
+  /** Partition count for an exchange expected to carry `estBytes`. A
+    * negative estimate is an upstream multiply that wrapped — saturate
+    * to the cap, never to the floor (see [[satMul]]).
+    */
   def partitionsForBytes(spark: SparkSession, estBytes: Long): Int = {
     val floor = spark.sparkContext.defaultParallelism
-    val n = math.ceil(math.max(0L, estBytes).toDouble / targetBytes(spark))
+    val sane = if (estBytes < 0) Long.MaxValue else estBytes
+    val n = math.ceil(sane.toDouble / targetBytes(spark))
     math.max(floor.toLong, math.min(n.toLong, MaxPartitions.toLong)).toInt
   }
 
@@ -67,7 +82,9 @@ object Sizing {
     * var-len payloads — callers state their row shape at the call site).
     */
   def partitionsForRows(spark: SparkSession, rows: Long, bytesPerRow: Int): Int =
-    partitionsForBytes(spark, rows * bytesPerRow.toLong)
+    partitionsForBytes(spark,
+      if (rows < 0) Long.MaxValue // caller's row estimate itself wrapped
+      else satMul(rows, bytesPerRow.toLong))
 
   /** Catalyst's size estimate for a frame — file-size-derived for scans,
     * so reliable exactly where a scan feeds the exchange directly.

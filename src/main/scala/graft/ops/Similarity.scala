@@ -701,8 +701,12 @@ object Similarity extends QueryModule {
             if (capped) math.min(eCount,
               probes.max.toLong * defaultIvfCellCap)
             else eCount
+          // saturating product: the uncapped arm is |queries|×|corpus|,
+          // which overflows Long on very large corpora — a wrapped
+          // negative must widen to the cap, not collapse to the floor
           val nJ = graft.Sizing.partitionsForRows(s,
-            eqCount * perQuery * probes.size, 48)
+            graft.Sizing.satMul(graft.Sizing.satMul(eqCount, perQuery),
+              probes.size.toLong), 48)
           val qa = eq.join(assign, "vec_id")
             .select(col("vec_id").as("va"), col("sid").as("cell"),
               col("rn").as("arn"), col("embedding").as("ea"),
