@@ -297,6 +297,158 @@ object Learning extends QueryModule {
                          * 1000000 // COUNT(*) END AS holdout_err_ppm
         FROM applied
         GROUP BY b_feat, threshold, en_on_left, n_train, train_err
-      """))
+      """)),
+
+    // ───── Lloyd's k-means over the embedding corpus, oracle-exact ─────
+    // The classic clustering operator, registered on the oracle surface
+    // (it previously existed only as the IVF centroid learner, off the
+    // gate). Determinism spelling, per the module's rules:
+    //   - embeddings quantize to integers once (floor(x·10⁴) — floor,
+    //     not round, because the engines' tie conventions differ),
+    //   - init is the K vectors with the smallest md5(vec_id) (md5-seed:
+    //     deterministic, order-free, no RNG),
+    //   - a centroid is carried UNNORMALIZED as (Σ members, count): the
+    //     squared distance to mean S/c ordered across centroids via
+    //       score_k = (c_k²·(x·x) − 2·c_k·(x·S_k) + S_k·S_k) / c_k²
+    //     whose numerator is EXACT integer arithmetic (DECIMAL(38,0)
+    //     here, BIGINT in the oracle — same integers), and the one
+    //     inexact step — casting that integer to double and dividing by
+    //     c_k² — is two IEEE-754 operations on identical inputs, so both
+    //     engines produce bit-identical scores; ties break on k,
+    //   - R fixed rounds (no convergence test), empty clusters keep
+    //     their centroid — the oracle unrolls the identical recurrence
+    //     (graph_pagerank's fixed-horizon pattern).
+    //
+    // Scale shape (100 TB): per round ONE narrow pass over the corpus
+    // (the K centroids ride into the assignment expression as literals —
+    // the broadcast-side of Lloyd's) + one map-side-combined groupBy(k)
+    // whose output is K×(D+1) numbers; the only driver action is
+    // collecting those K rows per round (metadata-class, the BPE "K tiny
+    // barriers" pattern — zero corpus re-shuffles, corpus bytes never
+    // move). D sum columns beat a posexplode by a factor of D in shuffle
+    // rows. Integer headroom: score terms are < 10⁸·c²·D, inside
+    // DECIMAL(38,0) far beyond trillion-row corpora (ANSI mode would
+    // fail loudly, never wrap).
+    GraftQuery(
+      "ml_kmeans",
+      (s, d) => {
+        val K = 8; val R = 3; val D = 64
+        val qx = graft.Materialize.stage(Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("transform(embedding, z -> " +
+              "CAST(floor(CAST(z AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+          .withColumn("xx", expr(
+            "aggregate(q, CAST(0 AS DECIMAL(38,0)), " +
+              "(acc, z) -> acc + CAST(z AS DECIMAL(38,0)) * z)")))
+        val seeds = qx
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(K).select(col("q")).collect()
+        var cents: Seq[(Int, IndexedSeq[BigInt], Long)] =
+          seeds.toSeq.zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Long](0).map(BigInt(_)).toIndexedSeq, 1L)
+          }
+        def assignK: org.apache.spark.sql.Column = {
+          val scored = cents.sortBy(_._1).map { case (k, sv, c) =>
+            val arr = sv.map(v => s"CAST($v AS DECIMAL(38,0))").mkString(",")
+            val ss = sv.map(v => v * v).sum
+            val cc = BigInt(c) * BigInt(c)
+            struct(
+              expr(
+                s"CAST(CAST($cc AS DECIMAL(38,0)) * xx" +
+                  s" - 2 * CAST($c AS DECIMAL(38,0)) * aggregate(" +
+                  s"zip_with(q, array($arr), (a, b) -> " +
+                  s"CAST(a AS DECIMAL(38,0)) * b), " +
+                  s"CAST(0 AS DECIMAL(38,0)), (acc, p) -> acc + p)" +
+                  s" + CAST($ss AS DECIMAL(38,0)) AS DOUBLE)" +
+                  s" / CAST($cc AS DOUBLE)").as("s"),
+              lit(k).as("k"))
+          }
+          array_min(array(scored: _*)).getField("k")
+        }
+        (1 to R).foreach { _ =>
+          val dimSums = (0 until D).map(i =>
+            sum(expr(s"CAST(element_at(q, ${i + 1}) AS DECIMAL(38,0))"))
+              .as(s"s$i"))
+          val rows = qx.withColumn("k", assignK)
+            .groupBy(col("k"))
+            .agg(count(lit(1)).as("c"), dimSums: _*)
+            .collect()
+          val updated = rows.toSeq.map { r =>
+            (r.getInt(0),
+              (0 until D).map(i =>
+                BigInt(r.getDecimal(i + 2).toBigInteger)).toIndexedSeq,
+              r.getLong(1))
+          }
+          val have = updated.map(_._1).toSet
+          cents = updated ++ cents.filterNot(c => have(c._1))
+        }
+        qx.withColumn("k", assignK)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("vec_id")).as("min_vec"),
+            sum(col("vec_id")).cast("long").as("vec_id_sum"))
+          .orderBy(col("k"))
+      },
+      Some(kmeansOracle(K = 8, R = 3, D = 64)))
   )
+
+  /** The `ml_kmeans` recurrence unrolled as plain SQL (fixed horizon —
+    * graph_pagerank's pattern, no recursion): centroids live as
+    * (k, dim, sum) + (k, count) CTE pairs, assignment is the identical
+    * exact-integer-numerator / IEEE-double-division score with the same
+    * tie order, and empty clusters carry their centroid forward via the
+    * NOT IN union arm. BIGINT suffices at oracle scale (score terms
+    * < 2⁶³ through sf0.1, the exact path of BIGINT→DOUBLE casting, so
+    * the doubles match Spark's DECIMAL(38,0)→double bit for bit).
+    */
+  private def kmeansOracle(K: Int, R: Int, D: Int): String = {
+    def assignBlock(r: Int): String = s"""
+        xs$r AS (SELECT qd.vec_id, cd.k, SUM(qd.v * cd.sv) AS xs
+                 FROM qd JOIN cd${r - 1} cd USING (i)
+                 GROUP BY qd.vec_id, cd.k),
+        ss$r AS (SELECT k, SUM(sv * sv) AS ss FROM cd${r - 1} GROUP BY k),
+        sc$r AS (SELECT xs.vec_id, xs.k,
+                   CAST(cc.c * cc.c * x.xx - 2 * cc.c * xs.xs + ss.ss
+                     AS DOUBLE) / CAST(cc.c * cc.c AS DOUBLE) AS score
+                 FROM xs$r xs JOIN x ON x.vec_id = xs.vec_id
+                 JOIN ss$r ss ON ss.k = xs.k
+                 JOIN cc${r - 1} cc ON cc.k = xs.k),
+        a$r AS (SELECT vec_id, k FROM (
+                  SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY score, k) AS rn FROM sc$r) t
+                WHERE rn = 1)"""
+    def updateBlock(r: Int): String = s"""
+        cd$r AS (SELECT a.k, qd.i, SUM(qd.v) AS sv
+                 FROM a$r a JOIN qd USING (vec_id) GROUP BY a.k, qd.i
+                 UNION ALL
+                 SELECT cd.k, cd.i, cd.sv FROM cd${r - 1} cd
+                 WHERE cd.k NOT IN (SELECT k FROM a$r)),
+        cc$r AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM a$r GROUP BY k
+                 UNION ALL
+                 SELECT cc.k, cc.c FROM cc${r - 1} cc
+                 WHERE cc.k NOT IN (SELECT k FROM a$r))"""
+    val rounds = (1 to R).map(r => assignBlock(r) + "," + updateBlock(r))
+      .mkString(",")
+    s"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, z ->
+            CAST(floor(CAST(z AS DOUBLE) * 10000) AS BIGINT)) AS q
+          FROM embeddings),
+        dims AS (SELECT UNNEST(generate_series(1, $D)) AS i),
+        qd AS (SELECT vec_id, i, q[i] AS v FROM e CROSS JOIN dims),
+        x AS (SELECT vec_id, SUM(v * v) AS xx FROM qd GROUP BY vec_id),
+        sd AS (SELECT vec_id,
+                 ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                   vec_id) AS rk
+               FROM e),
+        cd0 AS (SELECT CAST(sd.rk - 1 AS INT) AS k, qd.i, qd.v AS sv
+                FROM sd JOIN qd USING (vec_id) WHERE sd.rk <= $K),
+        cc0 AS (SELECT CAST(rk - 1 AS INT) AS k, CAST(1 AS BIGINT) AS c
+                FROM sd WHERE rk <= $K),$rounds,${assignBlock(R + 1)}
+        SELECT k, COUNT(*) AS n_members, MIN(vec_id) AS min_vec,
+               CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum
+        FROM a${R + 1} GROUP BY k ORDER BY k
+      """
+  }
 }
