@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suppress sbt's trailing "[success] Total time..." line: the bench
+// driver captures a finite stdout tail and parses the LAST line, and
+// four rounds running that line displaced Bench's GRAFT_BENCH_SUMMARY
+// marker (BENCH_r0{6..9} all recorded parsed:null). With it off, the
+// bench's own summary println is the literal final stdout line.
+Global / showSuccess := false
+// ...and un-framed: forked run output goes straight through instead of
+// being re-logged with an "[info] " prefix, so the summary line is pure
+// `GRAFT_BENCH_SUMMARY {json}` for any parser.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
