@@ -32,6 +32,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a 64 MB target yields ~4,200 partitions — a normal shuffle width for a
   * 1000-executor job — and the clamp cap (65,536) is far above it. The
   * target is conf-tunable for executors with different memory budgets.
+  *
+  * A sized exchange is only as good as the planner's willingness to keep
+  * it. Three ways Spark silently undoes a pin, each measured at the 250×
+  * rung (SCALE.md §19) and guarded at the call sites:
+  *  1. JOIN co-partition checks require ALL join keys in declared order
+  *     (`spark.sql.requireAllClusterKeysForCoPartition`) — a pin on a key
+  *     subset is rewritten back to the conf width in place;
+  *  2. scan-derived byte ESTIMATES under-size UnsafeRow exchanges by the
+  *     parquet compression factor (~6 B/row on disk vs ~48 B shuffled) —
+  *     size from exact row counts (footer-metadata `count()`) × stated
+  *     row bytes where the exchange payload ≈ the scan;
+  *  3. an unstaged COMMON SUBTREE multiplies a sized sort by its reader
+  *     count even when the exchange itself is reused — stage any frame
+  *     two consumers join against.
   */
 object Sizing {
 

@@ -426,22 +426,40 @@ object Extras extends QueryModule {
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("ts_us"), col("value"))
           .withColumn("bucket", expr("ts_us div 3600000000"))
+        // Sizing seam: clean through the 100× rung on the default plan,
+        // but the 250× probe measured 31.7 GB of spill across the four
+        // default-width grid exchanges (SCALE.md §19) — the same walls
+        // ts_interpolate hit one rung earlier, fixed the same way: the
+        // grid row count is exact from the staged span frame, and every
+        // corpus exchange (rep dedup window, grid side, fill window,
+        // final global sort) pins the sized width.
+        val spans = Materialize.stage(b.groupBy(col("user_id"))
+          .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi")))
+        val gridRows = Option(
+          spans.agg(sum(col("hi") - col("lo") + lit(1)).as("g"))
+            .first().getAs[java.lang.Long]("g"))
+          .map(_.longValue).getOrElse(0L)
+        val n = Sizing.partitionsForBytes(s,
+          gridRows * 40L + Sizing.planBytes(b))
         val wRep = Window.partitionBy(col("user_id"), col("bucket"))
           .orderBy(col("ts_us").desc, col("event_id").desc)
-        val rep = b.withColumn("rn", row_number().over(wRep))
+        val rep = b.repartition(n, col("user_id"), col("bucket"))
+          .withColumn("rn", row_number().over(wRep))
           .filter(col("rn") === 1)
           .select(col("user_id"), col("bucket"), col("value").as("obs"))
-        val grid = b.groupBy(col("user_id"))
-          .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        val grid = spans
           .select(col("user_id"),
             explode(expr("sequence(lo, hi)")).as("bucket"))
+          .repartition(n, col("user_id"), col("bucket"))
         val wFill = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         grid.join(rep, Seq("user_id", "bucket"), "left")
+          .repartition(n, col("user_id"))
           .select(col("user_id"), col("bucket"),
             last(col("obs"), ignoreNulls = true).over(wFill).as("value_ff"),
             col("obs").isNotNull.as("observed"))
-          .orderBy(col("user_id"), col("bucket"))
+          .repartitionByRange(n, col("user_id"), col("bucket"))
+          .sortWithinPartitions("user_id", "bucket")
       },
       Some("""
         WITH b AS (
@@ -548,7 +566,14 @@ object Extras extends QueryModule {
                   (col("nb") - col("pb")).cast("double")))
               .as("v_interp"),
             col("obs").isNotNull.as("observed"))
-          .orderBy(col("user_id"), col("bucket"))
+          // the final GLOBAL sort is the fourth corpus exchange and must
+          // ride the same sized width: a bare orderBy range-exchanges the
+          // whole dense grid at the conf default (32), and the 250× rung
+          // measured that one stage spilling 8 GB while every sized stage
+          // above it stayed clean (SCALE.md §19). repartitionByRange(n) +
+          // sortWithinPartitions IS orderBy's plan with an explicit width.
+          .repartitionByRange(n, col("user_id"), col("bucket"))
+          .sortWithinPartitions("user_id", "bucket")
       },
       Some("""
         WITH b AS (

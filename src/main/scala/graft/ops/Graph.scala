@@ -101,10 +101,16 @@ object Graph extends QueryModule {
     * collect. Rounds are a fixed small constant (power iteration
     * converges geometrically; 3–20 in practice).
     */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int,
+               width: Option[Int] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val UNIT = 1000000000000L // 1e12: rank mass 1.0 in pico-units
-    val e = Materialize.stage(edges.toDF("u", "v").repartition(col("u")))
+    // `width`: sized count for the staged edge exchange — every round's
+    // contribution join sorts the edge mass in place (graph_hits's §19
+    // pattern); None keeps the engine default for small ad-hoc graphs
+    val e = Materialize.stage(width
+      .fold(edges.toDF("u", "v").repartition(col("u")))(n =>
+        edges.toDF("u", "v").repartition(n, col("u"))))
     val nodes = Materialize.stage(
       e.select(col("u").as("node")).union(e.select(col("v").as("node")))
         .distinct())
@@ -229,14 +235,48 @@ object Graph extends QueryModule {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_quantity"))
+    // Sizing seam: the self-join's two exchanges carry the whole
+    // lineitem projection, and EVERY graph query pays them — at the
+    // 250× rung the default-width (32-task) sort-merge join was the
+    // single biggest graph spill (19.3 GB, SCALE.md §19). Both sides
+    // pin a width sized to the EXACT row count (a parquet
+    // footer-metadata count, no data pages move) × the ~96 B/row both
+    // UnsafeRow sides put into one join task — the scan ESTIMATE
+    // under-sizes here by the parquet-compression factor (~6 B/row on
+    // disk vs 48 B shuffled). The pin must name the join's FULL key
+    // tuple in order — (ok, ln+1) / (ok2, ln2) — because co-partition
+    // checks require all cluster keys
+    // (spark.sql.requireAllClusterKeysForCoPartition): a hash(ok)-only
+    // pin was rewritten back to the conf width in place, measured as an
+    // unchanged 9.7 GB spill. Floor-clamped to the engine default at
+    // test scale (plan unchanged where the oracles run).
+    val n = Sizing.partitionsForRows(s, liRowCount(s, d), 96)
     val a = li.toDF("ok", "ln", "u", "q")
+      .repartition(n, col("ok"), col("ln") + lit(1))
     val b = li.toDF("ok2", "ln2", "v", "qv")
+      .repartition(n, col("ok2"), col("ln2"))
     val adj = a.join(b,
       a("ok") === b("ok2") && b("ln2") === a("ln") + lit(1) &&
         a("u") =!= b("v"))
     if (weighted) adj.select(col("u"), col("v"), col("qv").cast("long").as("w"))
     else adj.select(col("u"), col("v"))
   }
+
+  /** Exact lineitem row count for this dir — a parquet footer-metadata
+    * aggregate (zero data pages), memoized per dir so the graph family's
+    * repeated `coLineAdj`/`edgeWidth` calls pay it once per corpus.
+    */
+  private val liRows = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def liRowCount(s: SparkSession, d: String): Long =
+    liRows.computeIfAbsent(d, _ => Tables.lineitem(s, d).count()).longValue
+
+  /** Width for an exchange carrying the co-line EDGE mass (≈ one edge
+    * per lineitem row) — shared by the downstream edge-dedup/symmetrize
+    * exchanges that would otherwise re-exchange the edge stream at the
+    * engine default (9.9 GB of 32-task distinct spill at 250×, §19).
+    */
+  private def edgeWidth(s: SparkSession, d: String): Int =
+    Sizing.partitionsForRows(s, liRowCount(s, d), 48)
 
   override def queries: Seq[GraftQuery] = Seq(
 
@@ -289,7 +329,7 @@ object Graph extends QueryModule {
       "graph_pagerank",
       (s, d) => {
         val adj = coLineAdj(s, d)
-        pagerank(adj, iters = 3)
+        pagerank(adj, iters = 3, width = Some(edgeWidth(s, d)))
           .select(col("node").as("part"), col("pr"))
           .orderBy(col("part"))
       },
@@ -648,7 +688,7 @@ object Graph extends QueryModule {
       "graph_k_core",
       (s, d) => {
         val adj = coLineAdj(s, d)
-        kcore(adj, k = 20)
+        kcore(adj, k = 20, width = Some(edgeWidth(s, d)))
           .select(col("u").as("part"), col("core_deg"))
           .orderBy(col("part"))
       },
@@ -755,9 +795,12 @@ object Graph extends QueryModule {
       "graph_jaccard_links",
       (s, d) => {
         val adj = coLineAdj(s, d)
+        // the edge dedup re-exchanges the whole edge stream: pin the
+        // sized width (9.9 GB of 32-task distinct spill at 250×, §19)
         val und = Materialize.stage(adj
           .select(least(col("u"), col("v")).as("a"),
             greatest(col("u"), col("v")).as("b"))
+          .repartition(edgeWidth(s, d), col("a"), col("b"))
           .distinct())
         val sym = Materialize.stage(
           und.select(col("a").as("u"), col("b").as("v"))
@@ -808,9 +851,14 @@ object Graph extends QueryModule {
         val n = Sizing.partitionsForRows(s, wedgeMass, 48)
         // wedges through capped mid nodes only: the staged frame is
         // self-joined on w, so the quadratic term is per-mid-bucket
+        // capped is the node DIMENSION (≤ part universe, 8 B/row) — the
+        // build join must broadcast it, like the degree joins below: the
+        // estimate-driven planner was instead exchanging the whole edge
+        // mass on w at the conf width (9.9 GB of 32-task SMJ sort spill
+        // at the 250× rung, §19)
         val wed = Materialize.stage(
           sym.select(col("u").as("w"), col("v").as("x"))
-            .join(capped.select(col("u").as("w")), Seq("w"))
+            .join(broadcast(capped.select(col("u").as("w"))), Seq("w"))
             .repartition(n, col("w")))
         val pairs = wed.as("l").join(wed.as("r"),
             col("l.w") === col("r.w") && col("l.x") < col("r.x"))
@@ -908,7 +956,12 @@ object Graph extends QueryModule {
       "graph_hits",
       (s, d) => {
         val UNIT = 1000000000000L
-        val adj = Materialize.stage(coLineAdj(s, d).repartition(col("u")))
+        // edge frame staged at the sized width (not the conf default):
+        // each half-round's score join sorts the edge mass in place, and
+        // the 250× probe measured ~5 GB of spill spread across the
+        // 32-task round stages before the pin (SCALE.md §19)
+        val adj = Materialize.stage(
+          coLineAdj(s, d).repartition(edgeWidth(s, d), col("u")))
         val nodes = Materialize.stage(
           adj.select(col("u").as("node"))
             .union(adj.select(col("v").as("node"))).distinct())
@@ -929,13 +982,19 @@ object Graph extends QueryModule {
               col("u") === col("hu"))
             .groupBy(col("v"))
             .agg(sum(col("hs").cast(DecimalType(38, 0))).as("raw"))
-          auth = rescale(araw, "v")
+          // stage each half-round's O(nodes) score frame: hub₂ and
+          // auth₂ share the earlier rounds as a common subtree, and
+          // unstaged the final hub⋈auth re-SORTED that shared exchange
+          // once per reader — 14 identical 32-task sort stages, ~0.3 GB
+          // of spill each, at the 250× rung (SCALE.md §19); cached the
+          // chain is computed once and the repeats vanish
+          auth = Materialize.stage(rescale(araw, "v"))
           val hraw = adj
             .join(auth.select(col("node").as("av"), col("score").as("ascore")),
               col("v") === col("av"))
             .groupBy(col("u"))
             .agg(sum(col("ascore").cast(DecimalType(38, 0))).as("raw"))
-          hub = rescale(hraw, "u")
+          hub = Materialize.stage(rescale(hraw, "u"))
         }
         hub.select(col("node"), col("score").as("hub_fp"))
           .join(auth.select(col("node"), col("score").as("auth_fp")),
@@ -1137,12 +1196,17 @@ object Graph extends QueryModule {
     * so round N's analysis cost does not grow with N) and the previous
     * round's cache is freed as soon as its successor is materialized.
     */
-  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 64,
+            width: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val und = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    // `width`: sized partition count for the edge-mass dedup exchange
+    // (the caller knows the edge count; 11.3 GB of 32-task distinct
+    // spill at the 250× rung without it — SCALE.md §19)
+    val undRaw = edges.toDF("x", "y").filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct()
+    val und = width.fold(undRaw)(n =>
+      undRaw.repartition(n, col("a"), col("b"))).distinct()
     var cur = Materialize.stageIterative(
       und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v"))))

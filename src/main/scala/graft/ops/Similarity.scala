@@ -745,9 +745,14 @@ object Similarity extends QueryModule {
           .limit(k)
           .select(col("vec_id").as("sid"), col("embedding").as("semb"),
             col("nrm").as("snrm"))
-        // ground truth: the exhaustive (depth = K, uncapped) probe
-        val exact = ivfTop1(seeds, Seq(k), capped = false)
-          .select(col("va"), col("ann_id").as("exact_nn"))
+        // ground truth: the exhaustive (depth = K, uncapped) probe —
+        // STAGED, because both recall arms (seed and learned) join
+        // against it and the unstaged common subtree re-ran the entire
+        // n²/m truth computation once per consumer (two identical
+        // 10.8 ks / 337 GB-of-bounded-sort stages at the 250× rung,
+        // SCALE.md §19); the cached frame is O(queries) rows
+        val exact = Materialize.stage(ivfTop1(seeds, Seq(k), capped = false)
+          .select(col("va"), col("ann_id").as("exact_nn")))
         def hits(top1: DataFrame): DataFrame = top1
           .join(exact, "va")
           .groupBy(col("nprobe"))
