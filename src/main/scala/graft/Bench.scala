@@ -99,6 +99,26 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
     }
+    // Build fingerprint, stamped into every artifact: round 9's committed
+    // idle baseline silently carried one row from an older build and
+    // nothing could detect it (VERDICT r10). With the SHA (and a dirty
+    // flag for uncommitted-source runs) in the artifact, bench_gate can
+    // verify provenance instead of trusting file names. Read before any
+    // artifact write so the artifacts themselves never flip the flag.
+    val (gitSha, gitDirty) =
+      try {
+        import scala.sys.process._
+        val sha = Seq("git", "rev-parse", "HEAD").!!.trim
+        // dirty = uncommitted changes to BUILD INPUTS (source, build
+        // config, tools) — driver boundary artifacts (BENCH_*.json etc.)
+        // are always in flux at measurement time and don't taint the
+        // binary being measured
+        val dirty = Seq("git", "status", "--porcelain").!!.linesIterator
+          .map(_.drop(3)).exists(f =>
+            f.startsWith("src/") || f.startsWith("tools/") ||
+              f.startsWith("project/") || f.startsWith("build.sbt"))
+        (sha, dirty)
+      } catch { case _: Exception => ("unknown", false) }
     val spark = GraftSession.get()
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -183,7 +203,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,""" +
         s""""metrics":$metrics,"loadavg":[${r2(load0)},${r2(loadAvg)}],""" +
-        s""""host_cpus":${Runtime.getRuntime.availableProcessors},"reps":$reps,"sf":"$sfDir"}"""
+        s""""host_cpus":${Runtime.getRuntime.availableProcessors},"reps":$reps,""" +
+        s""""git_sha":"$gitSha","git_dirty":$gitDirty,"sf":"$sfDir"}"""
     // Survive any finite head/tail output capture: persist the full JSON
     // to a file, print it once up front, and re-print it as the very last
     // line of the process (after spark.stop(), so no shutdown log noise
@@ -216,7 +237,8 @@ object Bench {
     // sbt's own trailing "[success]" line — round 9's tail showed it
     // printing AFTER this marker and displacing a last-line parse.)
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_count":${results.size},"errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","query_count":${results.size},""" +
+        s""""errors":${errors.size},"git_sha":"$gitSha","git_dirty":$gitDirty,"sf":"$sfDir"}"""
     // parser-independent sibling artifact: the headline numbers land on
     // disk even if every stdout capture window misses the marker
     if (only.isEmpty)

@@ -80,6 +80,13 @@ object Sizing {
     try Math.multiplyExact(a, b)
     catch { case _: ArithmeticException => Long.MaxValue }
 
+  /** Saturating add, for summing size estimates whose terms are already
+    * saturated (see [[satMul]]): the sum must also degrade UP.
+    */
+  def satAdd(a: Long, b: Long): Long =
+    try Math.addExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
   /** Partition count for an exchange expected to carry `estBytes`. A
     * negative estimate is an upstream multiply that wrapped — saturate
     * to the cap, never to the floor (see [[satMul]]).

@@ -440,7 +440,7 @@ object Extras extends QueryModule {
             .first().getAs[java.lang.Long]("g"))
           .map(_.longValue).getOrElse(0L)
         val n = Sizing.partitionsForBytes(s,
-          gridRows * 40L + Sizing.planBytes(b))
+          Sizing.satAdd(Sizing.satMul(gridRows, 40L), Sizing.planBytes(b)))
         val wRep = Window.partitionBy(col("user_id"), col("bucket"))
           .orderBy(col("ts_us").desc, col("event_id").desc)
         val rep = b.repartition(n, col("user_id"), col("bucket"))
@@ -528,7 +528,7 @@ object Extras extends QueryModule {
         // 40 B/grid row (user_id + bucket + carried obs/value UnsafeRow);
         // the events side of the join is bounded by the scan estimate
         val n = Sizing.partitionsForBytes(s,
-          gridRows * 40L + Sizing.planBytes(b))
+          Sizing.satAdd(Sizing.satMul(gridRows, 40L), Sizing.planBytes(b)))
         val bP = b.repartition(n, col("user_id"), col("bucket"))
         val wRep = Window.partitionBy(col("user_id"), col("bucket"))
           .orderBy(col("ts_us").desc, col("event_id").desc)

@@ -673,17 +673,22 @@ object Graph extends QueryModule {
     // ONCE, so the unrolled oracle is a LINEAR chain of CTEs — the
     // textbook peel ("bad nodes" anti-joined twice) references it three
     // times and explodes exponentially under CTE inlining. The Spark
-    // side iterates the same recurrence to a TRUE fixpoint (driver
-    // convergence loop, plan truncated per round via stageIterative);
-    // the oracle unrolls 18 rounds — fixpoint + margin at sf0.01, and
-    // extra rounds past convergence are identities.
+    // side peels the same rounds DELTA-DEGREE (see [[kcore]]): degrees
+    // are aggregated once, then maintained by subtracting each round's
+    // frontier-incident edge counts — the same fixpoint, reached with
+    // one cached-edge pass per round instead of the oracle's full
+    // re-windows (driver convergence loop, plan truncated per round via
+    // stageIterative); the oracle unrolls 18 rounds — fixpoint + margin
+    // at sf0.01, and extra rounds past convergence are identities.
     //
-    // Scale: per round, two key-partitioned exchanges of a strictly
-    // SHRINKING edge frame (the first round is the largest; every
-    // subsequent round moves fewer bytes), no driver state beyond the
-    // one convergence count per round, nothing quadratic. At 10¹¹
-    // edges the same loop runs with the edge frame bucketed on u so
-    // round one's first window is exchange-free.
+    // Scale: ONE full-edge exchange total (the initial degree
+    // aggregate); per round, one scan of the cached edge frame against
+    // the broadcast frontier whose aggregate carries only the
+    // frontier-incident edges, plus node-sized maintenance joins — the
+    // edge mass is never re-exchanged and never rewritten. No driver
+    // state beyond the one convergence count per round, nothing
+    // quadratic. At 10¹¹ edges the same loop runs with the edge frame
+    // bucketed on u so the initial degree aggregate is exchange-free.
     GraftQuery(
       "graph_k_core",
       (s, d) => {
@@ -1183,18 +1188,37 @@ object Graph extends QueryModule {
     * surviving nodes with their degree inside the core (≥ k by
     * definition, unless the core is empty).
     *
-    * Each round keeps the edges whose BOTH endpoint degrees are ≥ k —
-    * spelled engine-side as one degree aggregate plus two anti-joins
-    * against the under-k frontier (hash ops; the frontier is small
-    * after round 1, so AQE broadcasts and the surviving edge mass
-    * never re-exchanges), and oracle-side as two COUNT windows (the
-    * single-reference recurrence a linear CTE chain needs — deg of the
-    * destination is its row count as a source, by symmetry). The two
-    * spellings remove exactly the same edges each round. Convergence is
-    * detected by the edge count reaching a fixpoint; each round's frame
-    * is materialized via stageIterative (truncating the logical plan,
-    * so round N's analysis cost does not grow with N) and the previous
-    * round's cache is freed as soon as its successor is materialized.
+    * Peeling is DELTA-DEGREE (Matula–Beck by rounds): the node-sized
+    * (node, deg) frame is computed ONCE from the full edge mass, and
+    * each round subtracts, from every survivor, its count of edges into
+    * the round's under-k frontier. Per round that is ONE pass over the
+    * cached edges (a semi join against the broadcast-small frontier
+    * feeding a map-side-combined count whose agg input is only the
+    * frontier-incident edges) plus node-sized maintenance joins; the
+    * old spelling's full degree re-aggregate and two edge-mass
+    * anti-joins (three O(E) passes plus an O(E) cache write EVERY
+    * round) are gone. Subtraction against a stale edge frame stays
+    * exact — an edge whose far endpoint died in an EARLIER round can
+    * never decrement again (that endpoint is not in the current
+    * frontier; frontiers are disjoint) — which is what makes the edge
+    * cache rewrite OPTIONAL, so it happens geometrically, not per
+    * round: the frame is compacted to both-endpoints-alive edges only
+    * when the alive-node count has HALVED since the last compaction.
+    * Total compaction work telescopes to O(E) over the whole peel
+    * (each compaction reads a frame at most ~2× its output), while a
+    * fast-collapsing graph (the common case: one huge first peel, then
+    * a small cascading core) pays one compaction and scans a tiny
+    * frame for every later round. The ORACLE spells the identical
+    * round as two COUNT windows over the shrinking edge CTE (the
+    * single-reference recurrence a linear CTE chain needs): deg(x) < k
+    * there ⇔ x enters the frontier here, so both spellings peel
+    * exactly the same nodes each round. An empty frontier IS the
+    * fixpoint, and the surviving (node, deg) frame IS the answer — deg
+    * was maintained exactly, so no final re-aggregate over the edges
+    * either. Each round's node frame is materialized via stageIterative
+    * (truncating the logical plan, so round N's analysis cost does not
+    * grow with N) and the previous round's cache is freed as soon as
+    * its successor is materialized.
     */
   def kcore(edges: DataFrame, k: Int, maxRounds: Int = 64,
             width: Option[Int] = None): DataFrame = {
@@ -1211,40 +1235,66 @@ object Graph extends QueryModule {
       und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v"))))
     cur.count()
+    // the ONLY full degree aggregate: from here deg is maintained by
+    // per-round frontier-edge subtraction, never recomputed
+    var deg = Materialize.stageIterative(
+      cur.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    var alive = deg.count()
+    var lastCompact = alive
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      // The ORACLE spells each round as two degree windows (the
-      // single-reference recurrence its linear CTE chain needs); the
-      // engine computes the IDENTICAL round as a degree aggregate plus
-      // two anti-joins against the under-k frontier: deg(x) < k for an
-      // endpoint ⇔ the edge fails the window predicate. Hash agg + hash
-      // joins, no per-round sort of the edge frame — and `bad` is the
-      // PEEL FRONTIER (small after round 1; staged, so the degree agg
-      // runs once per round), so AQE broadcasts the anti-joins and the
-      // surviving edge mass never re-exchanges. An empty frontier IS
-      // the fixpoint — the loop exits without touching the edge frame.
-      val bad = Materialize.stageIterative(
-        cur.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") < k).select(col("u")))
-      if (bad.isEmpty) {
-        converged = true
-        bad.unpersist(blocking = false)
-      } else {
-        val next = Materialize.stageIterative(
-          cur.join(bad, Seq("u"), "left_anti")
-            .join(bad.select(col("u").as("v")), Seq("v"), "left_anti")
-            .select(col("u"), col("v")))
-        next.count() // materialize before freeing the frames it reads
-        bad.unpersist(blocking = false)
+      // ONE fused job per round. The frontier (deg < k) is a filter
+      // over the CACHED node frame — never staged, never a join: the
+      // survivors are just deg >= k, and a survivor x loses exactly
+      // its edges INTO the frontier — in the both-directions edge
+      // frame the rows (u=x, v∈frontier). Edges between two frontier
+      // nodes die with both endpoints and decrement no survivor, and
+      // edges whose far endpoint died in an EARLIER round can't fire
+      // again (disjoint frontiers) — so a stale, lazily-compacted cur
+      // is exact. Spelling the subtraction as survivors ∪ (-1 per
+      // frontier-incident edge) → sum groups the whole maintenance
+      // into ONE node-keyed exchange (the `_base` tag drops groups
+      // that are only decrements — frontier u's own rows); the edge
+      // mass itself moves nowhere (AQE broadcasts the frontier for
+      // the semi join).
+      val badV = deg.filter(col("deg") < k).select(col("u").as("v"))
+      val next = Materialize.stageIterative(
+        deg.filter(col("deg") >= k)
+          .select(col("u"), col("deg"), lit(1).as("_base"))
+          .unionByName(
+            cur.join(badV, Seq("v"), "left_semi")
+              .select(col("u"), lit(-1L).as("deg"), lit(0).as("_base")))
+          .groupBy(col("u"))
+          .agg(sum(col("deg")).as("deg"), max(col("_base")).as("_b"))
+          .filter(col("_b") === 1).select(col("u"), col("deg")))
+      val nextAlive = next.count() // materialize before freeing inputs
+      deg.unpersist(blocking = false)
+      deg = next
+      // the frontier was empty iff no node left the alive set — the
+      // materialization count doubles as the convergence probe, so no
+      // separate per-round frontier job exists
+      converged = nextAlive == alive
+      alive = nextAlive
+      // geometric compaction: once the alive set has halved since the
+      // last rewrite, drop dead edges so later rounds scan a frame
+      // proportional to the SURVIVORS — total rewrite work across the
+      // peel telescopes to O(E)
+      if (!converged && alive * 2 <= lastCompact) {
+        val compacted = Materialize.stageIterative(
+          cur.join(deg.select(col("u")), Seq("u"), "left_semi")
+            .join(deg.select(col("u").as("v")), Seq("v"), "left_semi"))
+        compacted.count()
         cur.unpersist(blocking = false)
-        cur = next
+        cur = compacted
+        lastCompact = alive
       }
     }
+    cur.unpersist(blocking = false)
     // a silent non-fixpoint would emit a superset of the core — fail loudly
     require(converged, s"k-core did not converge within $maxRounds rounds")
-    cur.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+    deg.select(col("u"), col("deg").as("core_deg"))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) over an

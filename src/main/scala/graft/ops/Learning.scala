@@ -329,6 +329,127 @@ object Learning extends QueryModule {
     // rows. Integer headroom: score terms are < 10⁸·c²·D, inside
     // DECIMAL(38,0) far beyond trillion-row corpora (ANSI mode would
     // fail loudly, never wrap).
+    // ───── fixed-round logistic regression: the iterative optimizer ─────
+    // The one classic ML family the module lacked (closed-form NB/kNN/
+    // stump and fixed-point-free kmeans don't exercise a GRADIENT loop):
+    // full-batch gradient descent distilling the rule-based quality gate
+    // (curate_quality_gate's ladder, per-mille-quantized) into a linear
+    // scorer — the fastText-style "learned filter replaces heuristics"
+    // step of a pretraining pipeline. R=4 unrolled rounds, LR=16, no RNG
+    // anywhere (the split is the module's doc_id residue).
+    //
+    // Determinism discipline (stricter than ml_kmeans' two IEEE ops —
+    // here exactly ONE inexact operation exists per example per round):
+    //   - features are INTEGERS: per-mille rates by positive floor
+    //     division, centered on the train mean and scaled by the train
+    //     mean-absolute-deviation (both integer floor-div statistics —
+    //     no sqrt, no libm), clamped to ±10 MADs,
+    //   - the link is the softsign surrogate σ̃(z) = 0.5 + 0.5·z/(1+|z|)
+    //     (a bona-fide monotone GLM link needing only +,×,÷,|·| — the
+    //     logistic σ needs exp, which is libm and non-portable): z =
+    //     (Σ Wⱼfⱼ)/2²⁴ is exact (integer dot product < 2⁵², then a
+    //     power-of-two scale), 0.5·(…) and +0.5 are exact power-of-two
+    //     ops, so the single rounding step is the division z/(1+|z|) —
+    //     one correctly-rounded IEEE op on identical inputs,
+    //   - σ̃ then QUANTIZES to floor(σ̃·2²⁰), so the gradient
+    //     gⱼ = Σᵢ (sᵢ − yᵢ·2²⁰)·fᵢⱼ is an EXACT integer sum (order-free
+    //     — a double sum here would be schedule-dependent), and the
+    //     weight update Wⱼ ← Wⱼ − ⌊LR·gⱼ / (n·2²⁰)⌋ is exact integer
+    //     floor division (Math.floorDiv here ≡ the sign-split CASE in
+    //     the oracle; bare `div`/`//` disagree on negatives between
+    //     engines).
+    //
+    // Scale shape (100 TB): the feature frame stages once; each round is
+    // ONE narrow pass + a map-side-combined aggregate collapsing to a
+    // single 5-number gradient row — the only driver action (ml_kmeans'
+    // K-rows-per-round pattern; zero corpus re-shuffles). Integer
+    // headroom: |gⱼ| ≤ n·2²⁰·10⁴ ≈ n·10¹⁰ — BIGINT-safe to ~10⁸·⁹ train
+    // docs; past that, pre-scale the residual by 2⁻⁴ (documented cap,
+    // same convention as ml_kmeans/NB).
+    GraftQuery(
+      "ml_logreg",
+      (s, d) => {
+        val R = 4; val LR = 16L
+        val S20 = 1048576L
+        val sw = TextAnalysis.inList(TextAnalysis.stop("en"))
+        val m = graft.Materialize.stage(Tables.documents(s, d)
+          .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+          .withColumn("nt", size(col("toks")).cast("long"))
+          .withColumn("x1", expr("LEAST(nt, 1000)"))
+          .withColumn("x2", expr("CASE WHEN nt = 0 THEN CAST(0 AS BIGINT) " +
+            s"ELSE (1000 * size(filter(toks, t -> t IN $sw))) div nt END"))
+          .withColumn("x3", expr("CASE WHEN length(text) = 0 THEN " +
+            "CAST(0 AS BIGINT) ELSE (CAST(1000 AS BIGINT) * " +
+            "length(regexp_replace(text, '[^a-zA-Z]', ''))) " +
+            "div length(text) END"))
+          .withColumn("x4", expr("CASE WHEN nt < 2 THEN CAST(0 AS BIGINT) " +
+            "ELSE (1000 * ((nt - 1) - size(array_distinct(" +
+            "transform(sequence(0, size(toks) - 2), i -> " +
+            "concat(toks[i], ' ', toks[i+1])))))) div (nt - 1) END"))
+          // the per-mille-quantized gate verdict (floor(1000q) < t ⟺
+          // q < t/1000 exactly for swr/ar; the dup arm tolerates a ≤1‰
+          // quantization band — the label is self-consistently defined
+          // from the same integers both engines compute)
+          .withColumn("y", expr("CAST(CASE WHEN nt < 20 OR x2 < 20 OR " +
+            "x3 < 810 OR x4 > 80 THEN 0 ELSE 1 END AS BIGINT)"))
+          .withColumn("is_train", col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("is_train"), col("y"),
+            col("x1"), col("x2"), col("x3"), col("x4")))
+        val tr = m.filter(col("is_train"))
+        val st = tr.agg(count(lit(1)).as("n"),
+          sum(col("x1")).cast("long"), sum(col("x2")).cast("long"),
+          sum(col("x3")).cast("long"), sum(col("x4")).cast("long")).head()
+        val n = st.getLong(0)
+        val mu = (1 to 4).map(j => st.getLong(j) / n) // positive: div = floor
+        val madRow = tr.agg(
+          sum(abs(col("x1") - lit(mu(0)))).cast("long"),
+          sum(abs(col("x2") - lit(mu(1)))).cast("long"),
+          sum(abs(col("x3") - lit(mu(2)))).cast("long"),
+          sum(abs(col("x4") - lit(mu(3)))).cast("long")).head()
+        val mad = (0 to 3).map(j => math.max(1L, madRow.getLong(j) / n))
+        // standardized features as expressions over literal stats: the
+        // double-floor spelling of floor division is exact here (|1000·
+        // (x−μ)| ≤ 10⁶ ≪ 2⁵², and a ratio of ints with denominator
+        // ≤ 10⁶ is never within an ulp of a wrong integer)
+        def fExpr(j: Int): String =
+          if (j == 0) "CAST(1000 AS BIGINT)"
+          else s"GREATEST(CAST(-10000 AS BIGINT), LEAST(CAST(10000 AS BIGINT), " +
+            s"CAST(floor(CAST(1000 * (x$j - ${mu(j - 1)}) AS DOUBLE) / " +
+            s"${mad(j - 1)}) AS BIGINT)))"
+        val withF = (0 to 4).foldLeft(m)((df, j) =>
+          df.withColumn(s"f$j", expr(fExpr(j))))
+        val W = Array.fill(5)(0L)
+        def zFp: String = (0 to 4).map(j => s"${W(j)} * f$j").mkString(" + ")
+        (1 to R).foreach { _ =>
+          val g = withF.filter(col("is_train"))
+            .withColumn("z", expr(s"CAST($zFp AS DOUBLE) / 16777216.0"))
+            .withColumn("sg", expr("CAST(floor((0.5 + 0.5 * " +
+              "(z / (1.0 + abs(z)))) * 1048576.0) AS BIGINT)"))
+            .withColumn("res", col("sg") - col("y") * lit(S20))
+            .agg(sum(expr("res * f0")).cast("long"),
+              sum(expr("res * f1")).cast("long"),
+              sum(expr("res * f2")).cast("long"),
+              sum(expr("res * f3")).cast("long"),
+              sum(expr("res * f4")).cast("long")).head()
+          (0 to 4).foreach { j =>
+            W(j) -= Math.floorDiv(LR * g.getLong(j), n * S20)
+          }
+        }
+        val mets = withF.filter(!col("is_train"))
+          .withColumn("pred",
+            expr(s"CAST(CASE WHEN $zFp > 0 THEN 1 ELSE 0 END AS BIGINT)"))
+          .agg(count(lit(1)).cast("long").as("n_holdout"),
+            sum(when(col("pred") =!= col("y"), 1L).otherwise(0L))
+              .cast("long").as("holdout_err"))
+        import s.implicits._
+        val wdf = (0 to 4).map(j => (j.toLong, W(j),
+          if (j == 0) 0L else mu(j - 1),
+          if (j == 0) 1L else mad(j - 1)))
+          .toDF("j", "w_fp", "mu", "mad")
+        wdf.crossJoin(broadcast(mets)).orderBy(col("j"))
+      },
+      Some(logregOracle(R = 4, LR = 16))),
+
     GraftQuery(
       "ml_kmeans",
       (s, d) => {
@@ -391,6 +512,113 @@ object Learning extends QueryModule {
       },
       Some(kmeansOracle(K = 8, R = 3, D = 64)))
   )
+
+  /** The `ml_logreg` gradient recurrence unrolled as plain SQL (fixed
+    * horizon, no recursion): weights live as one-row wide CTEs
+    * `w0..wR`, each round is project-z → quantize-σ̃ → integer gradient
+    * → sign-split exact floor-division update. The single inexact
+    * operation per (example, round) is the softsign division — the
+    * same correctly-rounded IEEE op on the same double as Spark's.
+    * BIGINT everywhere (HUGEINT sums cast back); `//` on non-negative
+    * operands is floor division in DuckDB exactly as `div` truncation
+    * is for Spark's non-negative operands, and the one signed division
+    * (the update) is spelled with an explicit sign split so both
+    * engines floor identically.
+    */
+  private def logregOracle(R: Int, LR: Int): String = {
+    val sw = TextAnalysis.inList(TextAnalysis.stop("en"))
+    def fdiv(num: String, den: String): String =
+      s"CASE WHEN ($num) >= 0 THEN ($num) // ($den) " +
+        s"ELSE -((-($num) + ($den) - 1) // ($den)) END"
+    def round(r: Int): String = {
+      val zfp = (0 to 4).map(j => s"f$j * w$j").mkString(" + ")
+      val gs = (0 to 4).map(j =>
+        s"CAST(SUM((sg - y * 1048576) * f$j) AS BIGINT) AS g$j").mkString(", ")
+      val ws = (0 to 4).map(j =>
+        s"w$j - (${fdiv(s"$LR * g$j", "n * 1048576")}) AS w$j").mkString(", ")
+      s"""
+        p$r AS (SELECT f.*, CAST($zfp AS DOUBLE) / 16777216.0 AS z
+                FROM f CROSS JOIN w${r - 1} WHERE f.is_train),
+        s$r AS (SELECT p$r.*, CAST(floor((0.5 + 0.5 * (z / (1.0 + abs(z))))
+                  * 1048576.0) AS BIGINT) AS sg FROM p$r),
+        g$r AS (SELECT $gs FROM s$r),
+        w$r AS (SELECT $ws FROM w${r - 1} CROSS JOIN g$r CROSS JOIN nn)"""
+    }
+    val zfpFinal = (0 to 4).map(j => s"f$j * w$j").mkString(" + ")
+    s"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        raw AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+                 LEAST(CAST(len(toks) AS BIGINT), 1000) AS x1,
+                 CAST(CASE WHEN len(toks) = 0 THEN 0
+                      ELSE (1000 * len(list_filter(toks, x -> x IN $sw)))
+                           // len(toks) END AS BIGINT) AS x2,
+                 CAST(CASE WHEN length(text) = 0 THEN 0
+                      ELSE (1000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
+                           // length(text) END AS BIGINT) AS x3,
+                 CAST(CASE WHEN len(toks) < 2 THEN 0
+                      ELSE (1000 * ((len(toks) - 1) - len(list_distinct(
+                             list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])))))
+                           // (len(toks) - 1) END AS BIGINT) AS x4
+          FROM t),
+        lab AS (
+          SELECT doc_id, doc_id % 5 <> 0 AS is_train, x1, x2, x3, x4,
+                 CAST(CASE WHEN nt < 20 OR x2 < 20 OR x3 < 810 OR x4 > 80
+                      THEN 0 ELSE 1 END AS BIGINT) AS y
+          FROM raw),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab WHERE is_train),
+        mu AS (
+          SELECT CAST(SUM(x1) // COUNT(*) AS BIGINT) AS mu1,
+                 CAST(SUM(x2) // COUNT(*) AS BIGINT) AS mu2,
+                 CAST(SUM(x3) // COUNT(*) AS BIGINT) AS mu3,
+                 CAST(SUM(x4) // COUNT(*) AS BIGINT) AS mu4
+          FROM lab WHERE is_train),
+        md AS (
+          SELECT GREATEST(CAST(1 AS BIGINT), CAST(SUM(abs(x1 - mu1)) // COUNT(*) AS BIGINT)) AS mad1,
+                 GREATEST(CAST(1 AS BIGINT), CAST(SUM(abs(x2 - mu2)) // COUNT(*) AS BIGINT)) AS mad2,
+                 GREATEST(CAST(1 AS BIGINT), CAST(SUM(abs(x3 - mu3)) // COUNT(*) AS BIGINT)) AS mad3,
+                 GREATEST(CAST(1 AS BIGINT), CAST(SUM(abs(x4 - mu4)) // COUNT(*) AS BIGINT)) AS mad4
+          FROM lab CROSS JOIN mu WHERE is_train),
+        f AS (
+          SELECT doc_id, is_train, y, CAST(1000 AS BIGINT) AS f0,
+                 GREATEST(CAST(-10000 AS BIGINT), LEAST(CAST(10000 AS BIGINT),
+                   CAST(floor(CAST(1000 * (x1 - mu1) AS DOUBLE) / mad1) AS BIGINT))) AS f1,
+                 GREATEST(CAST(-10000 AS BIGINT), LEAST(CAST(10000 AS BIGINT),
+                   CAST(floor(CAST(1000 * (x2 - mu2) AS DOUBLE) / mad2) AS BIGINT))) AS f2,
+                 GREATEST(CAST(-10000 AS BIGINT), LEAST(CAST(10000 AS BIGINT),
+                   CAST(floor(CAST(1000 * (x3 - mu3) AS DOUBLE) / mad3) AS BIGINT))) AS f3,
+                 GREATEST(CAST(-10000 AS BIGINT), LEAST(CAST(10000 AS BIGINT),
+                   CAST(floor(CAST(1000 * (x4 - mu4) AS DOUBLE) / mad4) AS BIGINT))) AS f4
+          FROM lab CROSS JOIN mu CROSS JOIN md),
+        w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                      CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+                      CAST(0 AS BIGINT) AS w4),${(1 to R).map(round).mkString(",")},
+        mets AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout,
+                 CAST(COUNT(*) FILTER (WHERE
+                   (CASE WHEN $zfpFinal > 0 THEN 1 ELSE 0 END) <> y)
+                   AS BIGINT) AS holdout_err
+          FROM f CROSS JOIN w$R WHERE NOT is_train),
+        ws AS (${(0 to 4).map(j =>
+            s"SELECT CAST($j AS BIGINT) AS j, w$j AS w_fp FROM w$R")
+            .mkString(" UNION ALL ")}),
+        wstats AS (
+          SELECT CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS mu,
+                 CAST(1 AS BIGINT) AS mad
+          UNION ALL SELECT 1, mu1, mad1 FROM mu CROSS JOIN md
+          UNION ALL SELECT 2, mu2, mad2 FROM mu CROSS JOIN md
+          UNION ALL SELECT 3, mu3, mad3 FROM mu CROSS JOIN md
+          UNION ALL SELECT 4, mu4, mad4 FROM mu CROSS JOIN md)
+        SELECT ws.j, ws.w_fp, wstats.mu, wstats.mad,
+               mets.n_holdout, mets.holdout_err
+        FROM ws JOIN wstats USING (j) CROSS JOIN mets
+        ORDER BY ws.j
+      """
+  }
 
   /** The `ml_kmeans` recurrence unrolled as plain SQL (fixed horizon —
     * graph_pagerank's pattern, no recursion): centroids live as

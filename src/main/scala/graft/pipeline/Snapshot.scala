@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, when}
   * {{{
   *   dir/v00000007-3fa94c12/_bucket=3/  parquet for bucket 3, written
   *                                      by version 7's winning ATTEMPT
-  *   dir/_commits/v00000007             commit-log entry: created once
-  *                                      (the CAS), content = manifest
+  *   dir/_commits/.m-v00000007-3fa94c12 the attempt's MANIFEST, fully
+  *                                      written+closed BEFORE the CAS
+  *   dir/_commits/v00000007             commit marker: created once
+  *                                      (the CAS), content = the 16-hex
+  *                                      token of the winning attempt
   *   dir/_claims/v00000007              advisory writer claim (fast
   *                                      fail only — never correctness)
   * }}}
@@ -28,26 +31,63 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, when}
   * commit's manifest records, for every bucket, which data dir holds
   * its current rows, and readers union exactly those leaf dirs.
   *
-  * Commit protocol (true compare-and-swap, the Delta/Iceberg-log
-  * shape): versions are CONTIGUOUS — every commit is exactly
-  * head + 1 — and the commit-log entry `_commits/vNNNNNNNN` is written
-  * with create-once semantics, so of all writers that merged from the
-  * same head, exactly ONE can ever publish the next version; every
-  * other contender gets a loud [[ConcurrentWriteException]] at the
-  * create and retries against the new head. There is no
-  * validate-then-publish window: the atomic create IS the validation.
-  * Two same-slot attempts can also never mix files, because each
-  * attempt writes its data into its own `vNNNNNNNN-<token>` dir and
-  * only the winning manifest's dirs are ever read; a loser's dir is an
-  * invisible orphan swept by retention. No rename anywhere (S3A-safe).
+  * Commit protocol (compare-and-swap on the marker, the Delta/Iceberg-
+  * log shape): versions are CONTIGUOUS — every commit is exactly
+  * head + 1. Each attempt first writes its FULL manifest to a private
+  * file (`_commits/.m-vNNNNNNNN-<token>`, no contention possible),
+  * then races for the slot by creating `_commits/vNNNNNNNN` with
+  * create-once semantics and writing only its 16-hex token into it.
+  * Of all writers that merged from the same head, exactly ONE create
+  * succeeds; every other contender gets a loud
+  * [[ConcurrentWriteException]] at the create and retries against the
+  * new head. There is no validate-then-publish window: the atomic
+  * create IS the validation (plus one read-back, below). Two same-slot
+  * attempts can never mix files, because each attempt writes its data
+  * into its own `vNNNNNNNN-<token>` dir and only the winning token's
+  * manifest is ever read; a loser's dir and manifest are invisible
+  * orphans swept by retention. Data dirs never rename.
+  *
+  * FILESYSTEM CONTRACT (probed, not assumed): the marker CAS is only a
+  * CAS where `FileSystem.create(path, overwrite = false)` is ATOMIC
+  * create-once — true on local, HDFS, and ABFS; NOT true on S3A (and
+  * object stores generally), where create-no-overwrite is an existence
+  * HEAD at `create()` with the object PUT at `close()`, so two
+  * same-slot writers can both "win" and the last close silently
+  * overwrites the first. Every write therefore probes the dir's URI
+  * scheme against a known-atomic allow list (`file hdfs viewfs
+  * webhdfs abfs abfss`) and REFUSES anything else loudly before
+  * touching the store. Deployments on a filesystem that does guarantee
+  * atomic create-once (or that route commits through a conditional-PUT
+  * / commit-service layer, the Delta/Iceberg answer on S3) extend the
+  * list via `spark.graft.snapshot.atomicCreateSchemes`; a genuinely
+  * single-writer S3 deployment may do the same, accepting that the
+  * multi-writer guarantee is then the deployer's, not the store's.
   *
   * Crash safety: a writer crashing before its marker create leaves
-  * only an invisible orphan dir. A writer crashing INSIDE the marker
-  * write (after the create, before the content lands — a sub-
-  * millisecond window on a <1 KB file) leaves a torn log entry; that
-  * version reads back with a loud repair message (delete the torn
-  * entry to reopen the slot), never a silent partial snapshot, and
-  * later writers allocate PAST it so the store keeps committing.
+  * only invisible orphans (its attempt dir and manifest file). A
+  * writer crashing INSIDE the marker write (after the create, before
+  * the 16-byte token lands — a sub-millisecond window) leaves an
+  * empty marker, which readers and writers treat as an IN-FLIGHT
+  * commit, never a torn store: readers serve the previous version
+  * (the manifest itself is already safe in its own file, so no
+  * manifest content can ever be half-written), and writers refuse the
+  * slot loudly while the marker is younger than
+  * `spark.graft.snapshot.commitGraceMs` (default 5 min), then
+  * AUTO-HEAL — re-verify emptiness and delete the abandoned marker,
+  * reopening the slot — so the store keeps committing with no manual
+  * repair step. To settle the one interleave healing leaves open (a
+  * writer stalled past the grace window whose token-write completes in
+  * the microseconds between the healer's emptiness re-read and its
+  * delete), every committer READS ITS MARKER BACK after close and
+  * treats any token but its own as a loss: of two writers whose
+  * marker writes ever overlapped a heal, at most one can see its own
+  * token, so at most one ever reports success. The residual is a
+  * stalled writer whose completed commit a healer erases after it
+  * already read back — two adjacent metadata calls wide, after a
+  * ≥ grace-window stall inside a 16-byte write — and even then the
+  * healer re-commits from the same head, so the store never tears;
+  * the loss is confined to the stalled writer's delta, which an
+  * at-least-once caller redelivers under the same txn.
   *
   * Replay idempotence: the caller's `version` argument is a
   * TRANSACTION id (a streaming batchId), recorded in the manifest as
@@ -112,6 +152,75 @@ object SnapshotStore {
   private def markerPath(dir: String, v: Long): Path =
     new Path(s"$dir/_commits/${versionName(v)}")
 
+  /** An attempt's manifest file: dot-prefixed (never a version match),
+    * private to its token (no contention), fully written BEFORE the
+    * marker CAS so no committed version's manifest can be half-written.
+    */
+  private def manifestPath(dir: String, v: Long, token: String): Path =
+    new Path(s"$dir/_commits/.m-${versionName(v)}-$token")
+
+  private val tokenPat = "[0-9a-f]{16}".r
+
+  /** The winning attempt's token inside a commit marker: None when the
+    * marker is absent, unreadable, or does not carry a complete token —
+    * the last meaning an IN-FLIGHT (or abandoned) commit whose writer
+    * has created the marker but whose 16-byte token write has not
+    * landed. Callers distinguish absent from in-flight via `exists`.
+    */
+  private def markerToken(f: FileSystem, p: Path): Option[String] =
+    try {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(s).filter(tokenPat.matches(_))
+    } catch { case _: java.io.IOException => None }
+
+  private def markerAgeMs(f: FileSystem, p: Path): Long =
+    try System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+    catch { case _: java.io.IOException => Long.MaxValue }
+
+  /** Highest COMMITTED version: the top marker carrying a winner token.
+    * By the contiguous-slot invariant only the topmost marker can be
+    * token-less (an in-flight commit at head+1 — no later slot can
+    * exist until it resolves), so this reads at most a couple of
+    * marker files, never O(history).
+    */
+  private def resolvedHead(f: FileSystem, dir: String): Option[Long] = {
+    val commits = new Path(s"$dir/_commits")
+    if (!f.exists(commits)) return None
+    f.listStatus(commits).map(_.getPath.getName)
+      .collect { case versionPat(n) => n.toLong }
+      .sorted.reverseIterator
+      .find(v => markerToken(f, markerPath(dir, v)).isDefined)
+  }
+
+  private val knownAtomicCreateSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "abfs", "abfss")
+
+  /** Refuse to write through a filesystem whose `create(overwrite =
+    * false)` is not atomic create-once — the marker CAS's entire
+    * correctness (see the class doc's FILESYSTEM CONTRACT). S3A and
+    * object stores generally implement it as check-then-create, which
+    * reopens the lost-update this store exists to close.
+    */
+  private def requireAtomicCreate(spark: SparkSession, f: FileSystem,
+                                  dir: String): Unit = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file").toLowerCase
+    val extra = spark.conf
+      .get("spark.graft.snapshot.atomicCreateSchemes", "")
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    if (!(knownAtomicCreateSchemes ++ extra)(scheme))
+      throw new IllegalStateException(
+        s"snapshot store at $dir sits on scheme '$scheme', which is not " +
+          "known to provide ATOMIC create-once — on S3A-like object " +
+          "stores create(overwrite=false) is an existence HEAD at " +
+          "create() with the PUT at close(), so two same-slot committers " +
+          "can both pass and the commit CAS silently loses an update. " +
+          "Route commits through a conditional-PUT/commit-service layer, " +
+          "or — if this filesystem does guarantee atomic create-once, or " +
+          "the deployment is provably single-writer — allow the scheme " +
+          "via spark.graft.snapshot.atomicCreateSchemes")
+  }
+
   private def bucketDirName(b: Int): String = s"_bucket=$b"
 
   private def bucketPath(dir: String, owningDir: String, b: Int): String =
@@ -138,16 +247,12 @@ object SnapshotStore {
     n
   }
 
-  /** Highest committed version, if any commit exists. */
-  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val commits = new Path(s"$dir/_commits")
-    val f = fs(spark, dir)
-    if (!f.exists(commits)) None
-    else f.listStatus(commits)
-      .map(_.getPath.getName)
-      .collect { case versionPat(n) => n.toLong }
-      .reduceOption(_ max _)
-  }
+  /** Highest committed version, if any commit exists. An in-flight
+    * commit (marker created, token not yet landed) is NOT committed:
+    * readers keep serving the previous version until the token lands.
+    */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    resolvedHead(fs(spark, dir), dir)
 
   /** The head's recorded transaction id (None before the first commit)
     * — the high-water mark a lagging exactly-once caller compares its
@@ -161,9 +266,22 @@ object SnapshotStore {
   def manifest(spark: SparkSession, dir: String): Option[Manifest] =
     latestVersion(spark, dir).map(readManifest(fs(spark, dir), dir, _))
 
-  private def readManifest(f: FileSystem, dir: String, v: Long): Manifest =
+  private def readManifest(f: FileSystem, dir: String, v: Long): Manifest = {
+    val mp = markerPath(dir, v)
+    val token = markerToken(f, mp).getOrElse {
+      if (!f.exists(mp)) // absent marker: caller's bug, same as before
+        throw new java.io.FileNotFoundException(
+          s"no commit marker for version $v in $dir")
+      throw new IllegalStateException(
+        s"version $v of $dir has an IN-FLIGHT (or abandoned) commit: its " +
+          s"marker exists but carries no winner token yet (age " +
+          s"${markerAgeMs(f, mp) / 1000}s). Readers serve the previous " +
+          "version; a writer reopens the slot automatically once the " +
+          "marker outlives spark.graft.snapshot.commitGraceMs. Do NOT " +
+          "delete the marker by hand unless the writer is confirmed dead.")
+    }
     try {
-      val in = f.open(markerPath(dir, v))
+      val in = f.open(manifestPath(dir, v, token))
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
@@ -179,15 +297,14 @@ object SnapshotStore {
           b.toInt -> dn
         }.toMap, mode, txn)
     } catch {
-      case e: java.io.IOException => throw e // marker absent: caller's bug
       case e: Exception => throw new IllegalStateException(
-        s"commit-log entry ${markerPath(dir, v)} is torn or unparseable " +
-          "— its writer crashed between the create and the content " +
-          s"landing. The version is unreadable but LOUDLY so; repair by " +
-          "deleting the torn entry (its data dir is an orphan that " +
-          "retention sweeps), which reopens the slot for the next commit.",
+        s"manifest ${manifestPath(dir, v, token)} for COMMITTED version " +
+          s"$v is missing or unparseable — the manifest is fully written " +
+          "and closed before the commit marker, so this indicates " +
+          "external damage to the _commits dir, not a crashed writer.",
         e)
     }
+  }
 
   private def renderManifest(m: Manifest): Array[Byte] =
     (Seq(s"buckets=${m.numBuckets}", s"txn=${m.txn}") ++
@@ -225,8 +342,15 @@ object SnapshotStore {
     val commits = new Path(s"$dir/_commits")
     val f = fs(spark, dir)
     if (!f.exists(commits)) Seq.empty
-    else f.listStatus(commits).map(_.getPath.getName)
-      .collect { case versionPat(n) => n.toLong }.toSeq.sorted
+    else {
+      val all = f.listStatus(commits).map(_.getPath.getName)
+        .collect { case versionPat(n) => n.toLong }.toSeq.sorted
+      // only the topmost marker can be in-flight (contiguous slots);
+      // it is not a committed version until its token lands
+      if (all.nonEmpty &&
+          markerToken(f, markerPath(dir, all.last)).isEmpty) all.init
+      else all
+    }
   }
 
   /** The snapshot AS OF committed `version` (time travel): the union of
@@ -328,6 +452,9 @@ object SnapshotStore {
                     numBuckets: Option[Int] = None): Unit = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val f = fs(spark, dir)
+    // the CAS below is only a CAS on atomic-create filesystems — refuse
+    // object stores loudly before touching anything (class doc contract)
+    requireAtomicCreate(spark, f, dir)
     val latest = latestVersion(spark, dir)
     val head = latest.map(readManifest(f, dir, _))
     head.map(_.txn).foreach { t =>
@@ -341,6 +468,26 @@ object SnapshotStore {
     // merged from this head races for exactly this slot
     val slot = latest.map(_ + 1).getOrElse(0L)
     val token = newToken()
+    // a token-less marker at the slot is another writer's commit caught
+    // between create and token-land: in-flight while younger than the
+    // grace window (refuse loudly — it will resolve in milliseconds
+    // unless that writer died), abandoned once older (heal: re-verify
+    // emptiness and delete, reopening the slot — the read-back verify
+    // after OUR close settles the stalled-writer interleave, class doc)
+    val slotMarker = markerPath(dir, slot)
+    if (f.exists(slotMarker) && markerToken(f, slotMarker).isEmpty) {
+      val graceMs = spark.conf
+        .getOption("spark.graft.snapshot.commitGraceMs")
+        .map(_.toLong).getOrElse(5L * 60 * 1000)
+      val age = markerAgeMs(f, slotMarker)
+      if (age >= graceMs) {
+        if (markerToken(f, slotMarker).isEmpty) f.delete(slotMarker, false)
+      } else throw new ConcurrentWriteException(
+        s"version $slot of $dir has an in-flight commit (marker age " +
+          s"${age / 1000}s < grace ${graceMs / 1000}s) — another writer " +
+          "is publishing this slot; retry once it lands or the grace " +
+          "window passes (abandoned markers heal automatically)")
+    }
 
     // advisory claim: fail a contender fast, before it pays for a
     // doomed merge (correctness is the marker CAS below, never this)
@@ -457,15 +604,23 @@ object SnapshotStore {
       val manifest = Manifest(nBuckets,
         head.map(_.buckets).getOrElse(Map.empty) ++
           owned.map(_ -> attemptName), Some(mode), version)
-      // THE COMMIT — a single atomic create-once of the log entry. Of
-      // every writer that merged from this head, exactly one create
-      // succeeds; the rest fail loudly right here with their data
-      // stranded in invisible orphan dirs. No separate validation step
-      // exists to race past: losing writers include a TTL-reclaimed
-      // original that resumed after its reclaimer already published.
       f.mkdirs(new Path(s"$dir/_commits"))
+      // Manifest FIRST, into this attempt's private file: fully written
+      // and closed before the CAS, so no committed version's manifest
+      // can ever be half-written (a loser's manifest is an invisible
+      // orphan swept with its data dir).
+      val mOut = f.create(manifestPath(dir, slot, token), false)
+      try mOut.write(renderManifest(manifest)) finally mOut.close()
+      // THE COMMIT — a single atomic create-once of the marker, whose
+      // only content is this attempt's token. Of every writer that
+      // merged from this head, exactly one create succeeds; the rest
+      // fail loudly right here with their data stranded in invisible
+      // orphan dirs. No separate validation step exists to race past:
+      // losing writers include a TTL-reclaimed original that resumed
+      // after its reclaimer already published.
+      val mp = markerPath(dir, slot)
       val out =
-        try f.create(markerPath(dir, slot), false)
+        try f.create(mp, false)
         catch {
           case e: java.io.IOException =>
             throw new ConcurrentWriteException(
@@ -475,7 +630,28 @@ object SnapshotStore {
                 "this merge is stale; re-run the upsert against the new " +
                 s"head with a fresh txn ($e)")
         }
-      try out.write(renderManifest(manifest)) finally out.close()
+      try {
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+      } catch {
+        case e: java.io.IOException =>
+          // token-write failure: if our token actually landed the commit
+          // is complete (fall through); otherwise self-heal the empty
+          // marker NOW so the slot reopens immediately, not after grace
+          if (!markerToken(f, mp).contains(token)) {
+            if (markerToken(f, mp).isEmpty) f.delete(mp, false)
+            throw e
+          }
+      }
+      // Read-back verify — settles the grace-heal interleave (class
+      // doc): if a healer reclaimed this marker mid-stall, the content
+      // now carries ITS token and this writer must report a loss, not a
+      // success, or two writers would both believe they committed.
+      if (!markerToken(f, mp).contains(token))
+        throw new ConcurrentWriteException(
+          s"commit marker for version $slot of $dir was grace-reclaimed " +
+            "while this writer stalled inside its token write — another " +
+            "writer healed the slot and published; this merge is stale, " +
+            "re-run the upsert against the new head with a fresh txn")
       pruneData(spark, dir, retain)
     } finally tagged.unpersist()
     } finally {
@@ -740,12 +916,17 @@ object SnapshotStore {
   /** Whether a span can be read incrementally: both versions committed
     * AND their churned data still inside the retention window. Lets a
     * caller choose a full-rebuild fallback instead of hitting
-    * `changes`/`maintainAgg`'s loud refusal.
+    * `changes`/`maintainAgg`'s loud refusal. An in-flight or damaged
+    * commit entry (IllegalStateException) also answers false — the
+    * caller's full rebuild is the right response to both.
     */
   def spanReadable(spark: SparkSession, dir: String,
                    fromVersion: Long, toVersion: Long): Boolean =
     try { spanChurn(fs(spark, dir), spark, dir, fromVersion, toVersion); true }
-    catch { case _: IllegalArgumentException => false }
+    catch {
+      case _: IllegalArgumentException => false
+      case _: IllegalStateException    => false
+    }
 
   /** Incrementally maintain a grouped count-and-sums aggregate view
     * across a version span — the materialized-view counterpart of
@@ -908,16 +1089,24 @@ object SnapshotStore {
     * removed the same way once their slot falls below the retention
     * horizon.
     */
+  private val manifestFilePat = "\\.m-v(\\d{8,})-([0-9a-f]+)".r
+
   private def pruneData(spark: SparkSession, dir: String, retain: Int): Unit = {
     val f = fs(spark, dir)
     val commits = new Path(s"$dir/_commits")
-    val committed = f.listStatus(commits).map(_.getPath.getName)
-      .collect { case versionPat(n) => n.toLong }
-    val retained = committed.sorted.takeRight(retain)
+    val names = f.listStatus(commits).map(_.getPath.getName)
+    val markers = names.collect { case versionPat(n) => n.toLong }.sorted
+    // only the topmost marker can be token-less (an in-flight commit);
+    // it must not advance the retention cutoff
+    val committed =
+      if (markers.nonEmpty &&
+          markerToken(f, markerPath(dir, markers.last)).isEmpty)
+        markers.init
+      else markers
+    val retained = committed.takeRight(retain)
     val cutoff = retained.min
-    // (owning dir, bucket) pairs some retained manifest still reads; a
-    // torn entry inside the window owns nothing (its data was never
-    // visible)
+    // (owning dir, bucket) pairs some retained manifest still reads; an
+    // in-flight entry inside the window owns nothing (never visible)
     val referenced: Set[(String, Int)] = retained.flatMap { v =>
       try readManifest(f, dir, v).buckets.toSeq.map { case (b, dn) => (dn, b) }
       catch { case _: IllegalStateException => Seq.empty }
@@ -939,5 +1128,16 @@ object SnapshotStore {
           if (f.listStatus(p).isEmpty) f.delete(p, true)
         }
       }
+    // LOSER manifest files (a lost CAS race's orphan) below the horizon:
+    // tiny but unbounded over a store's life. A WINNING version's
+    // manifest lives forever — the commit log stays auditable — so only
+    // files whose token differs from their slot's winner are swept
+    // (token reads are bounded by the losers present, normally zero).
+    names.foreach {
+      case nm @ manifestFilePat(n, tok) if n.toLong < cutoff =>
+        if (!markerToken(f, markerPath(dir, n.toLong)).contains(tok))
+          f.delete(new Path(s"$dir/_commits/$nm"), false)
+      case _ => ()
+    }
   }
 }

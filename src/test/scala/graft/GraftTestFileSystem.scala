@@ -24,6 +24,53 @@ class GraftTestFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "graftfs"
   override def getUri: URI = URI.create("graftfs:///")
 
+  // S3A create semantics: create(overwrite = false) is an existence
+  // HEAD at create() with the object PUT at close(), so a second
+  // same-path writer passes the "no-overwrite" check and the last
+  // close silently replaces the first — the exact non-atomicity that
+  // breaks a create-once CAS on object stores. Emulated by forcing
+  // overwrite in BOTH public create variants (FileSystem.create(Path,
+  // boolean) routes to the non-permission one on RawLocalFileSystem).
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f,
+      overwrite || GraftTestFileSystem.createIsCheckThenAct,
+      bufferSize, replication, blockSize, progress)
+
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, permission,
+      overwrite || GraftTestFileSystem.createIsCheckThenAct,
+      bufferSize, replication, blockSize, progress)
+
+  // Every create variant funnels through here AFTER its exists-check,
+  // with the file just opened on disk: the one-shot stall below fakes
+  // a writer that created its commit marker and then GC-paused before
+  // its token write (SnapshotSpec's grace-heal race).
+  override protected def createOutputStreamWithMode(f: Path,
+      append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission)
+      : java.io.OutputStream = {
+    val out = super.createOutputStreamWithMode(f, append, permission)
+    GraftTestFileSystem.stallCreateWhenPathContains.foreach {
+      case (tag, gate) =>
+        if (f.toString.contains(tag)) {
+          GraftTestFileSystem.stallCreateWhenPathContains = None
+          var waited = 0
+          while (!new java.io.File(gate).exists() && waited < 60000) {
+            Thread.sleep(20); waited += 20
+          }
+        }
+    }
+    out
+  }
+
   override def rename(src: Path, dst: Path): Boolean = {
     if (!GraftTestFileSystem.renameIsCopyDelete) super.rename(src, dst)
     else {
@@ -51,6 +98,16 @@ class GraftTestFileSystem extends RawLocalFileSystem {
 object GraftTestFileSystem {
   /** Emulate S3A: rename = copy bytes + delete source (non-atomic). */
   @volatile var renameIsCopyDelete: Boolean = false
+  /** Emulate S3A: create(overwrite=false) is check-then-create, so two
+    * same-path writers both succeed (no atomic create-once).
+    */
+  @volatile var createIsCheckThenAct: Boolean = false
+  /** One-shot: the next create whose path contains `_1` blocks (file
+    * already created, content not yet writable by the caller) until the
+    * gate file `_2` appears — fakes a writer stalled between its marker
+    * create and its token write.
+    */
+  @volatile var stallCreateWhenPathContains: Option[(String, String)] = None
   /** One-shot: the next copy-delete rename whose DESTINATION contains
     * this substring throws after the copy (scopes the simulated crash to
     * e.g. the archival rename, not Spark's own commit renames).

@@ -112,6 +112,81 @@ class LearningSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("holdout_err")) === holdErr)
   }
 
+  test("ml_logreg replays exactly in Long fixed point; holdout beats majority") {
+    // Full Scala replay of the gradient protocol (the NB-replay pattern):
+    // identical integer features, the single softsign IEEE division on
+    // the same doubles, exact integer gradient sums, Math.floorDiv
+    // updates — the query's weights, stats, and holdout metrics must be
+    // BIT-IDENTICAL. Then the sanity bar: holdout accuracy must beat
+    // predicting the majority class.
+    val stopEn = Set("the", "a", "of", "and", "to")
+    val S20 = 1048576L
+    def feats(text: String): (Array[Long], Long) = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val x1 = math.min(nt, 1000L)
+      val x2 = if (nt == 0) 0L else 1000L * toks.count(stopEn) / nt
+      val txt = text
+      val x3 = if (txt.isEmpty) 0L
+        else 1000L * txt.replaceAll("[^a-zA-Z]", "").length / txt.length
+      val x4 = if (nt < 2) 0L else {
+        val bg = toks.sliding(2).map(_.mkString(" ")).toSeq
+        1000L * (bg.length - bg.distinct.length) / bg.length
+      }
+      val y = if (nt < 20 || x2 < 20 || x3 < 810 || x4 > 80) 0L else 1L
+      (Array(x1, x2, x3, x4), y)
+    }
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => val (x, y) = feats(text); (id, x, y) }
+    val train = docs.filter(_._1 % 5 != 0)
+    val hold = docs.filter(_._1 % 5 == 0)
+    val n = train.length.toLong
+    val mu = (0 to 3).map(j => train.map(_._2(j)).sum / n)
+    val mad = (0 to 3).map(j =>
+      math.max(1L, train.map(r => math.abs(r._2(j) - mu(j))).sum / n))
+    def f(x: Array[Long]): Array[Long] =
+      1000L +: Array.tabulate(4) { j =>
+        val v = math.floor((1000L * (x(j) - mu(j))).toDouble / mad(j)).toLong
+        math.max(-10000L, math.min(10000L, v))
+      }
+    val W = Array.fill(5)(0L)
+    (1 to 4).foreach { _ =>
+      val g = Array.fill(5)(0L)
+      train.foreach { case (_, x, y) =>
+        val ff = f(x)
+        val zfp = (0 to 4).map(j => W(j) * ff(j)).sum
+        val z = zfp.toDouble / 16777216.0
+        val sg = math.floor((0.5 + 0.5 * (z / (1.0 + math.abs(z)))) * 1048576.0).toLong
+        val res = sg - y * S20
+        (0 to 4).foreach(j => g(j) += res * ff(j))
+      }
+      (0 to 4).foreach(j => W(j) -= Math.floorDiv(16L * g(j), n * S20))
+    }
+    val holdErr = hold.count { case (_, x, y) =>
+      val ff = f(x)
+      val zfp = (0 to 4).map(j => W(j) * ff(j)).sum
+      (if (zfp > 0) 1L else 0L) != y
+    }.toLong
+
+    val rows = SparkEntry.queries("ml_logreg")(spark, sfTiny)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 5)
+    rows.foreach { case (j, wfp, muQ, madQ, nHold, errQ) =>
+      assert(wfp === W(j.toInt), s"weight $j diverged")
+      if (j == 0) { assert(muQ === 0L); assert(madQ === 1L) }
+      else { assert(muQ === mu(j.toInt - 1)); assert(madQ === mad(j.toInt - 1)) }
+      assert(nHold === hold.length.toLong)
+      assert(errQ === holdErr)
+    }
+    // the optimizer must have LEARNED something: beat the majority class
+    val keepShare = hold.count(_._3 == 1L)
+    val majority = math.max(keepShare, hold.length - keepShare)
+    assert(hold.length.toLong - holdErr > majority,
+      s"holdout accuracy ${hold.length - holdErr}/${hold.length} does not " +
+        s"beat the majority baseline $majority/${hold.length}")
+  }
+
   test("ml_knn_classifier: holdout-only rows, bounded votes, trained labels") {
     val got = SparkEntry.queries("ml_knn_classifier")(spark, sfTiny)
       .as[(Long, Int, Int, Long, Boolean)].collect()

@@ -72,6 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "graph_hits",
     // three 1-row count frames meeting in broadcast cross joins
     "dedup_minhash_eval",
+    // 5-row driver-built weight frame × 1-row holdout-metrics scalar
+    "ml_logreg",
     // same shape: totals/cluster-stats/removed-chars 1-row frames
     "dedup_savings")
 

@@ -13,6 +13,9 @@ class SizingSpec extends SparkSpec {
     assert(Sizing.satMul(0L, Long.MaxValue) == 0L)
     assert(Sizing.satMul(Long.MaxValue / 2, 3L) == Long.MaxValue)
     assert(Sizing.satMul(1L << 40, 1L << 40) == Long.MaxValue)
+    assert(Sizing.satAdd(3L, 4L) == 7L)
+    assert(Sizing.satAdd(Long.MaxValue, 1L) == Long.MaxValue)
+    assert(Sizing.satAdd(Long.MaxValue - 1, Long.MaxValue) == Long.MaxValue)
   }
 
   test("overflowed estimates saturate to the width cap, never the floor") {

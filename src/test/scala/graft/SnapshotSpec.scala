@@ -272,9 +272,14 @@ class SnapshotSpec extends SparkSpec {
       .filter(_.matches("v\\d{8}-[0-9a-f]+")).map(_.take(9)).sorted
     assert(dataDirs.toSeq == Seq("v00000001", "v00000002"),
       s"expected v0 pruned, got ${dataDirs.mkString(",")}")
-    // all three commit markers survive (auditable history)
-    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$snap/_commits"))
-      .length == 3)
+    // all three commit markers AND their winning manifests survive
+    // (auditable history: every committed version stays resolvable)
+    val commitNames = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$snap/_commits"))
+      .map(_.getPath.getName)
+    assert(commitNames.count(_.matches("v\\d{8,}")) == 3)
+    assert(commitNames.count(_.matches("\\.m-v\\d{8,}-[0-9a-f]+")) == 3)
+    assert(SnapshotStore.versions(spark, snap) == Seq(0L, 1L, 2L))
     assert(snapshot(snap) == Map(7L -> (2L, "v2")))
   }
 
@@ -355,14 +360,24 @@ class SnapshotSpec extends SparkSpec {
   }
 
   test("snapshot store runs unchanged on a non-default FileSystem scheme (graftfs:)") {
-    // the store claims rename-free S3A safety: prove every path
-    // (data dirs, markers, pruning) resolves through Path.getFileSystem
-    // on a second scheme — the s3a:// substitution a real deployment makes
+    // prove every path (data dirs, markers, pruning) resolves through
+    // Path.getFileSystem on a second scheme — the substitution a real
+    // multi-FS deployment makes. The scheme is outside the known-atomic-
+    // create allow list, so the write must first REFUSE it (the probe),
+    // then run cleanly once the deployer vouches for the scheme via the
+    // documented conf.
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
     GraftTestFileSystem.renameIsCopyDelete = true
     val snap = s"graftfs:${scratchDir("snap_scheme")}/tbl"
     try {
+      val refused = intercept[IllegalStateException] {
+        SnapshotStore.upsertVersion(spark,
+          Seq((1L, 1L, "a")).toDF("k", "seq", "v"),
+          "k", Some("seq"), snap, 0L)
+      }
+      assert(refused.getMessage.contains("atomic"))
+      spark.conf.set("spark.graft.snapshot.atomicCreateSchemes", "graftfs")
       SnapshotStore.upsertVersion(spark,
         Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "seq", "v"),
         "k", Some("seq"), snap, 0L)
@@ -371,7 +386,54 @@ class SnapshotSpec extends SparkSpec {
         "k", Some("seq"), snap, 1L)
       assert(snapshot(snap) == Map(1L -> (1L, "a"), 2L -> (2L, "b2")))
       assert(SnapshotStore.latestVersion(spark, snap).contains(1L))
-    } finally GraftTestFileSystem.renameIsCopyDelete = false
+    } finally {
+      GraftTestFileSystem.renameIsCopyDelete = false
+      spark.conf.unset("spark.graft.snapshot.atomicCreateSchemes")
+    }
+  }
+
+  test("commit CAS refuses S3A-like filesystems where create-once is check-then-create") {
+    // The CAS's entire correctness is FileSystem.create(overwrite=false)
+    // being atomic create-once. On S3A it is an existence HEAD at
+    // create() with the PUT at close() — two same-slot writers both
+    // pass. GraftTestFileSystem.createIsCheckThenAct emulates exactly
+    // that; this spec proves (a) the broken-CAS premise is REAL on such
+    // a filesystem, and (b) the store's scheme probe refuses before any
+    // commit can corrupt.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    GraftTestFileSystem.createIsCheckThenAct = true
+    val base = s"graftfs:${scratchDir("snap_s3a_cas")}"
+    try {
+      // (a) on this FS two writers really CAN both win a create-once —
+      // the second create truncates the first writer's marker, the
+      // lost-update class the probe exists to block
+      val f = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(conf)
+      val marker = new org.apache.hadoop.fs.Path(s"$base/race_marker")
+      val w1 = f.create(marker, false)
+      w1.write("writer-one".getBytes("UTF-8")); w1.close()
+      val w2 = f.create(marker, false) // a true CAS would throw HERE
+      w2.write("writer-two".getBytes("UTF-8")); w2.close()
+      val in = f.open(marker)
+      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      assert(content == "writer-two",
+        "second create-once writer silently replaced the first")
+
+      // (b) the store never gets that far: the probe refuses the scheme
+      // loudly and leaves nothing behind
+      val snap = s"$base/tbl"
+      val e = intercept[IllegalStateException] {
+        SnapshotStore.upsertVersion(spark,
+          Seq((1L, "a")).toDF("k", "v"), "k", None, snap, 0L)
+      }
+      assert(e.getMessage.contains("atomic create-once"))
+      assert(e.getMessage.contains("atomicCreateSchemes"))
+      assert(!f.exists(new org.apache.hadoop.fs.Path(snap)),
+        "a refused store must write nothing")
+    } finally {
+      GraftTestFileSystem.createIsCheckThenAct = false
+    }
   }
 
   test("property: random CDC batch sequences match an in-memory map model") {
@@ -1015,26 +1077,128 @@ class SnapshotSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.snapshot.claimTtlMs")
   }
 
-  test("a torn commit-log entry fails loudly and its slot reopens after repair") {
+  test("an in-flight commit marker never tears reads; writers wait the grace then auto-heal") {
     import spark.implicits._
     val dir = scratchDir("snap_torn") + "/tbl"
     SnapshotStore.upsertVersion(spark,
       Seq((1L, "a")).toDF("k", "v"), "k", None, dir, 0L)
-    // simulate a writer that died between the marker create and the
-    // manifest content landing: an empty v1 log entry
-    val torn = new java.io.File(s"$dir/_commits/v00000001")
-    assert(torn.createNewFile())
-    val e = intercept[IllegalStateException] {
-      SnapshotStore.read(spark, dir)
+    // simulate a writer caught between the marker create and its token
+    // landing: an empty v1 marker (the manifest is always in its own
+    // file, so no manifest content can be half-written)
+    val inflight = new java.io.File(s"$dir/_commits/v00000001")
+    assert(inflight.createNewFile())
+    // READERS are untouched: the head resolves to the committed v0 —
+    // no exception, no torn message, no repair instruction
+    assert(SnapshotStore.latestVersion(spark, dir).contains(0L))
+    assert(SnapshotStore.versions(spark, dir) == Seq(0L))
+    assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+    // asking for the in-flight version EXPLICITLY is loud and says so
+    val rv = intercept[IllegalStateException] {
+      SnapshotStore.readVersion(spark, dir, 1L)
     }
-    assert(e.getMessage.contains("torn"))
-    // the documented repair: delete the torn entry; the slot reopens
-    // and the next commit lands normally
-    assert(torn.delete())
+    assert(rv.getMessage.contains("IN-FLIGHT"))
+    // a WRITER inside the grace window refuses the slot (the in-flight
+    // writer may still land its token) — and deletes nothing
+    spark.conf.set("spark.graft.snapshot.commitGraceMs", "60000")
+    try {
+      val e = intercept[SnapshotStore.ConcurrentWriteException] {
+        SnapshotStore.upsertVersion(spark,
+          Seq((2L, "b")).toDF("k", "v"), "k", None, dir, 1L)
+      }
+      assert(e.getMessage.contains("in-flight"))
+      assert(inflight.exists(), "a writer inside grace must not heal")
+      // past the grace window the marker is an abandoned commit: the
+      // next writer heals it automatically and the slot reopens —
+      // no manual repair anywhere
+      spark.conf.set("spark.graft.snapshot.commitGraceMs", "1")
+      Thread.sleep(10)
+      SnapshotStore.upsertVersion(spark,
+        Seq((2L, "b")).toDF("k", "v"), "k", None, dir, 1L)
+      assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (2L, "b")))
+      assert(SnapshotStore.versions(spark, dir) == Seq(0L, 1L))
+    } finally spark.conf.unset("spark.graft.snapshot.commitGraceMs")
+  }
+
+  test("an incremental-view caller falls back to full rebuild across an in-flight entry") {
+    import spark.implicits._
+    val dir = scratchDir("snap_span_inflight") + "/tbl"
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, "a")).toDF("k", "v"), "k", None, dir, 0L)
     SnapshotStore.upsertVersion(spark,
       Seq((2L, "b")).toDF("k", "v"), "k", None, dir, 1L)
-    assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
-      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(SnapshotStore.spanReadable(spark, dir, 0L, 1L))
+    // an in-flight marker inside the span answers false (full-rebuild
+    // fallback), never propagates the in-flight exception
+    val inflight = new java.io.File(s"$dir/_commits/v00000002")
+    assert(inflight.createNewFile())
+    assert(!SnapshotStore.spanReadable(spark, dir, 1L, 2L))
+    assert(!SnapshotStore.spanReadable(spark, dir, 0L, 2L))
+    assert(SnapshotStore.spanReadable(spark, dir, 0L, 1L),
+      "a span below the in-flight marker stays readable")
+  }
+
+  test("grace-heal race: a stalled writer whose token lands after a heal reports a LOSS, not success") {
+    // The exact interleaving the read-back verify exists for: writer A
+    // creates its commit marker, then stalls past the grace window
+    // before its 16-byte token write; writer B heals the abandoned
+    // (empty) marker, re-creates it, and commits; A then resumes, its
+    // token write and close SUCCEED (the stream points at the unlinked
+    // file), and without the read-back A would believe it committed —
+    // two writers reporting success for one slot. With it, A must see
+    // B's token and throw. Exactly one success, B's data is the store.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val root = scratchDir("snap_heal_race")
+    val dir = s"graftfs:$root/tbl"
+    val gate = new java.io.File(root, "release_A")
+    spark.conf.set("spark.graft.snapshot.atomicCreateSchemes", "graftfs")
+    try {
+      SnapshotStore.upsertVersion(spark,
+        Seq((1L, "base")).toDF("k", "v"), "k", None, dir, 0L)
+      val marker1 = new java.io.File(s"$root/tbl/_commits/v00000001")
+      // A: merges, creates the v1 marker, then stalls inside the token
+      // write until the gate file appears
+      GraftTestFileSystem.stallCreateWhenPathContains =
+        Some(("_commits/v00000001", gate.getPath))
+      val a = Future(intercept[SnapshotStore.ConcurrentWriteException] {
+        SnapshotStore.upsertVersion(spark,
+          Seq((2L, "from_A")).toDF("k", "v"), "k", None, dir, 1L)
+      })
+      var waited = 0
+      while ((GraftTestFileSystem.stallCreateWhenPathContains.isDefined ||
+              !marker1.exists()) && waited < 60000) {
+        Thread.sleep(20); waited += 20
+      }
+      assert(marker1.exists() && marker1.length() == 0,
+        "A never reached its stalled marker create")
+      // B: past the (tiny) grace + claim TTLs, heals A's empty marker,
+      // reclaims A's claim, and commits v1
+      spark.conf.set("spark.graft.snapshot.commitGraceMs", "1")
+      spark.conf.set("spark.graft.snapshot.claimTtlMs", "1")
+      Thread.sleep(10)
+      SnapshotStore.upsertVersion(spark,
+        Seq((3L, "from_B")).toDF("k", "v"), "k", None, dir, 1L)
+      // release A: its token write + close succeed against the unlinked
+      // file; the read-back sees B's token and A loses LOUDLY
+      assert(gate.createNewFile())
+      val aErr = Await.result(a, 120.seconds)
+      assert(aErr.getMessage.contains("grace-reclaimed"))
+      // exactly one commit survived, and it is B's
+      assert(SnapshotStore.latestVersion(spark, dir).contains(1L))
+      assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+        .collect().toSet == Set((1L, "base"), (3L, "from_B")))
+    } finally {
+      GraftTestFileSystem.stallCreateWhenPathContains = None
+      spark.conf.unset("spark.graft.snapshot.commitGraceMs")
+      spark.conf.unset("spark.graft.snapshot.claimTtlMs")
+      spark.conf.unset("spark.graft.snapshot.atomicCreateSchemes")
+    }
   }
 
   test("OCC: a crashed writer's stale claim is reclaimed after the TTL") {

@@ -6,7 +6,17 @@ pattern, where a loaded host doubled wall times while per-query shuffle
 bytes and cpu stayed flat).
 
 usage: bench_gate.py OLD.json NEW.json [--wall-thresh 1.3] [--attr-band 0.3]
+                     [--same-build] [--require-sha HEX]
        bench_gate.py --audit ARTIFACT.json [--srsw-thresh 2.5]
+
+Build provenance (r11): Bench stamps every artifact with the git SHA it
+was built from plus a dirty flag for uncommitted build inputs. The gate
+prints both sides' fingerprints; --same-build refuses (exit 2) unless
+both artifacts carry the SAME sha (use for idle-vs-loaded adjudication
+of one build — the round-9 stale-row class this exists to catch);
+--require-sha=HEX refuses unless NEW's recorded sha prefix-matches HEX
+(pin the artifact to the commit you think you measured). Unstamped
+(pre-r11) artifacts always warn.
 
 --audit runs single-artifact invariants: any query whose shuffle-read
 exceeds --srsw-thresh x its shuffle-write is flagged as a
@@ -75,8 +85,15 @@ def audit(path, srsw_thresh):
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0]: float(a.split("=")[1])
-            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+
+    def as_float(s):
+        try:
+            return float(s)
+        except ValueError:
+            return None
+    opts = {a.split("=")[0]: as_float(a.split("=")[1])
+            for a in sys.argv[1:] if a.startswith("--") and "=" in a
+            if as_float(a.split("=")[1]) is not None}
     if "--audit" in sys.argv[1:]:
         if len(args) != 1:
             print(__doc__)
@@ -90,6 +107,30 @@ def main():
     band = opts.get("--attr-band", 0.3)
 
     old, new = load_artifact(args[0]), load_artifact(args[1])
+
+    def fp(d):
+        sha = d.get("git_sha")
+        if not sha:
+            return "UNSTAMPED (pre-r11 artifact: rows unverifiable)"
+        return sha[:10] + ("+dirty" if d.get("git_dirty") else "")
+    print(f"build: {fp(old)} -> {fp(new)}")
+    if "--same-build" in sys.argv[1:]:
+        osha, nsha = old.get("git_sha"), new.get("git_sha")
+        if not osha or not nsha or osha != nsha:
+            print("error: --same-build requires both artifacts stamped "
+                  f"with the SAME sha (got {fp(old)} vs {fp(new)}) — "
+                  "these rows are from different builds and cannot "
+                  "adjudicate host conditions", file=sys.stderr)
+            sys.exit(2)
+    req = [a.split("=", 1)[1] for a in sys.argv[1:]
+           if a.startswith("--require-sha=")]
+    if req:
+        nsha = new.get("git_sha") or ""
+        if not nsha.startswith(req[0]):
+            print(f"error: NEW artifact is stamped {fp(new)}, not the "
+                  f"required {req[0]} — it measures a different build",
+                  file=sys.stderr)
+            sys.exit(2)
     oq, nq = old["queries"], new["queries"]
     om, nm = old.get("metrics", {}), new.get("metrics", {})
     oload, nload = old.get("loadavg"), new.get("loadavg")
