@@ -1142,6 +1142,25 @@ object StreamingPipeline extends Serializable {
     * (body bytes never join the probe), and verdicts are prefix-causal:
     * replaying docs in doc_id order reproduces the batch operator's
     * verdicts exactly (StreamingSpec pins this).
+    *
+    * LIFECYCLE under continuous load: within a generation the store's
+    * own retention runs at every commit (loser attempts, crash orphans,
+    * and out-of-window bucket dirs are swept — the data-dir count stays
+    * bounded by the bucket count at any batch count), and because the
+    * index grows monotonically, the stream ROLLS GENERATIONS as it
+    * outgrows its bucketing: after each index commit, if the head's
+    * mean bucket size exceeds `spark.graft.stream.scrubMaxBucketBytes`
+    * (default 256 MB), the store is `rebucket`ed into the next
+    * generation dir (`<indexDir>-g1`, `-g2`, …) at 2× the buckets, and
+    * every later batch resolves the live generation via
+    * [[scrubIndexGen]] (highest generation with a committed head — a
+    * crash mid-roll leaves an uncommitted dir that resolves back to its
+    * predecessor and the roll simply re-runs). Probe IO therefore stays
+    * one bucket of ~target size at ANY index size. A batch replayed
+    * across a roll re-merges into the new generation; the min-merge is
+    * idempotent, so content is unaffected (the cleaned store still
+    * no-ops on its txn). Old generation dirs stay readable history;
+    * drop them once drained.
     */
   def runIncrementalSpanScrub(
       spark: SparkSession,
@@ -1155,6 +1174,7 @@ object StreamingPipeline extends Serializable {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
+        val genDir = scrubIndexGen(s, indexDir)
         val b = batch.persist()
         try graft.Materialize.scoped {
           // windows feed the batch-first aggregate, the mark join, and
@@ -1163,7 +1183,7 @@ object StreamingPipeline extends Serializable {
             graft.ops.Dedup.spanWindows(b.toDF(), w))
           val bFirst = graft.Materialize.stage(wins.groupBy(col("hsh"))
             .agg(min(struct(col("doc_id"), col("pos"))).as("bf")))
-          val stored = graft.pipeline.SnapshotStore.read(s, indexDir)
+          val stored = graft.pipeline.SnapshotStore.read(s, genDir)
           val seen = stored.fold(
             wins.select(col("hsh")).limit(0).withColumn("seen", lit(true)))(
             idx => idx.select(col("hsh"), lit(true).as("seen")))
@@ -1193,8 +1213,61 @@ object StreamingPipeline extends Serializable {
                 col("m.first_pos").as("first_pos"))
           }
           graft.pipeline.SnapshotStore.upsertVersion(
-            s, merged, "hsh", None, indexDir, batchId)
+            s, merged, "hsh", None, genDir, batchId)
+          maybeRollScrubIndex(s, indexDir, genDir)
         } finally b.unpersist()
       }
       .start()
+
+  /** The live generation of a rolled scrub index: generation 0 is `dir`
+    * itself, generation K is `dir-gK`, and the live one is the highest
+    * generation with a COMMITTED head — an uncommitted next-gen dir (a
+    * crash mid-roll) resolves back to its predecessor, so the roll
+    * re-runs instead of stranding the stream on an empty store.
+    */
+  def scrubIndexGen(spark: SparkSession, dir: String): String = {
+    @annotation.tailrec
+    def walk(k: Int, live: String): String = {
+      val cand = s"$dir-g$k"
+      if (graft.pipeline.SnapshotStore.latestVersion(spark, cand).isDefined)
+        walk(k + 1, cand)
+      else live
+    }
+    walk(1, dir)
+  }
+
+  /** Roll the scrub index into its next generation (2× buckets) once the
+    * head's MEAN bucket size exceeds
+    * `spark.graft.stream.scrubMaxBucketBytes` (default 256 MB) — the
+    * monotone-growth counterpart of the store's per-commit retention:
+    * retention bounds the data-DIR count at any batch count; the roll
+    * bounds the per-bucket (and so per-probe) byte size at any INDEX
+    * size. Cost is one full rewrite of the index, paid O(log growth)
+    * times over a stream's life (each generation doubles capacity —
+    * the k-core compaction telescoping argument). The size probe is
+    * ≤ numBuckets filesystem metadata calls against the head manifest's
+    * own dirs.
+    */
+  private def maybeRollScrubIndex(s: SparkSession, base: String,
+                                  genDir: String): Unit = {
+    val maxBucketBytes = s.conf
+      .getOption("spark.graft.stream.scrubMaxBucketBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    graft.pipeline.SnapshotStore.manifest(s, genDir).foreach { m =>
+      val fs = new org.apache.hadoop.fs.Path(genDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = m.buckets.toSeq.map { case (bId, dn) =>
+        try fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$genDir/$dn/_bucket=$bId")).getLength
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      if (bytes > graft.Sizing.satMul(maxBucketBytes, m.numBuckets.toLong)) {
+        val curGen =
+          if (genDir == base) 0
+          else genDir.stripPrefix(s"$base-g").toInt
+        graft.pipeline.SnapshotStore.rebucket(
+          s, genDir, s"$base-g${curGen + 1}", "hsh", m.numBuckets * 2)
+      }
+    }
+  }
 }

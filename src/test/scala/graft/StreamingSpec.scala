@@ -773,4 +773,104 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotStore.latestVersion(spark, idx).contains(1L))
     assert(cleanedRows === batch)
   }
+
+  test("span-scrub lifecycle: 21 batches stay pruned, generations roll, probe reads one bucket") {
+    // Continuous-load lifecycle (VERDICT r10 #6): the window-hash index
+    // grows monotonically, so a long stream must (a) keep each
+    // generation's data-dir count bounded via the store's per-commit
+    // retention, (b) ROLL generations (rebucket at 2x) when the mean
+    // bucket outgrows spark.graft.stream.scrubMaxBucketBytes, and
+    // (c) keep probe IO at ONE bucket regardless of how many batches
+    // ever committed. Drive 21 micro-batches through one AvailableNow
+    // run (maxFilesPerTrigger=1), with a duplicate span planted 17
+    // batches after its first occurrence so the verdicts prove the
+    // ROLLED index preserved every hash.
+    import graft.pipeline.SnapshotStore
+    val landing = scratchDir("span_life_landing")
+    val idx     = scratchDir("span_life_idx") + "/idx"
+    val clean   = scratchDir("span_life_clean") + "/docs"
+    val ckpt    = scratchDir("span_life_ckpt") + "/cp"
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val span = (1 to 14).map(i => s"dup$i").mkString(" ")
+    var corpus = Map.empty[Long, String]
+    (0 until 21).foreach { i =>
+      val id = i.toLong + 1
+      // unique tokens per batch => the index grows every batch; batch 1
+      // carries the span's first occurrence, batch 18 a duplicate
+      val filler = (1 to 16).map(t => s"b${i}w$t").mkString(" ")
+      val text =
+        if (i == 1 || i == 18) s"$filler $span"
+        else s"$filler ${(17 to 30).map(t => s"b${i}w$t").mkString(" ")}"
+      corpus += id -> text
+      Files.write(Paths.get(landing, f"b$i%02d.csv"),
+        s"doc_id\ttext\n$id\t$text".getBytes("UTF-8"))
+    }
+    spark.conf.set("spark.graft.snapshot.buckets", "2")
+    spark.conf.set("spark.graft.stream.scrubMaxBucketBytes", "4000")
+    try {
+      StreamingPipeline.runIncrementalSpanScrub(
+        spark,
+        spark.readStream.option("header", "true").option("sep", "\t")
+          .option("maxFilesPerTrigger", "1")
+          .schema(docSchema).csv(s"$landing/*.csv"),
+        idx, clean, ckpt).awaitTermination()
+
+      // 21 batches committed exactly-once into the cleaned store
+      assert(SnapshotStore.latestVersion(spark, clean).contains(20L))
+
+      // (b) the index rolled at least once and doubled its buckets
+      val live = StreamingPipeline.scrubIndexGen(spark, idx)
+      assert(live != idx, "index never rolled a generation")
+      val m = SnapshotStore.manifest(spark, live).get
+      assert(m.numBuckets >= 4 && m.numBuckets % 2 == 0,
+        s"rolled generation must double buckets, got ${m.numBuckets}")
+
+      // (a) retention keeps the live generation's data dirs bounded by
+      // the bucket count, not the batch count
+      val fs = new org.apache.hadoop.fs.Path(live)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(live))
+        .map(_.getPath.getName).count(_.matches("v\\d{8,}-[0-9a-f]+"))
+      assert(dataDirs <= 2 * m.numBuckets + 2,
+        s"$dataDirs data dirs in the live gen — retention is not pruning")
+
+      // (c) a point probe reads exactly ONE bucket dir — IO independent
+      // of the 21 commits behind it
+      val someHash = SnapshotStore.read(spark, live).get
+        .select("hsh").head().get(0)
+      val probe = SnapshotStore.lookupKey(spark, live, "hsh", someHash).get
+      val bucketDirs = probe.inputFiles
+        .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      assert(bucketDirs.length == 1,
+        s"probe touched ${bucketDirs.length} bucket dirs: " +
+          bucketDirs.mkString(", "))
+      assert(probe.count() >= 1L)
+
+      // the rolled index preserved every hash: verdicts still equal the
+      // batch operator's over the whole corpus, and the batch-18 dup
+      // (17 batches and >=1 roll after its first occurrence) is scrubbed
+      val cleaned = SnapshotStore.read(spark, clean).get
+        .select("doc_id", "n_tokens", "n_removed", "text_clean")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val batchDir = scratchDir("span_life_batch")
+      corpus.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
+      val viaBatch = SparkEntry.queries("dedup_span_scrub")(spark, batchDir)
+        .select("doc_id", "n_tokens", "n_removed", "text_clean")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(cleaned === viaBatch,
+        "stream verdicts must equal the batch operator's across rolls")
+      val byId = cleaned.map(r => r._1 -> r).toMap
+      assert(byId(2L)._3 == 0L, "first occurrence must survive")
+      assert(byId(19L)._3 == 14L && !byId(19L)._4.contains("dup"),
+        "the post-roll duplicate span must be scrubbed in full")
+    } finally {
+      spark.conf.unset("spark.graft.snapshot.buckets")
+      spark.conf.unset("spark.graft.stream.scrubMaxBucketBytes")
+    }
+  }
 }
