@@ -1201,6 +1201,39 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("retention sweeps LOSER manifest files below the horizon, keeps every winner") {
+    import spark.implicits._
+    val dir = scratchDir("snap_loser_m") + "/tbl"
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, "a")).toDF("k", "v"), "k", None, dir, 0L, retain = 2)
+    // a CAS loser's orphan manifest for slot 0 (its token never won)
+    val loser = new java.io.File(
+      s"$dir/_commits/.m-v00000000-deadbeefdeadbeef")
+    assert(loser.createNewFile())
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, "b")).toDF("k", "v"), "k", None, dir, 1L, retain = 2)
+    assert(loser.exists(), "slot 0 is still inside the retention window")
+    SnapshotStore.upsertVersion(spark,
+      Seq((1L, "c")).toDF("k", "v"), "k", None, dir, 2L, retain = 2)
+    // v0 fell below the horizon: the loser file is swept, the three
+    // WINNING manifests survive (history stays resolvable forever)
+    assert(!loser.exists(), "loser manifest below the horizon must sweep")
+    val names = new java.io.File(s"$dir/_commits").list().toSeq
+    assert(names.count(_.matches("\\.m-v\\d{8,}-[0-9a-f]+")) == 3)
+    assert(SnapshotStore.versions(spark, dir) == Seq(0L, 1L, 2L))
+    // every committed manifest still parses: v0's data is pruned, so its
+    // time-travel read must refuse with the RETENTION message (reaching
+    // it requires the manifest to have read back fine), and v1/v2 read
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.readVersion(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("retention window"))
+    (1L to 2L).foreach(v =>
+      assert(SnapshotStore.readVersion(spark, dir, v).count() == 1L))
+    assert(SnapshotStore.read(spark, dir).get.as[(Long, String)]
+      .collect().toSet == Set((1L, "c")))
+  }
+
   test("OCC: a crashed writer's stale claim is reclaimed after the TTL") {
     import spark.implicits._
     val dir = scratchDir("snap_occ_ttl") + "/tbl"
