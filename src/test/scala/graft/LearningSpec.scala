@@ -187,6 +187,80 @@ class LearningSpec extends SparkSpec {
         s"beat the majority baseline $majority/${hold.length}")
   }
 
+  test("ml_perceptron replays exactly in pure Long arithmetic; vote beats majority") {
+    // The averaged perceptron's whole claim is ZERO floating point: the
+    // replay below is pure Long (floorDiv features, floorDiv updates,
+    // integer dot-product sign) and must match the query bit-for-bit —
+    // there is no IEEE step to agree on, unlike the logreg replay.
+    val stopEn = Set("the", "a", "of", "and", "to")
+    def feats(text: String): (Array[Long], Long) = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val x1 = math.min(nt, 1000L)
+      val x2 = if (nt == 0) 0L else 1000L * toks.count(stopEn) / nt
+      val x3 = if (text.isEmpty) 0L
+        else 1000L * text.replaceAll("[^a-zA-Z]", "").length / text.length
+      val x4 = if (nt < 2) 0L else {
+        val bg = toks.sliding(2).map(_.mkString(" ")).toSeq
+        1000L * (bg.length - bg.distinct.length) / bg.length
+      }
+      val y = if (nt < 20 || x2 < 20 || x3 < 810 || x4 > 80) 0L else 1L
+      (Array(x1, x2, x3, x4), y)
+    }
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => val (x, y) = feats(text); (id, x, y) }
+    val train = docs.filter(_._1 % 5 != 0)
+    val hold = docs.filter(_._1 % 5 == 0)
+    val n = train.length.toLong
+    val mu = (0 to 3).map(j => train.map(_._2(j)).sum / n)
+    val mad = (0 to 3).map(j =>
+      math.max(1L, train.map(r => math.abs(r._2(j) - mu(j))).sum / n))
+    def f(x: Array[Long]): Array[Long] =
+      1000L +: Array.tabulate(4) { j =>
+        val v = Math.floorDiv(1000L * (x(j) - mu(j)), mad(j))
+        math.max(-10000L, math.min(10000L, v))
+      }
+    val W = Array.fill(5)(0L)
+    val A = Array.fill(5)(0L)
+    (1 to 4).foreach { _ =>
+      val g = Array.fill(5)(0L)
+      train.foreach { case (_, x, y) =>
+        val ff = f(x)
+        val z = (0 to 4).map(j => W(j) * ff(j)).sum
+        val d = y - (if (z > 0) 1L else 0L)
+        if (d != 0) (0 to 4).foreach(j => g(j) += d * ff(j))
+      }
+      (0 to 4).foreach { j => W(j) += Math.floorDiv(g(j), n); A(j) += W(j) }
+    }
+    def predict(x: Array[Long]): Long = {
+      val ff = f(x)
+      if ((0 to 4).map(j => A(j) * ff(j)).sum > 0) 1L else 0L
+    }
+    val trainErr = train.count { case (_, x, y) => predict(x) != y }.toLong
+    val holdErr = hold.count { case (_, x, y) => predict(x) != y }.toLong
+
+    val rows = SparkEntry.queries("ml_perceptron")(spark, sfTiny)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length === 5)
+    rows.foreach { case (j, aV, wL, muQ, madQ, nTr, trE, nHo, hoE) =>
+      assert(aV === A(j.toInt), s"vote accumulator $j diverged")
+      assert(wL === W(j.toInt), s"final weight $j diverged")
+      if (j == 0) { assert(muQ === 0L); assert(madQ === 1L) }
+      else { assert(muQ === mu(j.toInt - 1)); assert(madQ === mad(j.toInt - 1)) }
+      assert(nTr === n)
+      assert(trE === trainErr)
+      assert(nHo === hold.length.toLong)
+      assert(hoE === holdErr)
+    }
+    val keepShare = hold.count(_._3 == 1L)
+    val majority = math.max(keepShare, hold.length - keepShare)
+    assert(hold.length.toLong - holdErr > majority,
+      s"holdout accuracy ${hold.length - holdErr}/${hold.length} does not " +
+        s"beat the majority baseline $majority/${hold.length}")
+  }
+
   test("ml_knn_classifier: holdout-only rows, bounded votes, trained labels") {
     val got = SparkEntry.queries("ml_knn_classifier")(spark, sfTiny)
       .as[(Long, Int, Int, Long, Boolean)].collect()

@@ -74,6 +74,10 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_minhash_eval",
     // 5-row driver-built weight frame × 1-row holdout-metrics scalar
     "ml_logreg",
+    // same 5-row weight-frame × 1-row metrics shape
+    "ml_perceptron",
+    // 1-row broadcast corpus-total under the metadata-sized class frame
+    "curate_k_anonymity",
     // same shape: totals/cluster-stats/removed-chars 1-row frames
     "dedup_savings")
 
