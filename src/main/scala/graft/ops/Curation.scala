@@ -1012,7 +1012,72 @@ object Curation extends QueryModule {
                CAST(COUNT(DISTINCT class_key) AS BIGINT) AS n_classes,
                MIN(sz) AS min_class, MAX(sz) AS max_class
         FROM keyed GROUP BY lvl ORDER BY lvl
-      """))
+      """)),
+
+    // ───── differentially-private histogram release (ε = ln 2) ─────
+    // The release step after `curate_k_anonymity`'s audit: publish the
+    // corpus composition histogram (docs per (lang, source) cell) under
+    // the discrete Laplace mechanism at sensitivity 1 — the mechanism
+    // every DP aggregate release (SQL DP engines, census tables) builds
+    // on. Noise = G₁ − G₂ with G ~ Geometric(1/2) iid, whose difference
+    // IS the two-sided geometric P(k) ∝ 2^(−|k|), i.e. ε = ln 2 ("one
+    // bit of budget"); released = max(0, n + noise) (post-processing —
+    // clamping never spends budget).
+    //
+    // Why the geometric draw is EXACT integer arithmetic here: with
+    // α = 1/2 the inverse CDF is G = ⌊−log₂ u⌋, and for u = m/2²⁰ the
+    // floor boundaries sit exactly at the powers of two where the chord
+    // log2 (IntMath.lg2fp) is EXACT; strict monotonicity between knots
+    // means the chord bins every m into the same ⌊−log₂⌋ bucket as true
+    // log2 — so the sampled G is the exact geometric inverse-CDF value,
+    // not an approximation (truncated at G = 20 by the 20-bit u, a
+    // 2⁻²⁰ tail event). No libm, no floats, bit-identical both engines.
+    //
+    // Honesty note (the mechanism is real, the entropy source is not):
+    // u derives from md5(cell∥salt) so the oracle gate can twin the
+    // draw value-for-value — a production release swaps the md5 for a
+    // cryptographic RNG and publishes ONCE (fixed seeds allow averaging
+    // attacks; and a released table must enumerate a PUBLIC domain, not
+    // the observed cells, or absence itself leaks — both documented
+    // deployment deltas, neither changes the plan shape).
+    //
+    // Scale shape (100 TB): one map-side-combined groupBy collapses the
+    // corpus to |langs|·|sources| metadata-sized cells; the two draws
+    // are scalar expressions ON those cells — zero extra exchanges,
+    // corpus bytes never move twice.
+    GraftQuery(
+      "curate_dp_release",
+      (s, d) => {
+        val FP = IntMath.FP
+        def geom(salt: String): String = {
+          val m1 = s"(CAST(conv(substring(md5(concat(lang, ':', source, " +
+            s"':$salt')), 1, 5), 16, 10) AS BIGINT) + 1)"
+          s"((20 * ${FP}L - (${IntMath.lg2fp(m1)})) div ${FP}L)"
+        }
+        Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("released", expr(
+            s"GREATEST(CAST(0 AS BIGINT), n + ${geom("dp1")} - ${geom("dp2")})"))
+          .select(col("lang"), col("source"), col("released"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some({
+        def geomD(salt: String): String = {
+          val m1 = s"(('0x' || substr(md5(lang || ':' || source || " +
+            s"':$salt'), 1, 5))::BIGINT + 1)"
+          s"((20 * ${IntMath.FP} - (${IntMath.lg2fpDuck(m1)})) // ${IntMath.FP})"
+        }
+        s"""
+        WITH cells AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY lang, source)
+        SELECT lang, source,
+               GREATEST(CAST(0 AS BIGINT),
+                 n + ${geomD("dp1")} - ${geomD("dp2")}) AS released
+        FROM cells ORDER BY lang, source
+      """
+      }))
   )
 
   /** Token estimate: ceil(chars/4) floored at 1 — the floor means an

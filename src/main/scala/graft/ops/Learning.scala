@@ -519,6 +519,122 @@ object Learning extends QueryModule {
     // corpus re-shuffles. Integer headroom: |g_j| ≤ n·10⁴ caps n at
     // ~9·10¹⁴ train docs (document the 2⁻⁴ pre-scale past it);
     // |z| ≤ 5·R²·10⁸ regardless of n.
+    // ───── closed-form ridge regression: the one-pass linear solver ─────
+    // The sufficient-statistics family (what MLlib's normal-equation
+    // solver and every OLAP "trend line" compute): regress the EXPENSIVE
+    // gate feature x4 (duplicate-bigram rate — costs an array_distinct
+    // over all bigrams per doc) on the two CHEAP ones (x2 stopword rate,
+    // x3 alpha rate) — the feature-imputation step a pipeline uses to
+    // skip the expensive extractor on most of the corpus. Unlike the two
+    // gradient learners above, training is CLOSED FORM: one pass builds
+    // the 3×3 normal matrix XᵀX and XᵀY as integer sums, ridge adds
+    // λ=10⁴ to the non-intercept diagonal (guaranteeing the system is
+    // positive definite — det > 0 — so the Cramer solve below never
+    // divides by zero on degenerate corpora), and Cramer's rule gives
+    // exact integer determinant ratios. ZERO floating point anywhere
+    // (ml_perceptron's discipline): features are sign-split integer
+    // floor divisions, moments are exact BIGINT sums, the Cramer
+    // determinants are exact BigInt here / HUGEINT in the oracle (they
+    // exceed 2⁶³: entries ≤ 10⁸ after the /n normalization, 3×3 dets
+    // reach ~10²⁴), and weights ship as w_fp = ⌊det_j·2²⁰ / det⌋ — an
+    // exact integer floor division both engines spell identically.
+    //
+    // Scale shape (100 TB): ONE narrow map-side-combined pass collapses
+    // the corpus to 10 numbers (n + 6 moments + 3 projections); the
+    // solve is driver-side arithmetic on those 10 numbers (metadata-
+    // class — the kmeans K-rows pattern taken to its limit), and scoring
+    // is a second narrow pass with the weights as literals. Nothing
+    // iterates, nothing re-shuffles. Integer headroom: moment terms are
+    // ≤ 10⁸ per row so the BIGINT sums cap n at ~9·10¹⁰ train docs
+    // (document the 2⁻⁴ feature pre-scale past it); normalizing moments
+    // by n BEFORE the determinant keeps the Cramer magnitudes
+    // n-independent (~10²⁴ ≪ HUGEINT/BigInt range). Guards both engines
+    // share: w_fp clamps to ±10¹², predictions to ±10⁶ — so the SSE
+    // terms stay BIGINT-safe even on adversarial near-singular corpora.
+    GraftQuery(
+      "ml_ridge",
+      (s, d) => {
+        val S20 = 1048576L; val LAM = 10000L
+        val m = graft.Materialize.stage(gateFrame(s, d))
+        val tr = m.filter(col("is_train"))
+        val st = tr.agg(count(lit(1)).as("n"),
+          sum(col("x2")).cast("long"), sum(col("x3")).cast("long")).head()
+        val n = st.getLong(0)
+        val mu2 = st.getLong(1) / n; val mu3 = st.getLong(2) / n
+        val madRow = tr.agg(
+          sum(abs(col("x2") - lit(mu2))).cast("long"),
+          sum(abs(col("x3") - lit(mu3))).cast("long")).head()
+        val mad2 = math.max(1L, madRow.getLong(0) / n)
+        val mad3 = math.max(1L, madRow.getLong(1) / n)
+        def fExpr(x: String, mu: Long, mad: Long): String = {
+          val num = s"(1000 * ($x - $mu))"
+          val dv = s"CASE WHEN $num >= 0 THEN $num div $mad " +
+            s"ELSE -((-$num + $mad - 1) div $mad) END"
+          s"GREATEST(CAST(-10000 AS BIGINT), " +
+            s"LEAST(CAST(10000 AS BIGINT), $dv))"
+        }
+        val withF = m
+          .withColumn("f0", expr("CAST(1000 AS BIGINT)"))
+          .withColumn("f1", expr(fExpr("x2", mu2, mad2)))
+          .withColumn("f2", expr(fExpr("x3", mu3, mad3)))
+          .withColumn("t", col("x4"))
+        val mm = withF.filter(col("is_train")).agg(
+          sum(expr("f0 * f0")).cast("long"),
+          sum(expr("f0 * f1")).cast("long"),
+          sum(expr("f0 * f2")).cast("long"),
+          sum(expr("f1 * f1")).cast("long"),
+          sum(expr("f1 * f2")).cast("long"),
+          sum(expr("f2 * f2")).cast("long"),
+          sum(expr("f0 * t")).cast("long"),
+          sum(expr("f1 * t")).cast("long"),
+          sum(expr("f2 * t")).cast("long")).head()
+        def fd(i: Int): BigInt = BigInt(Math.floorDiv(mm.getLong(i), n))
+        val (a00, a01, a02) = (fd(0), fd(1), fd(2))
+        val a11 = fd(3) + LAM; val a12 = fd(4); val a22 = fd(5) + LAM
+        val c = Array(fd(6), fd(7), fd(8))
+        val A = Array(Array(a00, a01, a02), Array(a01, a11, a12),
+          Array(a02, a12, a22))
+        def det(x: Array[Array[BigInt]]): BigInt =
+          x(0)(0) * (x(1)(1) * x(2)(2) - x(1)(2) * x(2)(1)) -
+            x(0)(1) * (x(1)(0) * x(2)(2) - x(1)(2) * x(2)(0)) +
+            x(0)(2) * (x(1)(0) * x(2)(1) - x(1)(1) * x(2)(0))
+        def floorDivB(num: BigInt, den: BigInt): BigInt = {
+          val q = num / den
+          if (num % den != 0 && (num.signum != den.signum)) q - 1 else q
+        }
+        val dA = det(A)
+        val wfp: IndexedSeq[Long] =
+          if (dA <= 0) IndexedSeq(0L, 0L, 0L)
+          else (0 to 2).map { j =>
+            val Aj = Array.tabulate(3, 3)((r, cc) =>
+              if (cc == j) c(r) else A(r)(cc))
+            val w = floorDivB(det(Aj) * S20, dA)
+            w.max(BigInt(-1000000000000L)).min(BigInt(1000000000000L)).toLong
+          }
+        val num = s"(${wfp(0)} * f0 + ${wfp(1)} * f1 + ${wfp(2)} * f2)"
+        val predE = s"GREATEST(CAST(-1000000 AS BIGINT), " +
+          s"LEAST(CAST(1000000 AS BIGINT), " +
+          s"CASE WHEN $num >= 0 THEN $num div $S20 " +
+          s"ELSE -((-$num + ${S20 - 1}) div $S20) END))"
+        val mets = withF.withColumn("pred", expr(predE))
+          .agg(
+            sum(when(col("is_train"), 1L).otherwise(0L))
+              .cast("long").as("n_train"),
+            sum(when(col("is_train"), expr("(t - pred) * (t - pred)"))
+              .otherwise(0L)).cast("long").as("sse_train"),
+            sum(when(!col("is_train"), 1L).otherwise(0L))
+              .cast("long").as("n_holdout"),
+            sum(when(!col("is_train"), expr("(t - pred) * (t - pred)"))
+              .otherwise(0L)).cast("long").as("sse_holdout"))
+        import s.implicits._
+        val wdf = (0 to 2).map(j => (j.toLong, wfp(j),
+          if (j == 0) 0L else if (j == 1) mu2 else mu3,
+          if (j == 0) 1L else if (j == 1) mad2 else mad3))
+          .toDF("j", "w_fp", "mu", "mad")
+        wdf.crossJoin(broadcast(mets)).orderBy(col("j"))
+      },
+      Some(ridgeOracle(LAM = 10000))),
+
     GraftQuery(
       "ml_perceptron",
       (s, d) => {
@@ -806,6 +922,111 @@ object Learning extends QueryModule {
           UNION ALL SELECT 4, mu4, mad4 FROM mu CROSS JOIN md)
         SELECT ws.j, ws.a_vote, ws.w_last, wstats.mu, wstats.mad,
                mets.n_train, mets.train_err, mets.n_holdout, mets.holdout_err
+        FROM ws JOIN wstats USING (j) CROSS JOIN mets
+        ORDER BY ws.j
+      """
+  }
+
+  /** The `ml_ridge` closed-form solve as plain SQL: the 10 sufficient
+    * statistics aggregate in one CTE, the /n normalization + ridge
+    * diagonal in the next, and Cramer's rule expands as explicit
+    * HUGEINT cofactor arithmetic (the determinants exceed BIGINT —
+    * DuckDB's 128-bit HUGEINT twins the Scala driver's BigInt exactly
+    * at these magnitudes). Weights, predictions, and SSE metrics are
+    * the same sign-split exact floor divisions as the Spark side —
+    * no floating-point operation exists anywhere in either engine.
+    */
+  private def ridgeOracle(LAM: Int): String = {
+    def h(x: String) = s"CAST($x AS HUGEINT)"
+    // floor division over HUGEINT operands (fdivSql's sign split)
+    def fdivH(num: String, den: String): String =
+      s"CASE WHEN ($num) >= 0 THEN ($num) // ($den) " +
+        s"ELSE -((-($num) + ($den) - 1) // ($den)) END"
+    // cofactor expansion along row 0 of [[r00,r01,r02],[r10,r11,r12],
+    // [r20,r21,r22]] — every product lifted to HUGEINT before multiply
+    def det3(r: Array[Array[String]]): String =
+      s"${h(r(0)(0))} * (${h(r(1)(1))} * ${h(r(2)(2))} - " +
+        s"${h(r(1)(2))} * ${h(r(2)(1))}) - " +
+        s"${h(r(0)(1))} * (${h(r(1)(0))} * ${h(r(2)(2))} - " +
+        s"${h(r(1)(2))} * ${h(r(2)(0))}) + " +
+        s"${h(r(0)(2))} * (${h(r(1)(0))} * ${h(r(2)(1))} - " +
+        s"${h(r(1)(1))} * ${h(r(2)(0))})"
+    val A = Array(
+      Array("a00", "a01", "a02"),
+      Array("a01", "a11", "a12"),
+      Array("a02", "a12", "a22"))
+    def repl(j: Int): Array[Array[String]] =
+      Array.tabulate(3, 3)((r, cc) =>
+        if (cc == j) s"c$r" else A(r)(cc))
+    val wCols = (0 to 2).map { j =>
+      s"CASE WHEN dA <= 0 THEN CAST(0 AS BIGINT) ELSE " +
+        s"CAST(GREATEST(${h("-1000000000000")}, " +
+        s"LEAST(${h("1000000000000")}, " +
+        s"${fdivH(s"(d$j) * 1048576", "dA")})) AS BIGINT) END AS w$j"
+    }.mkString(",\n                 ")
+    val predNum = "(w0 * f0 + w1 * f1 + w2 * f2)"
+    s"""
+        WITH $gateStatsSql,
+        f AS (
+          SELECT doc_id, is_train, x4 AS t, CAST(1000 AS BIGINT) AS f0,
+                 GREATEST(CAST(-10000 AS BIGINT), LEAST(CAST(10000 AS BIGINT),
+                   ${fdivSql("1000 * (x2 - mu2)", "mad2")})) AS f1,
+                 GREATEST(CAST(-10000 AS BIGINT), LEAST(CAST(10000 AS BIGINT),
+                   ${fdivSql("1000 * (x3 - mu3)", "mad3")})) AS f2
+          FROM lab CROSS JOIN mu CROSS JOIN md),
+        mm AS (
+          SELECT CAST(SUM(f0 * f0) AS BIGINT) AS m00,
+                 CAST(SUM(f0 * f1) AS BIGINT) AS m01,
+                 CAST(SUM(f0 * f2) AS BIGINT) AS m02,
+                 CAST(SUM(f1 * f1) AS BIGINT) AS m11,
+                 CAST(SUM(f1 * f2) AS BIGINT) AS m12,
+                 CAST(SUM(f2 * f2) AS BIGINT) AS m22,
+                 CAST(SUM(f0 * t) AS BIGINT) AS b0,
+                 CAST(SUM(f1 * t) AS BIGINT) AS b1,
+                 CAST(SUM(f2 * t) AS BIGINT) AS b2
+          FROM f WHERE is_train),
+        aa AS (
+          SELECT ${fdivSql("m00", "n")} AS a00, ${fdivSql("m01", "n")} AS a01,
+                 ${fdivSql("m02", "n")} AS a02,
+                 (${fdivSql("m11", "n")}) + $LAM AS a11,
+                 ${fdivSql("m12", "n")} AS a12,
+                 (${fdivSql("m22", "n")}) + $LAM AS a22,
+                 ${fdivSql("b0", "n")} AS c0, ${fdivSql("b1", "n")} AS c1,
+                 ${fdivSql("b2", "n")} AS c2
+          FROM mm CROSS JOIN nn),
+        dd AS (
+          SELECT ${det3(A)} AS dA,
+                 ${det3(repl(0))} AS d0,
+                 ${det3(repl(1))} AS d1,
+                 ${det3(repl(2))} AS d2
+          FROM aa),
+        w AS (SELECT $wCols FROM dd),
+        scored AS (
+          SELECT f.*, GREATEST(CAST(-1000000 AS BIGINT),
+                 LEAST(CAST(1000000 AS BIGINT),
+                   ${fdivSql(predNum, "1048576")})) AS pred
+          FROM f CROSS JOIN w),
+        mets AS (
+          SELECT CAST(COUNT(*) FILTER (WHERE is_train) AS BIGINT) AS n_train,
+                 CAST(SUM(CASE WHEN is_train
+                   THEN (t - pred) * (t - pred) ELSE 0 END) AS BIGINT)
+                   AS sse_train,
+                 CAST(COUNT(*) FILTER (WHERE NOT is_train) AS BIGINT)
+                   AS n_holdout,
+                 CAST(SUM(CASE WHEN NOT is_train
+                   THEN (t - pred) * (t - pred) ELSE 0 END) AS BIGINT)
+                   AS sse_holdout
+          FROM scored),
+        ws AS (${(0 to 2).map(j =>
+            s"SELECT CAST($j AS BIGINT) AS j, w$j AS w_fp FROM w")
+            .mkString(" UNION ALL ")}),
+        wstats AS (
+          SELECT CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS mu,
+                 CAST(1 AS BIGINT) AS mad
+          UNION ALL SELECT 1, mu2, mad2 FROM mu CROSS JOIN md
+          UNION ALL SELECT 2, mu3, mad3 FROM mu CROSS JOIN md)
+        SELECT ws.j, ws.w_fp, wstats.mu, wstats.mad,
+               mets.n_train, mets.sse_train, mets.n_holdout, mets.sse_holdout
         FROM ws JOIN wstats USING (j) CROSS JOIN mets
         ORDER BY ws.j
       """

@@ -270,4 +270,56 @@ class CurationSpec extends SparkSpec {
     }.toSeq.sortBy(_._1)
     assert(rows.toSeq === byLvl)
   }
+
+  test("curate_dp_release: chord-log2 geometric draw is EXACT on all 2^20 seeds") {
+    // The operator's doc claims the chord log2 bins every 20-bit seed
+    // into the same floor(-log2 u) bucket as true log2 (exact knots +
+    // strict monotonicity). Prove it exhaustively: for every m1 in
+    // [1, 2^20], the chord-computed draw equals 20 - ceil(log2(m1))
+    // (with equality-at-knots handled by the bit-length identity).
+    val FP = 1048576L
+    def chordG(m1: Long): Long = {
+      val i = 63 - java.lang.Long.numberOfLeadingZeros(m1)
+      val lg = i * FP + (m1 * FP / (1L << i)) - FP
+      (20L * FP - lg) / FP
+    }
+    var m1 = 1L
+    while (m1 <= (1L << 20)) {
+      val bits = 64 - java.lang.Long.numberOfLeadingZeros(m1 - 1) // ceil(log2)
+      val exact = 20L - (if (m1 == 1L) 0L else bits.toLong)
+      assert(chordG(m1) == exact, s"m1=$m1 chord=${chordG(m1)} exact=$exact")
+      m1 += 1
+    }
+  }
+
+  test("curate_dp_release replays the md5-seeded discrete Laplace exactly") {
+    val FP = 1048576L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def geom(cell: String, salt: String): Long = {
+      val m1 = java.lang.Long.parseLong(
+        md5hex(s"$cell:$salt").substring(0, 5), 16) + 1L
+      val i = 63 - java.lang.Long.numberOfLeadingZeros(m1)
+      val lg = i * FP + (m1 * FP / (1L << i)) - FP
+      (20L * FP - lg) / FP
+    }
+    val exp = Tables.documents(spark, sfTiny)
+      .select($"lang", $"source").as[(String, String)].collect()
+      .groupBy(identity).map { case ((lang, source), g) =>
+        val cell = s"$lang:$source"
+        val noise = geom(cell, "dp1") - geom(cell, "dp2")
+        (lang, source, math.max(0L, g.length.toLong + noise))
+      }.toSeq.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("curate_dp_release")(spark, sfTiny)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === exp)
+    // the release must actually be noisy somewhere (md5 seeds vary):
+    // at least one cell's released count differs from its true count
+    val anyNoise = exp.sortBy(r => (r._1, r._2)).zip(
+      Tables.documents(spark, sfTiny).groupBy($"lang", $"source").count()
+        .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)))
+      .exists { case ((_, _, rel), (_, _, n)) => rel != n }
+    assert(anyNoise, "every cell released its true count — no noise drawn")
+  }
 }

@@ -261,6 +261,101 @@ class LearningSpec extends SparkSpec {
         s"beat the majority baseline $majority/${hold.length}")
   }
 
+  test("ml_ridge replays the exact BigInt Cramer solve; fit beats zero") {
+    // Closed-form twin of the gradient replays: identical integer
+    // features, exact Long moment sums, the same /n floor-normalized
+    // 3x3 system, BigInt Cramer determinants, floor-division weights —
+    // weights, stats, and SSE metrics must be BIT-IDENTICAL. No IEEE
+    // operation exists anywhere (the perceptron's discipline).
+    val stopEn = Set("the", "a", "of", "and", "to")
+    val S20 = 1048576L
+    def feats(text: String): (Long, Long, Long) = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val x2 = if (nt == 0) 0L else 1000L * toks.count(stopEn) / nt
+      val x3 = if (text.isEmpty) 0L
+        else 1000L * text.replaceAll("[^a-zA-Z]", "").length / text.length
+      val x4 = if (nt < 2) 0L else {
+        val bg = toks.sliding(2).map(_.mkString(" ")).toSeq
+        1000L * (bg.length - bg.distinct.length) / bg.length
+      }
+      (x2, x3, x4)
+    }
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) => val (x2, x3, t) = feats(text); (id, x2, x3, t) }
+    val train = docs.filter(_._1 % 5 != 0)
+    val hold = docs.filter(_._1 % 5 == 0)
+    val n = train.length.toLong
+    val mu2 = train.map(_._2).sum / n
+    val mu3 = train.map(_._3).sum / n
+    val mad2 = math.max(1L, train.map(r => math.abs(r._2 - mu2)).sum / n)
+    val mad3 = math.max(1L, train.map(r => math.abs(r._3 - mu3)).sum / n)
+    def f(x2: Long, x3: Long): Array[Long] = Array(1000L,
+      math.max(-10000L, math.min(10000L,
+        Math.floorDiv(1000L * (x2 - mu2), mad2))),
+      math.max(-10000L, math.min(10000L,
+        Math.floorDiv(1000L * (x3 - mu3), mad3))))
+    // moments
+    val mm = Array.fill(9)(0L)
+    train.foreach { case (_, x2, x3, t) =>
+      val ff = f(x2, x3)
+      mm(0) += ff(0) * ff(0); mm(1) += ff(0) * ff(1); mm(2) += ff(0) * ff(2)
+      mm(3) += ff(1) * ff(1); mm(4) += ff(1) * ff(2); mm(5) += ff(2) * ff(2)
+      mm(6) += ff(0) * t; mm(7) += ff(1) * t; mm(8) += ff(2) * t
+    }
+    def fd(i: Int): BigInt = BigInt(Math.floorDiv(mm(i), n))
+    val A = Array(
+      Array(fd(0), fd(1), fd(2)),
+      Array(fd(1), fd(3) + 10000L, fd(4)),
+      Array(fd(2), fd(4), fd(5) + 10000L))
+    val c = Array(fd(6), fd(7), fd(8))
+    def det(x: Array[Array[BigInt]]): BigInt =
+      x(0)(0) * (x(1)(1) * x(2)(2) - x(1)(2) * x(2)(1)) -
+        x(0)(1) * (x(1)(0) * x(2)(2) - x(1)(2) * x(2)(0)) +
+        x(0)(2) * (x(1)(0) * x(2)(1) - x(1)(1) * x(2)(0))
+    def floorDivB(num: BigInt, den: BigInt): BigInt = {
+      val q = num / den
+      if (num % den != 0 && num.signum != den.signum) q - 1 else q
+    }
+    val dA = det(A)
+    assert(dA > 0, "ridge-regularized system must be positive definite")
+    val W = (0 to 2).map { j =>
+      val Aj = Array.tabulate(3, 3)((r, cc) => if (cc == j) c(r) else A(r)(cc))
+      floorDivB(det(Aj) * S20, dA)
+        .max(BigInt(-1000000000000L)).min(BigInt(1000000000000L)).toLong
+    }
+    def pred(x2: Long, x3: Long): Long = {
+      val ff = f(x2, x3)
+      val num = (0 to 2).map(j => W(j) * ff(j)).sum
+      math.max(-1000000L, math.min(1000000L, Math.floorDiv(num, S20)))
+    }
+    val sseTrain = train.map { case (_, x2, x3, t) =>
+      val r = t - pred(x2, x3); r * r }.sum
+    val sseHold = hold.map { case (_, x2, x3, t) =>
+      val r = t - pred(x2, x3); r * r }.sum
+
+    val rows = SparkEntry.queries("ml_ridge")(spark, sfTiny)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length === 3)
+    rows.foreach { case (j, wfp, muQ, madQ, nTr, sseT, nHo, sseH) =>
+      assert(wfp === W(j.toInt), s"weight $j diverged")
+      if (j == 0) { assert(muQ === 0L); assert(madQ === 1L) }
+      else if (j == 1) { assert(muQ === mu2); assert(madQ === mad2) }
+      else { assert(muQ === mu3); assert(madQ === mad3) }
+      assert(nTr === n)
+      assert(sseT === sseTrain)
+      assert(nHo === hold.length.toLong)
+      assert(sseH === sseHold)
+    }
+    // the solve must have FIT something: beat the zero predictor, and
+    // use at least one non-intercept feature
+    val sseZero = train.map { case (_, _, _, t) => t * t }.sum
+    assert(sseTrain < sseZero, "learned fit does not beat pred=0")
+    assert(W(1) != 0L || W(2) != 0L, "no non-intercept signal learned")
+  }
+
   test("ml_knn_classifier: holdout-only rows, bounded votes, trained labels") {
     val got = SparkEntry.queries("ml_knn_classifier")(spark, sfTiny)
       .as[(Long, Int, Int, Long, Boolean)].collect()

@@ -310,6 +310,25 @@ class SqlRegistrySweepSpec extends SparkSpec {
       ORDER BY grp
     """,
     // the DuckDB oracle's '0x…'::BIGINT hex cast has no Spark spelling
+    // (Spark needs conv()); same exact-geometric DP draw otherwise
+    "curate_dp_release" -> {
+      def geom(salt: String): String = {
+        val m1 = s"(CAST(conv(substring(md5(concat(lang, ':', source, " +
+          s"':$salt')), 1, 5), 16, 10) AS BIGINT) + 1)"
+        s"((20 * ${ops.IntMath.FP}L - (${ops.IntMath.lg2fp(m1)})) " +
+          s"div ${ops.IntMath.FP}L)"
+      }
+      s"""
+      WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source)
+      SELECT lang, source,
+             GREATEST(CAST(0 AS BIGINT),
+               n + ${geom("dp1")} - ${geom("dp2")}) AS released
+      FROM cells ORDER BY lang, source
+    """
+    },
+    // the DuckDB oracle's '0x…'::BIGINT hex cast has no Spark spelling
     // (Spark needs conv()); same theta-sketch math otherwise
     "agg_kmv_setops" -> """
       WITH base AS (
