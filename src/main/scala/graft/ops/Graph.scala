@@ -735,11 +735,14 @@ object Graph extends QueryModule {
     // is bit-identical on any engine or partitioning). 3 fixed rounds,
     // the async/convergent variant being order-dependent by definition.
     //
-    // Scale: per round, ONE (edge ⋈ label) key-equi shuffle on the
-    // neighbor id + one (node, label) count aggregate + a per-node
-    // argmax window over the ≤deg(v) candidate labels — the frontier
-    // frame is (node, label) pairs, never the corpus, and the staged
-    // label frame keeps round N's plan from re-running rounds 1..N-1.
+    // Scale: the edge mass exchanges ONCE — the symmetric edge frame
+    // stages hash-partitioned on the join key v (sized via edgeWidth),
+    // so every round's (edge ⋈ label) join reuses the cached layout and
+    // only the node-sized label frame moves. Per round that leaves one
+    // (node, label) count aggregate plus a per-node argmax as a HASH
+    // aggregate (max(struct(c, -label)) — no sort anywhere in the
+    // round), and the staged label frame keeps round N's plan from
+    // re-running rounds 1..N-1.
     // The oracle unrolls the same recurrence: each round references the
     // previous label table exactly ONCE, so the CTE chain stays linear
     // under inlining (the k-core lesson).
@@ -747,7 +750,7 @@ object Graph extends QueryModule {
       "graph_label_propagation",
       (s, d) => {
         val adj = coLineAdj(s, d)
-        labelPropagation(adj, rounds = 3)
+        labelPropagation(adj, rounds = 3, width = Some(edgeWidth(s, d)))
           .select(col("node").as("part"), col("label"))
           .orderBy(col("part"))
       },
@@ -1313,27 +1316,41 @@ object Graph extends QueryModule {
     * 1..N-1; isolated nodes cannot exist (every node is an edge
     * endpoint).
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      width: Option[Int] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val und = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    // the edge dedup re-exchanges the whole edge stream — pin the sized
+    // width when the caller knows the mass (the jaccard/k-core lesson:
+    // 9.9 GB of default-width distinct spill at the 250× rung)
+    val undRaw = edges.toDF("x", "y").filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct()
+    val und = width.fold(undRaw)(w =>
+      undRaw.repartition(w, col("a"), col("b"))).distinct()
+    // stage the symmetric edge frame HASH-PARTITIONED ON v — the
+    // per-round join key. The cached partitioning survives the persist,
+    // so every round's (edge ⋈ label) reuses it and only the node-sized
+    // label frame exchanges: the edge mass moves ONCE for all rounds
+    // instead of once per round.
+    val symRaw = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
     val sym = Materialize.stage(
-      und.select(col("a").as("u"), col("b").as("v"))
-        .union(und.select(col("b").as("u"), col("a").as("v"))))
+      width.fold(symRaw.repartition(col("v")))(w =>
+        symRaw.repartition(w, col("v"))))
     var lab = Materialize.stage(
       sym.select(col("u").as("node")).distinct()
         .select(col("node"), col("node").as("label")))
     for (_ <- 1 to rounds) {
       val cnt = sym.join(lab, sym("v") === lab("node"))
         .groupBy(sym("u"), col("label")).agg(count(lit(1)).as("c"))
+      // per-node argmax as a HASH aggregate, not a sort window: the
+      // struct max carries (count, -label), so ties break on the
+      // smallest label exactly like the oracle's ROW_NUMBER ordering
+      // (c DESC, label ASC) — with no per-round sort of the pair frame
       lab = Materialize.stage(cnt
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("u"))
-            .orderBy(col("c").desc, col("label").asc)))
-        .filter(col("rn") === 1)
-        .select(col("u").as("node"), col("label")))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label")))
     }
     lab
   }
