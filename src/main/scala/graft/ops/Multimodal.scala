@@ -52,6 +52,20 @@ final case class PhashMedia(
     h: Long,
     ahash: Long)
 
+/** `mm_image_resize` row: a fixed 4×4 nearest-neighbor RGB thumbnail of
+  * a decoded P6 raster, reported as exact integer folds OVER the
+  * materialized thumbnail (per-plane sums + a position-weighted luma
+  * sum that pins pixel ARRANGEMENT, not just content).
+  */
+final case class ResizedMedia(
+    doc_id: Long,
+    width: Long,
+    height: Long,
+    thumb_r: Long,
+    thumb_g: Long,
+    thumb_b: Long,
+    thumb_wsum: Long)
+
 /** One 16-sample PCM frame decoded from real WAV bytes: exact integer
   * sum and energy — the framing step every audio featurizer starts
   * with (the last frame may be partial; n_in_frame says so).
@@ -286,6 +300,44 @@ object Multimodal extends QueryModule {
       j += 1
     }
     PhashMedia(docId, w.toLong, h.toLong, hash)
+  }
+
+  /** Nearest-neighbor resample of a P6 raster to a fixed 4×4 RGB
+    * thumbnail. The REAL 48-byte thumbnail array is materialized (at
+    * scale it is what lands in a sink's binary column; the checksums
+    * in [[ResizedMedia]] are folds over it, so the resample genuinely
+    * happens). Source pixel for destination (dx, dy) is the standard
+    * floor-index map (⌊dx·w/4⌋, ⌊dy·h/4⌋) — pure integer division,
+    * so the oracle states every thumbnail pixel in closed form.
+    * Upsampling rows is well-defined too (h ≥ 3 < 4 repeats rows),
+    * and a 4×4 source is the identity.
+    */
+  private[graft] def resizePpm(docId: Long, bytes: Array[Byte]): ResizedMedia = {
+    val (w, h, _, start) = ppmHeader(docId, bytes)
+    val n = w * h * 3
+    require(bytes.length - start >= n, s"truncated PPM raster (doc $docId)")
+    val thumb = new Array[Byte](48)
+    var g = 0
+    while (g < 16) {
+      val dx = g % 4; val dy = g / 4
+      val sx = dx * w / 4; val sy = dy * h / 4
+      val k = 3 * (sy * w + sx)
+      thumb(3 * g) = bytes(start + k)
+      thumb(3 * g + 1) = bytes(start + k + 1)
+      thumb(3 * g + 2) = bytes(start + k + 2)
+      g += 1
+    }
+    var r = 0L; var gg = 0L; var b = 0L; var ws = 0L
+    var i = 0
+    while (i < 16) {
+      val rv = (thumb(3 * i) & 0xff).toLong
+      val gv = (thumb(3 * i + 1) & 0xff).toLong
+      val bv = (thumb(3 * i + 2) & 0xff).toLong
+      r += rv; gg += gv; b += bv
+      ws += (i + 1L) * (rv + gv + bv)
+      i += 1
+    }
+    ResizedMedia(docId, w.toLong, h.toLong, r, gg, b, ws)
   }
 
   /** GENUINE PCM WAV decoder: validates RIFF/WAVE magics, walks the
@@ -694,6 +746,84 @@ object Multimodal extends QueryModule {
         SELECT s.doc_id, s.w, s.h, s.ahash, nn.nn_doc, nn.nn_ham
         FROM hsh s LEFT JOIN nn ON nn.doc_id = s.doc_id
         ORDER BY s.doc_id
+      """)),
+
+    // ───── image resize: fixed 4×4 NN thumbnail over real PPM bytes ─────
+    // The resize step of a multimodal ingest (every vision pipeline
+    // normalizes to a fixed input resolution before feature extraction):
+    // each staged P6 asset is decoded and nearest-neighbor-resampled to
+    // a REAL 4×4 RGB thumbnail (`resizePpm` materializes the 48-byte
+    // array; at scale that array is the sink column and these checksums
+    // are its integrity fold). The NN map ⌊d·src/4⌋ is pure integer
+    // division, so the oracle reconstructs every thumbnail pixel in
+    // closed form from the generator arithmetic — matching hashes prove
+    // the resample (index map, plane interleave, row stride) is
+    // pixel-correct, and the position-weighted luma sum pins pixel
+    // ARRANGEMENT (a transposed thumbnail would pass plane sums alone).
+    //
+    // Scale shape: identical to mm_decode_real — blobs never shuffle,
+    // the decode+resample is a narrow mapPartitions on the binaryFile
+    // scan, and the output is 7 integers per image.
+    GraftQuery(
+      "mm_image_resize",
+      (s, d) => {
+        import s.implicits._
+        val tmp = graft.pipeline.Sources.scratch(d, "mmresize_")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 200 && col("doc_id") % 2 === 0)
+          .select(col("doc_id"))
+          .repartition(4)
+          .as[Long]
+          .foreachPartition { (ids: Iterator[Long]) =>
+            // deterministic bytes, disjoint files per partition — a
+            // retried task rewrites identical content (mm_decode_real's
+            // idempotence argument)
+            ids.foreach { id =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$tmp/asset_$id.ppm"), ppmBytes(id))
+            }
+          }
+        implicit val enc = org.apache.spark.sql.Encoders.product[ResizedMedia]
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "asset_*")
+          .load(tmp)
+          .select(
+            regexp_extract(col("path"), "asset_(\\d+)\\.", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.grouped(BatchSize).flatMap(_.map { case (id, b) =>
+              resizePpm(id, b)
+            })
+          }
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+          FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0),
+        grid AS (
+          SELECT doc_id, w, h, UNNEST(generate_series(0, 15)) AS g
+          FROM img),
+        px AS (
+          SELECT doc_id, w, h, g,
+                 3 * ((((g // 4) * h) // 4) * w + ((g % 4) * w) // 4) AS k
+          FROM grid),
+        vals AS (
+          SELECT doc_id, w, h, g,
+                 (doc_id*131 + k*7) % 256 AS r,
+                 (doc_id*131 + (k+1)*7) % 256 AS gr,
+                 (doc_id*131 + (k+2)*7) % 256 AS b
+          FROM px)
+        SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+               CAST(MAX(h) AS BIGINT) AS height,
+               CAST(SUM(r) AS BIGINT) AS thumb_r,
+               CAST(SUM(gr) AS BIGINT) AS thumb_g,
+               CAST(SUM(b) AS BIGINT) AS thumb_b,
+               CAST(SUM((g + 1) * (r + gr + b)) AS BIGINT) AS thumb_wsum
+        FROM vals GROUP BY doc_id ORDER BY doc_id
       """)),
 
     // ───── frame-level audio features from really-decoded PCM ─────
