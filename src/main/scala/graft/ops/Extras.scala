@@ -1519,6 +1519,112 @@ object Extras extends QueryModule {
                CASE WHEN n_points = 0 THEN NULL
                     ELSE sae * 1000000 // n_points END AS mae_ppm
         FROM u ORDER BY model
-      """))
+      """)),
+
+    // ───── Holt's linear-trend forecast: per-user exponential smoothing ─────
+    // The learned counterpart to ts_forecast_snaive's free baselines —
+    // the first real forecaster every metrics stack ships (Holt 1957:
+    // level + trend double exponential smoothing). Per user, the first 8
+    // observations (total order: event time, then event_id) train the
+    // recurrence and the 9th scores the one-step-ahead forecast — the
+    // per-key backtest shape, complementing snaive's global series.
+    //
+    // Determinism spelling: values quantize once (floor(value·100) —
+    // one shared IEEE multiply), smoothing constants are POWERS OF TWO
+    // (α = 1/2, β = 1/4) in 2¹⁰ fixed point, so every recurrence step is
+    //   l_i = ⌊(x_i·2¹⁰ + l_{i−1} + b_{i−1}) / 2⌋
+    //   b_i = ⌊((l_i − l_{i−1}) + 3·b_{i−1}) / 4⌋
+    // — pure integer arithmetic with sign-split floor division (the
+    // module-wide `div`/`//` negative-operand discipline). Init is the
+    // textbook l₁ = x₁, b₁ = x₂ − x₁. The horizon is FIXED (8), so the
+    // recurrence unrolls as a linear CTE chain in both engines (the
+    // ml_logreg pattern) — no recursion, no HOF fold to disagree on.
+    // Users with fewer than 9 observations drop out (documented: a
+    // backtest needs the actual).
+    //
+    // Scale shape (100 TB): one shuffle on user_id; the rank filter
+    // keeps 9 rows per user BEFORE the pivot (the conditional-aggregate
+    // pivot is map-side combinable), and the unrolled smoothing is a
+    // narrow projection over the 9-column frame — per-user state never
+    // exceeds one row, no window over the corpus, no driver loop.
+    GraftQuery(
+      "ts_forecast_holt",
+      (s, d) => {
+        val H = 8
+        def fd(num: String, den: Long): String =
+          s"(CASE WHEN ($num) >= 0 THEN ($num) div $den " +
+            s"ELSE -((-($num) + ${den - 1}) div $den) END)"
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+            col("event_id"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+        val first = ev.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("us"), col("event_id"))))
+          .filter(col("rn") <= H + 1)
+        val aggs = (1 to H + 1).map(i =>
+          max(when(col("rn") === i, col("x"))).as(s"x$i")) :+
+          count(lit(1)).as("n_obs")
+        var df = first.groupBy(col("user_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .filter(col("n_obs") === H + 1)
+          .withColumn("l1", expr("x1 * 1024"))
+          .withColumn("b1", expr("(x2 - x1) * 1024"))
+        for (i <- 2 to H) {
+          df = df
+            .withColumn(s"l$i",
+              expr(fd(s"x$i * 1024 + l${i - 1} + b${i - 1}", 2)))
+            .withColumn(s"b$i",
+              expr(fd(s"(l$i - l${i - 1}) + 3 * b${i - 1}", 4)))
+        }
+        df.select(col("user_id"),
+            col(s"l$H").as("level_fp"), col(s"b$H").as("trend_fp"),
+            expr(fd(s"l$H + b$H", 1024)).as("forecast_c"),
+            col(s"x${H + 1}").as("actual_c"))
+          .withColumn("abs_err_c",
+            abs(col("actual_c") - col("forecast_c")))
+          .orderBy(col("user_id"))
+      },
+      Some {
+        val H = 8
+        def fd(num: String, den: Long): String =
+          s"(CASE WHEN ($num) >= 0 THEN ($num) // $den " +
+            s"ELSE -((-($num) + ${den - 1}) // $den) END)"
+        val xCols = (1 to H + 1).map(i =>
+          s"MAX(CASE WHEN rn = $i THEN x END) AS x$i").mkString(",\n          ")
+        val rounds = (2 to H).map { i =>
+          s"""hl$i AS (
+          SELECT *, ${fd(s"x$i * 1024 + l${i - 1} + b${i - 1}", 2)} AS l$i
+          FROM hb${i - 1}),
+        hb$i AS (
+          SELECT *, ${fd(s"(l$i - l${i - 1}) + 3 * b${i - 1}", 4)} AS b$i
+          FROM hl$i)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH ev AS (
+          SELECT user_id, (epoch_ns(ts) // 1000) AS us, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS x
+          FROM events),
+        rn AS (
+          SELECT user_id, x,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS rn
+          FROM ev),
+        wide AS (
+          SELECT user_id,
+          $xCols,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM rn WHERE rn <= ${H + 1} GROUP BY user_id),
+        hb1 AS (
+          SELECT *, x1 * 1024 AS l1, (x2 - x1) * 1024 AS b1
+          FROM wide WHERE n_obs = ${H + 1}),
+        $rounds
+        SELECT user_id, l$H AS level_fp, b$H AS trend_fp,
+               ${fd(s"l$H + b$H", 1024)} AS forecast_c,
+               x${H + 1} AS actual_c,
+               ABS(x${H + 1} - ${fd(s"l$H + b$H", 1024)}) AS abs_err_c
+        FROM hb$H ORDER BY user_id
+      """
+      })
   )
 }

@@ -255,4 +255,56 @@ class TimeseriesSpec extends SparkSpec {
       assert(s2 === seasonal(hod), s"seasonal at hod=$hod")
     }
   }
+
+  test("ts_forecast_holt: noiseless linear series forecasts exactly; " +
+      "short users drop; Scala replay matches at the fixture") {
+    val d = scratchDir("ts_holt")
+    // user 1: perfectly linear x_i = 300 + 50*i centi-units (value =
+    //   3.00 + 0.50*i) — with power-of-two smoothing the recurrence is
+    //   EXACT on linear input (l_i = x_i, b_i = slope by induction), so
+    //   the 1-step forecast must hit the 9th point with zero error.
+    // user 2: a step series exercising negative trend arithmetic.
+    // user 3: only 5 observations — must not appear (no actual to score).
+    val rows =
+      (1 to 9).map(i => ((100 + i).toLong, i.toLong * H, 1L, "view",
+        3.0 + 0.5 * i)) ++
+      (1 to 9).map(i => ((200 + i).toLong, i.toLong * H, 2L, "view",
+        if (i <= 4) 10.0 else 2.0)) ++
+      (1 to 5).map(i => ((300 + i).toLong, i.toLong * H, 3L, "view", 1.0))
+    rows.map { case (id, us, u, et, v) =>
+      (id, new Timestamp(us / 1000), u, et, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    val got = SparkEntry.queries("ts_forecast_holt")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L), "exactly the >= 9-obs users score")
+
+    // Scala Long replay of the recurrence (sign-split floor division)
+    def fd(num: Long, den: Long): Long = Math.floorDiv(num, den)
+    def holt(xs: Seq[Long]): (Long, Long, Long) = {
+      var l = xs(0) * 1024L; var b = (xs(1) - xs(0)) * 1024L
+      for (i <- 1 until 8) {
+        val lp = l
+        l = fd(xs(i) * 1024L + lp + b, 2L)
+        b = fd((l - lp) + 3L * b, 4L)
+      }
+      (l, b, fd(l + b, 1024L))
+    }
+    val x1 = (1 to 9).map(i => math.floor((3.0 + 0.5 * i) * 100).toLong)
+    val (l1, b1, f1) = holt(x1)
+    val (_, _, _, fc1, a1, e1) = got(1L)
+    assert(got(1L)._2 === l1 && got(1L)._3 === b1)
+    assert(fc1 === f1 && a1 === x1(8))
+    // exactness on the linear series: forecast hits the 9th point
+    assert(e1 === 0L, s"linear series must forecast exactly, err=$e1")
+    assert(b1 === 50L * 1024L, "trend locks to the true slope in fp")
+
+    val x2 = (1 to 9).map(i => math.floor((if (i <= 4) 10.0 else 2.0) * 100).toLong)
+    val (l2, b2, f2) = holt(x2)
+    assert((got(2L)._2, got(2L)._3, got(2L)._4) === ((l2, b2, f2)))
+    assert(got(2L)._6 === math.abs(x2(8) - f2))
+    assert(b2 < 0L, "step-down series must carry a negative trend")
+  }
 }
