@@ -631,6 +631,107 @@ object Analytics extends QueryModule {
     // is spelled m2·sqrt(m2) — sqrt is IEEE-correctly-rounded on both
     // engines; pow() is NOT guaranteed to be and never appears. One
     // partial-agg shuffle carrying 5 numbers per group.
+    // ───── block-jackknife confidence interval for a pipeline metric ─────
+    // Error bars without distributional assumptions — the resampling
+    // tool a data-quality gate wants around ANY scalar it monitors
+    // (here: mean order value). Delete-a-group jackknife (Quenouille/
+    // Tukey; the block variant is what large-scale A/B systems ship):
+    // orders partition into B = 16 key-residue blocks, each replicate
+    // is the metric with one block deleted, and var̂(θ̂) =
+    // (B−1)/B · Σ_b (m_b − m̄)². Exact-integer discipline: replicate
+    // means are deci-cent floor divisions (the leave-out numerator
+    // rides DECIMAL(38,0)/HUGEINT so Σx·10 never wraps), the
+    // deviation sum uses the algebraic identity B·Σm² − (Σm)² lifted
+    // to 128-bit exact integers (both terms graze int64; DECIMAL(38,0)
+    // here, HUGEINT in the oracle — same integers, cast to the same
+    // double), and the ONLY floating point is the
+    // final sqrt/scale on those exact integers — IEEE-correctly-rounded
+    // on identical inputs, the stats_corr contract. Headroom: Σm² ≤
+    // B·(mean in deci-cents)² is scale-INDEPENDENT (means don't grow
+    // with the corpus), so the bound holds at any row count — but caps
+    // the METRIC at ~2.9e9 deci-cents (mean ≈ $2.9M/order) before m²
+    // wraps; deci-cents also floor the detectable se at 0.1 cent.
+    // Larger-valued or finer metrics re-scale the quantum (documented
+    // knob, not data-dependent).
+    //
+    // Scale shape (100 TB): one map-side-combined groupBy collapses the
+    // corpus to B = 16 (block, count, sum) rows; everything after is
+    // arithmetic on those 16 rows + one broadcast 1-row total. Adding a
+    // grouped variant (CI per segment) is the same plan keyed by
+    // (segment, block).
+    GraftQuery(
+      "stats_jackknife_ci",
+      (s, d) => {
+        val B = 16
+        val blocks = Tables.orders(s, d)
+          .select((col("o_orderkey") % B).as("b"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("xc"))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("nb"), sum(col("xc")).cast("long").as("sb"))
+        val tot = blocks.agg(sum(col("nb")).cast("long").as("n"),
+          sum(col("sb")).cast("long").as("s"))
+        val reps = blocks.crossJoin(broadcast(tot))
+          .select(col("n"), col("s"),
+            expr("CAST(CAST((s - sb) AS DECIMAL(38,0)) * 10 " +
+              "div (n - nb) AS BIGINT)").as("mb"))
+        reps
+          .agg(max(col("n")).as("n"), max(col("s")).as("s"),
+            count(lit(1)).as("n_blocks"),
+            sum(col("mb")).cast("long").as("sm"),
+            sum(col("mb") * col("mb")).cast("long").as("sm2"))
+          .select(col("n"), col("n_blocks"),
+            expr("CAST(CAST(s AS DECIMAL(38,0)) * 10 div n AS BIGINT)")
+              .as("theta_dc"),
+            expr("CAST(CAST(n_blocks AS DECIMAL(38,0)) * sm2 " +
+              "- CAST(sm AS DECIMAL(38,0)) * sm AS DOUBLE)").as("ssd_scaled"))
+          .withColumn("se_dc", expr(
+            "sqrt(ssd_scaled * CAST(n_blocks - 1 AS DOUBLE))" +
+              " / CAST(n_blocks AS DOUBLE)"))
+          .select(col("n"), col("n_blocks"), col("theta_dc"),
+            col("ssd_scaled"), col("se_dc"),
+            expr("CAST(theta_dc AS DOUBLE) - 1.96 * se_dc").as("ci_lo_dc"),
+            expr("CAST(theta_dc AS DOUBLE) + 1.96 * se_dc").as("ci_hi_dc"))
+      },
+      Some("""
+        WITH pts AS (
+          SELECT o_orderkey % 16 AS b,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+          FROM orders),
+        blocks AS (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS nb,
+                 CAST(SUM(xc) AS BIGINT) AS sb
+          FROM pts GROUP BY b),
+        tot AS (
+          SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(sb) AS BIGINT) AS s
+          FROM blocks),
+        reps AS (
+          SELECT n, s,
+                 CAST(CAST((s - sb) AS HUGEINT) * 10 // (n - nb) AS BIGINT)
+                   AS mb
+          FROM blocks CROSS JOIN tot),
+        agg AS (
+          SELECT MAX(n) AS n, MAX(s) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(SUM(mb) AS BIGINT) AS sm,
+                 CAST(SUM(mb * mb) AS BIGINT) AS sm2
+          FROM reps),
+        core AS (
+          SELECT n, n_blocks,
+                 CAST(CAST(s AS HUGEINT) * 10 // n AS BIGINT) AS theta_dc,
+                 CAST(CAST(n_blocks AS HUGEINT) * sm2
+                   - CAST(sm AS HUGEINT) * sm AS DOUBLE) AS ssd_scaled
+          FROM agg),
+        se AS (
+          SELECT *, sqrt(ssd_scaled * CAST(n_blocks - 1 AS DOUBLE))
+                   / CAST(n_blocks AS DOUBLE) AS se_dc
+          FROM core)
+        SELECT n, n_blocks, theta_dc, ssd_scaled, se_dc,
+               CAST(theta_dc AS DOUBLE) - 1.96 * se_dc AS ci_lo_dc,
+               CAST(theta_dc AS DOUBLE) + 1.96 * se_dc AS ci_hi_dc
+        FROM se
+      """)),
+
     GraftQuery(
       "stats_moments",
       (s, d) =>

@@ -399,4 +399,38 @@ class PropertiesSpec extends SparkSpec {
     }.sortBy(t => (-t._8, t._1, t._2)).take(30)
     assert(rows === expect)
   }
+
+  test("stats_jackknife_ci: exact Long/BigInt replay; CI covers the mean") {
+    import org.apache.spark.sql.functions.col
+    val xs = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey").cast("long"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .as[(Long, Long)].collect()
+    val B = 16
+    val blocks = xs.groupBy(_._1 % B).map { case (b, g) =>
+      (b, g.length.toLong, g.map(_._2).sum) }.toSeq
+    val n = blocks.map(_._2).sum
+    val sTot = blocks.map(_._3).sum
+    val mb = blocks.map { case (_, nb, sb) =>
+      ((BigInt(sTot - sb) * 10) / (n - nb)).toLong } // operands positive
+    val bb = blocks.length.toLong
+    val sm = mb.sum; val sm2 = mb.map(m => m * m).sum
+    val ssd = (BigInt(bb) * sm2 - BigInt(sm) * sm).toDouble
+    val theta = ((BigInt(sTot) * 10) / n).toLong
+    val se = math.sqrt(ssd * (bb - 1).toDouble) / bb.toDouble
+
+    val r = SparkEntry.queries("stats_jackknife_ci")(spark, sfTiny).head()
+    assert(r.getLong(r.fieldIndex("n")) === n)
+    assert(r.getLong(r.fieldIndex("n_blocks")) === bb)
+    assert(r.getLong(r.fieldIndex("theta_dc")) === theta)
+    assert(r.getDouble(r.fieldIndex("ssd_scaled")) === ssd)
+    assert(r.getDouble(r.fieldIndex("se_dc")) === se)
+    val (lo, hi) = (r.getDouble(r.fieldIndex("ci_lo_dc")),
+      r.getDouble(r.fieldIndex("ci_hi_dc")))
+    assert(lo === theta.toDouble - 1.96 * se)
+    assert(hi === theta.toDouble + 1.96 * se)
+    // the interval is a genuine error bar: positive width containing theta
+    assert(se > 0.0 && lo < theta.toDouble && theta.toDouble < hi)
+  }
 }
