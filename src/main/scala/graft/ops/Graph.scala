@@ -1341,8 +1341,22 @@ object Graph extends QueryModule {
       sym.select(col("u").as("node")).distinct()
         .select(col("node"), col("node").as("label")))
     for (_ <- 1 to rounds) {
-      val cnt = sym.join(lab, sym("v") === lab("node"))
-        .groupBy(sym("u"), col("label")).agg(count(lit(1)).as("c"))
+      val pairs = sym.join(lab, sym("v") === lab("node"))
+        .select(sym("u").as("u"), col("label"))
+      // The (u, label) count over round 1's pair stream is the wedge
+      // lesson again (SCALE.md §4b): labels start near-unique per
+      // neighbor, so map-side combine buys nothing and the default-width
+      // partial+final aggregate overflows BOTH hash maps into sort
+      // fallback (measured 19.3 GB + 18.5 GB of spill across rounds 1-2
+      // at the 250× rung). Instead shuffle the RAW pair stream ONCE at
+      // the edge-mass width and aggregate exactly once on the sized
+      // side — the explicit hash(u, label) repartition satisfies the
+      // aggregate's clustering, so no second exchange and no partial
+      // pass exists to fall back.
+      val pairsW = width.fold(pairs)(w =>
+        pairs.repartition(w, col("u"), col("label")))
+      val cnt = pairsW.groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("c"))
       // per-node argmax as a HASH aggregate, not a sort window: the
       // struct max carries (count, -label), so ties break on the
       // smallest label exactly like the oracle's ROW_NUMBER ordering
