@@ -48,6 +48,22 @@ final case class CusumState(
   */
 final case class CusumAlert(user_id: Long, ts_us: Long, stat: Long)
 
+/** Per-user state for the streaming Holt forecaster: the
+  * watermark-bounded open buffer, the ≤9 finalized head observations
+  * (event-time total order), and the one-shot emit latch.
+  */
+final case class HoltState(
+    open: Vector[(Long, Long, Long)],   // (tsUs, eventId, xCenti)
+    finals: Vector[(Long, Long, Long)], // finalized, sorted, capped at 9
+    done: Boolean)
+
+/** The ONE forecast row a user emits once its 9th observation
+  * finalizes — bit-identical to the batch `ts_forecast_holt` row.
+  */
+final case class HoltForecast(
+    user_id: Long, level_fp: Long, trend_fp: Long,
+    forecast_c: Long, actual_c: Long, abs_err_c: Long)
+
 /** Per-user attribution state: events buffered inside the watermark
   * horizon plus the carried last touch — exactly the two ignore-nulls
   * carries of the batch `win_attribution`, as O(1) fields.
@@ -367,6 +383,84 @@ object StreamingPipeline extends Serializable {
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState[CusumState, CusumAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Streaming Holt forecaster — the streaming deployment of the batch
+    * `ts_forecast_holt`: per user, the FIRST 9 observations in the
+    * (ts_us, event_id) event-time total order train/score the same
+    * pure-integer recurrence (α=1/2, β=1/4 in 2¹⁰ fixed point,
+    * sign-split floor division), and exactly ONE forecast row emits
+    * once the 9th observation FINALIZES — bit-identical to the batch
+    * query's row for that user. The cusumMonitor discipline: the
+    * recurrence is order-sensitive, so nothing folds before the
+    * watermark passes it (out-of-order arrivals inside the horizon
+    * reorder correctly; beyond-watermark stragglers are dropped by the
+    * standard contract — the batch query, which sees all data, is the
+    * reconciliation). The emit latch makes replays idempotent; state
+    * per user is the watermark-bounded buffer + ≤9 finalized rows +
+    * the latch. Users that never reach 9 observations never emit
+    * (batch drops them too — no actual to score).
+    */
+  def holtForecaster(typed: DataFrame, watermark: String = "1 hour")
+      : org.apache.spark.sql.Dataset[HoltForecast] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[HoltState]
+    implicit val outEnc   = Encoders.product[HoltForecast]
+    val empty = HoltState(Vector.empty, Vector.empty, done = false)
+
+    def fit(userId: Long, f: Vector[(Long, Long, Long)]): HoltForecast = {
+      val xs = f.map(_._3)
+      var l = xs(0) * 1024L
+      var b = (xs(1) - xs(0)) * 1024L
+      var i = 1
+      while (i < 8) {
+        val lp = l
+        l = Math.floorDiv(xs(i) * 1024L + lp + b, 2L)
+        b = Math.floorDiv((l - lp) + 3L * b, 4L)
+        i += 1
+      }
+      val fc = Math.floorDiv(l + b, 1024L)
+      HoltForecast(userId, l, b, fc, xs(8), math.abs(xs(8) - fc))
+    }
+
+    def update(userId: Long, rows: Iterator[Row],
+        state: GroupState[HoltState]): Iterator[HoltForecast] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val withNew =
+        if (state.hasTimedOut) state.getOption.getOrElse(empty)
+        else {
+          val s = state.getOption.getOrElse(empty)
+          if (s.done) s
+          else s.copy(open = s.open ++ rows.map(r => (
+            r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"),
+            r.getAs[Long]("x"))))
+        }
+      val (ready, still) = withNew.open.partition(_._1 <= wmUs)
+      val finals = (withNew.finals ++ ready)
+        .sortBy(e => (e._1, e._2)).take(9)
+      val (emit, done) =
+        if (!withNew.done && finals.length == 9)
+          (Some(fit(userId, finals)), true)
+        else (None, withNew.done)
+      // once latched, only the latch survives — the buffers are garbage
+      state.update(
+        if (done) HoltState(Vector.empty, Vector.empty, done = true)
+        else HoltState(still, finals, done = false))
+      if (!done && still.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          still.map(_._1).min / 1000L + 1L, wmUs / 1000L + 1L))
+      emit.iterator
+    }
+
+    typed
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("x"))
+      .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[HoltState, HoltForecast](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 

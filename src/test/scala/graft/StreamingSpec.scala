@@ -873,4 +873,64 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.graft.stream.scrubMaxBucketBytes")
     }
   }
+
+  test("streaming Holt forecast emits exactly the batch row per user, " +
+      "incl. out-of-order arrival inside the horizon") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val typed = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select($"event_id", timestamp_micros($"ts_us").as("ts"),
+        $"user_id", $"event_type", $"value")
+    val q = StreamingPipeline.holtForecaster(typed)
+      .writeStream.format("memory").queryName("holt")
+      .outputMode("append").start()
+    val h  = 3_600_000_000L
+    val t0 = 86400L * 1000000L
+    // user 1: 10 linear observations 3.0 + 0.5*i — the recurrence is
+    // exact on linear input, so the stream must forecast with zero
+    // error; events 3 and 4 are delivered SWAPPED (out of order inside
+    // the horizon — finalization must restore the event-time order).
+    // user 2: only 5 observations — must never emit.
+    val u1 = (1 to 10).map(i =>
+      ((100 + i).toLong, t0 + i * h, 1L, "m", 3.0 + 0.5 * i))
+    val u1Swapped = u1.updated(2, u1(3)).updated(3, u1(2))
+    val u2 = (1 to 5).map(i =>
+      ((200 + i).toLong, t0 + i * h, 2L, "m", 7.0))
+    try {
+      mem.addData(u1Swapped ++ u2)
+      q.processAllAvailable()
+      // advance the watermark past u1's 9th observation, then poke so
+      // the event-time timeout fires and drains the buffer
+      mem.addData((900L, t0 + 30 * h, 9L, "m", 1.0))
+      q.processAllAvailable()
+      mem.addData((901L, t0 + 31 * h, 9L, "m", 1.0))
+      q.processAllAvailable()
+
+      val got = spark.table("holt")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got.map(_._1) === Seq(1L), s"exactly user 1 emits: $got")
+
+      // batch twin on the identical rows
+      val d = scratchDir("st_holt")
+      (u1 ++ u2 :+ ((900L, t0 + 30 * h, 9L, "m", 1.0))
+        :+ ((901L, t0 + 31 * h, 9L, "m", 1.0)))
+        .map { case (id, us, u, et, v) =>
+          (id, new java.sql.Timestamp(us / 1000), u, et, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      val batch = SparkEntry.queries("ts_forecast_holt")(spark, d)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+        .filter(_._1 == 1L)
+      assert(got === batch, "stream row must be bit-identical to batch")
+      assert(got.head._6 === 0L, "linear series must forecast exactly")
+
+      // replay idempotence: more data for user 1 never re-emits
+      mem.addData((902L, t0 + 40 * h, 1L, "m", 99.0))
+      q.processAllAvailable()
+      mem.addData((903L, t0 + 41 * h, 9L, "m", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("holt").count() === 1L, "emit latch holds")
+    } finally q.stop()
+  }
 }
