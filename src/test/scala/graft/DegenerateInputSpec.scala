@@ -70,7 +70,10 @@ class DegenerateInputSpec extends SparkSpec {
     // wave 17: no content groups -> no overlap rows
     "curate_source_overlap",
     // wave 18: no train rows -> no candidate rule -> empty artifact
-    "ml_decision_stump")
+    "ml_decision_stump",
+    // round-11 second half: no cells -> no DP release rows; zero staged
+    // assets -> the binaryFile scan itself must tolerate zero files
+    "curate_dp_release", "mm_image_resize")
 
   private val embQueries = Seq(
     "dedup_embedding_nn", "dedup_semantic", "sim_knn_per_label",
@@ -82,7 +85,9 @@ class DegenerateInputSpec extends SparkSpec {
   private val evQueries = Seq(
     "win_attribution", "ts_interpolate", "ts_seasonal_profile",
     "stats_cohort_retention", "stats_ab_test", "ts_autocorr",
-    "ts_decompose", "stats_iqr_outliers")
+    "ts_decompose", "stats_iqr_outliers",
+    // round-11 second half: no user reaches 9 observations -> no row
+    "ts_forecast_holt")
 
   for (name <- docQueries ++ embQueries ++ evQueries)
     test(s"$name returns an empty result on an empty table, never throws") {
