@@ -76,6 +76,10 @@ class PlanAuditSpec extends SparkSpec {
     "ml_logreg",
     // same 5-row weight-frame × 1-row metrics shape
     "ml_perceptron",
+    // same shape closed-form: 3-row weight frame × 1-row SSE metrics
+    "ml_ridge",
+    // 1-row corpus-total broadcast under the 16-row block frame
+    "stats_jackknife_ci",
     // 1-row broadcast corpus-total under the metadata-sized class frame
     "curate_k_anonymity",
     // same shape: totals/cluster-stats/removed-chars 1-row frames
