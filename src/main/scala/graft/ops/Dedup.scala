@@ -84,6 +84,87 @@ object Dedup extends QueryModule {
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
   }
 
+  /** EXACT Jaccard >= 0.8 pairs via AllPairs/PPJoin prefix filtering
+    * (Bayardo et al., WWW'07; Xiao et al., WWW'08) — same output as the
+    * naive Σ df² posting self-join, at a fraction of its pair mass.
+    *
+    * Prefix-filtering principle: fix ONE global total order on shingles
+    * (here: document frequency asc, shingle asc — rarest first, the
+    * order that minimizes prefix df). For J(A,B) >= t the overlap obeys
+    * c >= ceil(t·max(|A|,|B|)), and the smallest common shingle e (in
+    * the global order) has at most c−1 common shingles after it, so e
+    * sits within the first n − c + 1 <= n − ceil(t·n) + 1 elements of
+    * EACH side. Joining only those prefixes therefore loses no
+    * qualifying pair; with t = 4/5 the prefix is ~n/5 + 1 — and because
+    * the prefix keeps each doc's RAREST shingles, the join's per-key df
+    * collapses much further than the 1/25 row-count bound suggests
+    * (sf0.1, measured: Σ C(df,2) 36.5 M → 6.0 M join mass, 10.3 M → 1.5 M
+    * distinct candidates with the length filter, 0 true pairs missed).
+    * The length filter is the union bound: J <= min/max, so J >= 4/5
+    * needs 5·min >= 4·max.
+    *
+    * Verification never re-streams the posting join: candidates join
+    * each side's full shingle ARRAY (one row per doc) and score
+    * size(array_intersect) in a codegen'd projection — exact distinct
+    * intersection counts, |cand|-proportional work. Those two verify
+    * joins stay hint-free (the doc-array frame is O(corpus) at 100 TB,
+    * so a forced broadcast is the audit-forbidden OOM; AQE may still
+    * auto-broadcast when a side measures genuinely small, which is the
+    * plan this takes at test SFs), and their output is <= their input —
+    * linear, so AQE's byte-measured coalescing sizes them safely. The
+    * one superlinear exchange — prefix-candidate construction — pins a
+    * width sized to the EXACT prefix pair mass Σ C(df_pre, 2), the same
+    * §18c seam as the naive arm it replaces.
+    */
+  private def prefixJaccardPairs(s: SparkSession, sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+    // prefix length n − ceil(4n/5) + 1, all-integer: ceil(4n/5) = (4n+4) div 5
+    val pre = Materialize.stage(
+      ranked.filter(expr("rk <= n - ((4*n + 4) div 5) + 1"))
+        .select(col("doc_id"), col("shingle"), col("n")))
+    val pairMass = Option(
+      pre.groupBy(col("shingle")).agg(count(lit(1)).as("dfp"))
+        .agg(sum(expr("dfp * (dfp - 1) div 2")).as("pm"))
+        .first().getAs[java.lang.Long]("pm"))
+      .map(_.longValue).getOrElse(0L)
+    val nPair = Sizing.partitionsForRows(s, pairMass, 48)
+    val pa = pre.select(col("doc_id").as("doc_a"), col("shingle"),
+      col("n").as("na0"))
+    val pb = pre.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"),
+      col("n").as("nb0"))
+    val cand = pa.repartition(nPair, col("shingle"))
+      .join(pb.repartition(nPair, col("sh2")),
+        col("shingle") === col("sh2") && col("doc_a") < col("doc_b") &&
+          col("na0") * 5 >= col("nb0") * 4 && col("nb0") * 5 >= col("na0") * 4)
+      .select(col("doc_a"), col("doc_b"))
+      // (doc_a, doc_b) hash partitioning satisfies the distinct's
+      // requirement — one sized exchange, no second one for the agg
+      .repartition(nPair, col("doc_a"), col("doc_b"))
+      .distinct()
+    val docsArr = Materialize.stage(
+      sh.groupBy(col("doc_id"))
+        .agg(collect_list(col("shingle")).as("arr"), count(lit(1)).as("nsz")))
+    val aSide = docsArr.select(col("doc_id").as("da"), col("arr").as("arr_a"),
+      col("nsz").as("na"))
+    val bSide = docsArr.select(col("doc_id").as("db"), col("arr").as("arr_b"),
+      col("nsz").as("nb"))
+    cand
+      .join(aSide, col("doc_a") === col("da"))
+      .join(bSide, col("doc_b") === col("db"))
+      // arr holds each doc's DISTINCT shingles (shingles() dedups), so
+      // size(array_intersect) IS the exact overlap c — order-free
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
   /** MinHash-LSH verified near-dup pairs (doc_a, doc_b, jaccard) — the
     * engine of dedup_minhash, reused by dedup_clusters.
     *
@@ -308,18 +389,21 @@ object Dedup extends QueryModule {
         ORDER BY doc_id
       """)),
 
-    // ───── exact n-gram Jaccard near-dup pairs (inverted-index join) ─────
-    // Single-pass: posting-list self-join feeds the (doc_a, doc_b)
-    // intersection count DIRECTLY into a partial-aggregated groupBy —
-    // never materializing a candidate set to re-join (which would expand
-    // Σ df² twice; at sf0.1 that tripled into ~3B rows and 166 s). Cost
-    // is Ω(Σ df²) by nature — this is the EXACT baseline; the
-    // subquadratic scale path is dedup_minhash below. The self-join is a
-    // plain shuffled equi-join on the shingle (NO broadcast hint: the
-    // posting list is O(corpus)); AQE's skew-join splitting handles hot
-    // shingles, and `spark.graft.shingle.dfCutoff` can bound them
-    // outright (candidate generation only — the verify join still scores
-    // FULL shingle sets, so reported jaccards stay exact).
+    // ───── exact n-gram Jaccard near-dup pairs (prefix-filtered) ─────
+    // EXACT baseline at threshold 0.8, computed the way production
+    // similarity joins are: AllPairs/PPJoin prefix + length filtering
+    // (prefixJaccardPairs) generates candidates from each doc's ~n/5
+    // RAREST shingles only — provably lossless at J >= 0.8 — and
+    // verifies them against full shingle arrays. Candidate-generation
+    // mass drops from Σ df² to Σ C(df_prefix, 2) (~6× fewer join rows,
+    // ~7× fewer candidates at sf0.1, and growing with corpus df
+    // density); the subquadratic probabilistic scale path remains
+    // dedup_minhash below. Hot-shingle skew: the prefix order (df asc)
+    // structurally EXCLUDES hot shingles from candidate generation
+    // unless a doc consists of almost nothing else, and
+    // `spark.graft.shingle.dfCutoff` can still bound them outright
+    // (candidate generation only — the verify join always scores full
+    // shingle sets, so reported jaccards stay exact).
     GraftQuery(
       "dedup_ngram_jaccard",
       (s, d) => {
@@ -329,47 +413,18 @@ object Dedup extends QueryModule {
         val cutoff = s.conf.get("spark.graft.shingle.dfCutoff", "").trim
         val pairs =
           if (cutoff.isEmpty) {
-            // exact path: the equi-join on shingle IS the intersection
-            // counter. Sizing seam (SCALE.md §18c): the join emits
-            // exactly Σ_shingle C(df, 2) pairs — on a df-dense corpus
-            // the default partial+final aggregation sort-falls-back on
-            // both sides of the exchange (measured on the eval twin of
-            // this arm: 134 + 108 GB of spill at the 40× rung), so the
-            // raw pair stream shuffles ONCE at a width sized to the
-            // exact mass and aggregates exactly once. Size joins stay
-            // hint-free (sz is corpus-sized at 100 TB — a forced
-            // broadcast is the audit-forbidden OOM) with the cn frame's
-            // re-key exchanges pinned to the sized width.
-            val sz = shingleSizes(sh)
-            val dfm = Materialize.stage(
-              sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
-            val pairMass = Option(
-              dfm.agg(sum(expr("df * (df - 1) div 2")).as("pm"))
-                .first().getAs[java.lang.Long]("pm"))
-              .map(_.longValue).getOrElse(0L)
-            val nPair = Sizing.partitionsForRows(s, pairMass, 48)
-            // join width ∝ pair mass too (see dedup_minhash_eval's truth
-            // arm — shingle keys are plentiful, so the sized hash(shingle)
-            // co-partitioning widens pair construction itself)
-            a.repartition(nPair, col("shingle"))
-              .join(b.repartition(nPair, col("sh2")),
-                col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
-              .select(col("doc_a"), col("doc_b"))
-              .repartition(nPair, col("doc_a"), col("doc_b"))
-              .groupBy(col("doc_a"), col("doc_b"))
-              .agg(count(lit(1)).as("c"))
-              .repartition(nPair, col("doc_a"))
-              .join(sz.select(col("doc_id"), col("n").as("na"))
-                  .repartition(nPair, col("doc_id")),
-                col("doc_a") === col("doc_id"))
-              .drop("doc_id")
-              .repartition(nPair, col("doc_b"))
-              .join(sz.select(col("doc_id"), col("n").as("nb"))
-                  .repartition(nPair, col("doc_id")),
-                col("doc_b") === col("doc_id"))
-              .drop("doc_id")
-              .select(col("doc_a"), col("doc_b"),
-                (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+            // exact path: prefix-filtered AllPairs (prefixJaccardPairs).
+            // The naive spelling — the posting self-join streaming
+            // Σ_shingle C(df, 2) pairs into one sized aggregate — was
+            // this arm's shape through round 10; prefix + length
+            // filtering produces the IDENTICAL pair set (the oracle
+            // below still pins the naive quadratic spelling, so the
+            // gate proves the equivalence every round) while cutting
+            // the join mass ~6× and the verify to |candidates| rows
+            // (sf0.1: 36.5 M → 6.0 M join rows, 10.3 M → 1.5 M
+            // candidates). See the helper's scaladoc for the lemma and
+            // the sizing seam.
+            prefixJaccardPairs(s, sh)
           } else {
             // skew-bounded path: drop shingles with document frequency
             // above the cutoff from CANDIDATE generation (a df-f shingle
@@ -559,52 +614,16 @@ object Dedup extends QueryModule {
           if (m <= 1L) sh0
           else sh0.filter(EvalSampling.inSlice(col("doc_id"), m))
         }
-        val sz = shingleSizes(sh)
-        val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"))
-        // Sizing seam (SCALE.md §18c): the truth arm's posting self-join
-        // emits exactly Σ_shingle C(df, 2) pairs, and the 40× probe
-        // measured the default partial+final aggregation of that stream
-        // spilling 134 + 108 GB in 32 tasks (the jaccard_links sort-
-        // fallback pathology). One raw sized hash(doc_a, doc_b) shuffle
-        // + a single complete aggregate instead; the mass is exact from
-        // a 1-row aggregate over the staged df frame. The size joins
-        // stay hint-free — sz is per-doc, i.e. corpus-sized at 100 TB,
-        // so forcing a broadcast is the OOM the plan audit forbids —
-        // and the pair frame's two re-key exchanges pin the sized width
-        // instead (the default-width SMJ sorts of the cn frame measured
-        // 35 GB of spill at 40×).
-        val dfm = Materialize.stage(
-          sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
-        val pairMass = Option(
-          dfm.agg(sum(expr("df * (df - 1) div 2")).as("pm"))
-            .first().getAs[java.lang.Long]("pm"))
-          .map(_.longValue).getOrElse(0L)
-        val nPair = Sizing.partitionsForRows(s, pairMass, 48)
-        // the posting self-join's WIDTH must also scale with the pair
-        // mass it emits (37k shingle keys are plentiful — the 40× probe
-        // showed the 32-task join stage costing 236 s straight-line of
-        // pair construction + map-side sort-shuffle): both sides pin the
-        // same sized hash(shingle) partitioning, so the join runs
-        // co-partitioned at nPair with per-task sorts that fit memory
-        val aW = a.repartition(nPair, col("shingle"))
-        val bW = b.repartition(nPair, col("sh2"))
+        // truth arm = the prefix-filtered exact baseline
+        // (prefixJaccardPairs): identical pair set to the naive
+        // Σ df² posting self-join this arm carried through round 10
+        // (the oracle still pins the naive quadratic spelling), at ~6×
+        // less join mass — the arm that DEFINED the registry's top wall
+        // (456 s CPU at sf0.1; 419.5 s wall at the 250× rung, §19).
+        // Sizing story lives in the helper: the one superlinear
+        // exchange pins the exact Σ C(df_prefix, 2) width.
         val truth = Materialize.stage(
-          aW.join(bW, col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
-            .select(col("doc_a"), col("doc_b"))
-            .repartition(nPair, col("doc_a"), col("doc_b"))
-            .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-            .repartition(nPair, col("doc_a"))
-            .join(sz.select(col("doc_id"), col("n").as("na"))
-                .repartition(nPair, col("doc_id")),
-              col("doc_a") === col("doc_id")).drop("doc_id")
-            .repartition(nPair, col("doc_b"))
-            .join(sz.select(col("doc_id"), col("n").as("nb"))
-                .repartition(nPair, col("doc_id")),
-              col("doc_b") === col("doc_id")).drop("doc_id")
-            .filter(col("c").cast("double") /
-              (col("na") + col("nb") - col("c")) >= 0.8)
-            .select(col("doc_a"), col("doc_b")))
+          prefixJaccardPairs(s, sh).select(col("doc_a"), col("doc_b")))
         val docsIn = {
           val d0 = Tables.documents(s, d)
           if (m <= 1L) d0
