@@ -54,32 +54,38 @@ object Dedup extends QueryModule {
       // (2–3 uses per query), and without a barrier each side re-runs
       // the split/explode/distinct pipeline.
 
-  /** doc_id → distinct-shingle count (Jaccard denominators). */
-  private def shingleSizes(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-
   /** Exact word-shingle Jaccard for a candidate-pair frame (doc_a, doc_b):
-    * joins each side's shingle set, counts the intersection, and derives
-    * |A∪B| = |A|+|B|-|A∩B|. Only candidate pairs are scored.
+    * each side's full DISTINCT shingle set rides as ONE array row per
+    * doc, and the overlap is size(array_intersect) in a codegen'd
+    * projection — |cand|-proportional work, never a per-shingle
+    * expansion (the pre-round-11 spelling re-joined candidates through
+    * the posting lists and re-aggregated; two joins emitting Σ |doc|
+    * rows per candidate plus a pair-keyed aggregate, all replaced by
+    * the two array-attach joins). A candidate whose sides share no
+    * shingle scores 0 (callers threshold at >= 0.8 either way); a doc
+    * with no shingles has no array row, so its pairs drop — identical
+    * to the old posting-join semantics.
     *
-    * No broadcast hints: every build side here (shingle sets, per-doc
-    * sizes) is O(corpus), so a forced broadcast OOMs long before 100 TB.
-    * They are plain equi-joins — AQE may still auto-broadcast at runtime
-    * when a side is measured genuinely small.
+    * No broadcast hints: the doc-array frame is O(corpus), so a forced
+    * broadcast OOMs long before 100 TB. Plain equi-joins — AQE may
+    * still auto-broadcast at runtime when a side measures genuinely
+    * small (the plan this takes at test SFs), and their output is <=
+    * input rows, so AQE's byte-measured coalescing sizes them safely.
     */
   private def exactJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val s1 = sh.select(col("doc_id").as("da"), col("shingle"))
-    val s2 = sh.select(col("doc_id").as("db"), col("shingle").as("shingle2"))
-    val sz = shingleSizes(sh)
+    val docsArr = Materialize.stage(
+      sh.groupBy(col("doc_id"))
+        .agg(collect_list(col("shingle")).as("arr"), count(lit(1)).as("nsz")))
+    val aSide = docsArr.select(col("doc_id").as("da"), col("arr").as("arr_a"),
+      col("nsz").as("na"))
+    val bSide = docsArr.select(col("doc_id").as("db"), col("arr").as("arr_b"),
+      col("nsz").as("nb"))
     cand
-      .join(s1, cand("doc_a") === s1("da"))
-      .join(s2, cand("doc_b") === s2("db") && col("shingle") === col("shingle2"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sz.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(sz.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id"))
-      .drop("doc_id")
+      .join(aSide, col("doc_a") === col("da"))
+      .join(bSide, col("doc_b") === col("db"))
+      // arr holds each doc's DISTINCT shingles (shingles() dedups), so
+      // size(array_intersect) IS the exact overlap — order-free
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
   }
@@ -146,23 +152,7 @@ object Dedup extends QueryModule {
       // requirement — one sized exchange, no second one for the agg
       .repartition(nPair, col("doc_a"), col("doc_b"))
       .distinct()
-    val docsArr = Materialize.stage(
-      sh.groupBy(col("doc_id"))
-        .agg(collect_list(col("shingle")).as("arr"), count(lit(1)).as("nsz")))
-    val aSide = docsArr.select(col("doc_id").as("da"), col("arr").as("arr_a"),
-      col("nsz").as("na"))
-    val bSide = docsArr.select(col("doc_id").as("db"), col("arr").as("arr_b"),
-      col("nsz").as("nb"))
-    cand
-      .join(aSide, col("doc_a") === col("da"))
-      .join(bSide, col("doc_b") === col("db"))
-      // arr holds each doc's DISTINCT shingles (shingles() dedups), so
-      // size(array_intersect) IS the exact overlap c — order-free
-      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
-      .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    exactJaccard(cand, sh).filter(col("jaccard") >= 0.8)
   }
 
   /** MinHash-LSH verified near-dup pairs (doc_a, doc_b, jaccard) — the
