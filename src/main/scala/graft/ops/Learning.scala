@@ -704,7 +704,135 @@ object Learning extends QueryModule {
           .toDF("j", "a_vote", "w_last", "mu", "mad")
         wdf.crossJoin(broadcast(mets)).orderBy(col("j"))
       },
-      Some(perceptronOracle(R = 4, LR = 1)))
+      Some(perceptronOracle(R = 4, LR = 1))),
+
+    // ───── gradient-boosted stumps: stage-wise additive regression ─────
+    // The boosted-ENSEMBLE member of the optimizer spectrum (Friedman
+    // 2001 stage-wise additive modeling, squared loss, shrinkage 1/2):
+    // NB/stump/ridge are closed-form, logreg/perceptron are fixed-round
+    // gradient descent, kmeans is fixed-round EM — this is the family
+    // where each round fits a NEW weak model to the previous rounds'
+    // residuals. Regresses the expensive gate feature x4 (duplicate-
+    // bigram rate) on the three cheap features x1..x3 — ml_ridge's
+    // imputation task, nonlinearly: the artifact's per-round train/
+    // holdout mean squared residual (⌊Σr²/n⌋, an exact floor division
+    // that stays BIGINT at any corpus size) shows the stage-wise lift
+    // and the generalization gap in one frame.
+    //
+    // Determinism: ZERO floating point. Residuals live in 2^20 fixed
+    // point (r1 = x4·2^20, exact), stump leaves are sign-split integer
+    // floor-division means μ = ⌊Σr/n⌋, shrinkage is the power-of-two
+    // ⌊μ/2⌋, and split selection maximizes the EXACT integer SSE
+    // reduction 2μ_L·Σr_L − n_L·μ_L² + 2μ_R·Σr_R − n_R·μ_R² (Σr² is
+    // split-invariant within a round, so the search never needs it) in
+    // DECIMAL(38,0) here / HUGEINT in the oracle — exact on both, so
+    // the (reduction DESC, feature, value) argmax is engine-identical.
+    // Splits with an empty right side are excluded (v = max is the
+    // no-op split); a floor-μ reduction can go slightly negative only
+    // when Σr ≈ 0 per side — harmless, the residual barely moves.
+    //
+    // Scale shape (100 TB): ml_kmeans' discipline. Per round: ONE
+    // narrow pass over the staged feature frame aggregates to the
+    // (feature, value) DOMAIN (≤ 3·1001 rows — the MLlib binning
+    // insight: the corpus never enters a sort), the running-sum windows
+    // run on that domain frame, and the winning rule is the round's
+    // only driver action (1 row — kmeans reads K). Scoring is one final
+    // pass computing all T train/holdout SSEs map-side-combined.
+    // Integer headroom: |r| ≤ ~2^31 (initial 2^30 + T shrunk leaves),
+    // so BIGINT Σr caps train size at ~4·10^9 docs — document the 2^-4
+    // residual pre-scale past it (the ridge/perceptron convention); the
+    // DECIMAL(38,0) reduction and SSE terms then hold to ~10^26.
+    GraftQuery(
+      "ml_gbt_stumps",
+      (s, d) => {
+        val S = 1048576L
+        val T = 3
+        val m = graft.Materialize.stage(gateFrame(s, d))
+        val fdiv: (String, String) => String = (n0, d0) =>
+          s"CASE WHEN ($n0) >= 0 THEN ($n0) div ($d0) " +
+            s"ELSE -((-($n0) + ($d0) - 1) div ($d0)) END"
+        // (feat, v, muL, muR, cL, cR): leaf means + their shrunk
+        // contributions, collected one rule per round
+        var rules = Vector.empty[(Long, Long, Long, Long, Long, Long)]
+        def residAfter(k: Int): org.apache.spark.sql.Column =
+          rules.take(k).foldLeft(col("x4") * S) {
+            case (acc, (j, v, _, _, cL, cR)) =>
+              acc - when(col(s"x$j") <= v, lit(cL)).otherwise(lit(cR))
+          }
+        for (_ <- 1 to T) {
+          val tr = m.filter(col("is_train"))
+            .withColumn("r", residAfter(rules.length))
+          val dom = tr
+            .select(col("r"),
+              expr("stack(3, 1L, x1, 2L, x2, 3L, x3) AS (feat, v)"))
+            .groupBy(col("feat"), col("v"))
+            .agg(count(lit(1)).as("cnt"), sum(col("r")).as("sr"))
+          val wRun = Window.partitionBy(col("feat")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wAll = Window.partitionBy(col("feat"))
+          val best = dom
+            .withColumn("cl", sum(col("cnt")).over(wRun))
+            .withColumn("srl", sum(col("sr")).over(wRun))
+            .withColumn("ct", sum(col("cnt")).over(wAll))
+            .withColumn("srt", sum(col("sr")).over(wAll))
+            .filter(col("ct") > col("cl"))
+            .withColumn("mul", expr(fdiv("srl", "cl")))
+            .withColumn("mur", expr(fdiv("srt - srl", "ct - cl")))
+            .withColumn("red", expr(
+              "CAST(2 AS DECIMAL(38,0)) * mul * srl" +
+                " - CAST(cl AS DECIMAL(38,0)) * mul * mul" +
+                " + CAST(2 AS DECIMAL(38,0)) * mur * (srt - srl)" +
+                " - CAST(ct - cl AS DECIMAL(38,0)) * mur * mur"))
+            .orderBy(col("red").desc, col("feat"), col("v"))
+            .limit(1)
+            .select(col("feat"), col("v"), col("mul"), col("mur"))
+            .collect()
+          if (best.nonEmpty) {
+            val b = best(0)
+            rules :+= ((b.getLong(0), b.getLong(1), b.getLong(2),
+              b.getLong(3), Math.floorDiv(b.getLong(2), 2),
+              Math.floorDiv(b.getLong(3), 2)))
+          }
+        }
+        if (rules.isEmpty)
+          m.limit(0).select(lit(0L).as("round"), lit(0L).as("feature"),
+            lit(0L).as("threshold"), lit(0L).as("mu_left"),
+            lit(0L).as("mu_right"), lit(0L).as("train_mse_fp"),
+            lit(0L).as("hold_mse_fp"))
+        else {
+          // mean (not total) squared residual ships: the exact floor
+          // division ⌊Σr²/n⌋ is BIGINT on both engines at ANY corpus
+          // size (Σr² itself needs the wide type and pandas-kind-drifts
+          // as a decimal output)
+          val sseCols = (1 to rules.length).flatMap { k =>
+            val r = residAfter(k)
+            val r2 = r.cast("decimal(38,0)") * r
+            Seq(
+              sum(when(col("is_train"), r2)).cast("decimal(38,0)")
+                .as(s"tsse$k"),
+              sum(when(!col("is_train"), r2)).cast("decimal(38,0)")
+                .as(s"hsse$k"))
+          } ++ Seq(
+            sum(when(col("is_train"), 1L)).cast("long").as("ntr"),
+            sum(when(!col("is_train"), 1L)).cast("long").as("nho"))
+          val sse = m.agg(sseCols.head, sseCols.tail: _*)
+          import s.implicits._
+          val rdf = rules.zipWithIndex.map { case ((j, v, muL, muR, _, _), i) =>
+            ((i + 1).toLong, j, v, muL, muR)
+          }.toDF("round", "feature", "threshold", "mu_left", "mu_right")
+          val tCase = (1 to rules.length).map(k =>
+            s"WHEN $k THEN tsse$k").mkString("CASE round ", " ", " END")
+          val hCase = (1 to rules.length).map(k =>
+            s"WHEN $k THEN hsse$k").mkString("CASE round ", " ", " END")
+          rdf.crossJoin(broadcast(sse))
+            .select(col("round"), col("feature"), col("threshold"),
+              col("mu_left"), col("mu_right"),
+              expr(s"($tCase) div ntr").cast("long").as("train_mse_fp"),
+              expr(s"($hCase) div nho").cast("long").as("hold_mse_fp"))
+            .orderBy(col("round"))
+        }
+      },
+      Some(gbtOracle(T = 3)))
   )
 
   /** Shared feature frame for the linear learners (`ml_logreg` /
@@ -1041,6 +1169,84 @@ object Learning extends QueryModule {
     * < 2⁶³ through sf0.1, the exact path of BIGINT→DOUBLE casting, so
     * the doubles match Spark's DECIMAL(38,0)→double bit for bit).
     */
+  /** The `ml_gbt_stumps` boosting recurrence unrolled as plain SQL
+    * (fixed horizon T, no recursion — the ml_logreg pattern): round t's
+    * CTEs are residuals r{t} → (feature, value) domain aggregate c{t} →
+    * running-sum windows s{t} → floor-division leaf means q{t} → best
+    * split b{t} (exact HUGEINT reduction, ROW_NUMBER tie-break on
+    * (feature, value)) → r{t+1} via the sign-split shrunk update. The
+    * engine-side DECIMAL(38,0) reduction and this HUGEINT one are both
+    * exact integers, so the argmax agrees bit-for-bit.
+    */
+  private def gbtOracle(T: Int): String = {
+    def fdiv(num: String, den: String): String = fdivSql(num, den)
+    def round(t: Int): String = {
+      val red = s"CAST(2 AS HUGEINT) * mul * srl - CAST(cl AS HUGEINT) * mul * mul" +
+        s" + CAST(2 AS HUGEINT) * mur * (srt - srl)" +
+        s" - CAST(ct - cl AS HUGEINT) * mur * mur"
+      s"""
+        c$t AS (
+          SELECT feat, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(r) AS BIGINT) AS sr
+          FROM (SELECT 1 AS feat, x1 AS v, r FROM r$t WHERE is_train
+                UNION ALL SELECT 2, x2, r FROM r$t WHERE is_train
+                UNION ALL SELECT 3, x3, r FROM r$t WHERE is_train) u$t
+          GROUP BY feat, v),
+        s$t AS (
+          SELECT feat, v,
+                 CAST(SUM(cnt) OVER wr AS BIGINT) AS cl,
+                 CAST(SUM(sr) OVER wr AS BIGINT) AS srl,
+                 CAST(SUM(cnt) OVER wf AS BIGINT) AS ct,
+                 CAST(SUM(sr) OVER wf AS BIGINT) AS srt
+          FROM c$t
+          WINDOW wr AS (PARTITION BY feat ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY feat)),
+        q$t AS (
+          SELECT feat, v, cl, srl, ct, srt,
+                 CAST(${fdiv("srl", "cl")} AS BIGINT) AS mul,
+                 CAST(${fdiv("srt - srl", "ct - cl")} AS BIGINT) AS mur
+          FROM s$t WHERE ct > cl),
+        b$t AS (
+          SELECT feat, v, mul, mur FROM (
+            SELECT feat, v, mul, mur,
+                   ROW_NUMBER() OVER (ORDER BY ($red) DESC, feat ASC, v ASC)
+                     AS rn
+            FROM q$t) z$t
+          WHERE rn = 1),
+        r${t + 1} AS (
+          SELECT r.doc_id, r.is_train, r.x1, r.x2, r.x3,
+                 r.r - (CASE WHEN (CASE b.feat WHEN 1 THEN r.x1
+                                   WHEN 2 THEN r.x2 ELSE r.x3 END) <= b.v
+                        THEN (${fdiv("b.mul", "2")})
+                        ELSE (${fdiv("b.mur", "2")}) END) AS r
+          FROM r$t r CROSS JOIN b$t b),
+        sse$t AS (
+          SELECT SUM(CASE WHEN is_train
+                   THEN CAST(r AS HUGEINT) * r END) AS tsse,
+                 SUM(CASE WHEN NOT is_train
+                   THEN CAST(r AS HUGEINT) * r END) AS hsse,
+                 SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS ctr,
+                 SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS cho
+          FROM r${t + 1})"""
+    }
+    val rows = (1 to T).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS round, CAST(feat AS BIGINT) AS feature,
+             CAST(v AS BIGINT) AS threshold, mul AS mu_left, mur AS mu_right,
+             CAST(tsse // ctr AS BIGINT) AS train_mse_fp,
+             CAST(CASE WHEN cho = 0 THEN NULL ELSE hsse // cho END AS BIGINT)
+               AS hold_mse_fp
+          FROM b$t CROSS JOIN sse$t""").mkString(" UNION ALL ")
+    s"""
+      WITH $gateStatsSql,
+      r1 AS (SELECT doc_id, is_train, x1, x2, x3, x4 * 1048576 AS r
+             FROM lab),
+      ${(1 to T).map(round).mkString(",")}
+      SELECT * FROM ($rows) allr
+      ORDER BY round
+    """
+  }
+
   private def kmeansOracle(K: Int, R: Int, D: Int): String = {
     def assignBlock(r: Int): String = s"""
         xs$r AS (SELECT qd.vec_id, cd.k, SUM(qd.v * cd.sv) AS xs

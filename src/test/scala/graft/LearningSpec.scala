@@ -370,4 +370,93 @@ class LearningSpec extends SparkSpec {
     assert(got.forall(r => trainLabels(r._3)),
       "every prediction is a label some train vector carries")
   }
+
+  test("ml_gbt_stumps replays the exact boosting loop; staged fit improves") {
+    // Long/BigInt twin of the engine's stage-wise loop: identical
+    // integer features, the same (reduction DESC, feature, value)
+    // argmax over every candidate split, sign-split floor-division
+    // leaves, power-of-two shrinkage — rules and per-round mean squared
+    // residuals must be BIT-IDENTICAL, and the staging must actually
+    // fit (train MSE strictly decreasing, round 1 beats the zero
+    // model).
+    val stopEn = Set("the", "a", "of", "and", "to")
+    val S = 1048576L
+    def feats(text: String): (Long, Long, Long, Long) = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val x1 = math.min(nt, 1000L)
+      val x2 = if (nt == 0) 0L else 1000L * toks.count(stopEn) / nt
+      val x3 = if (text.isEmpty) 0L
+        else 1000L * text.replaceAll("[^a-zA-Z]", "").length / text.length
+      val x4 = if (nt < 2) 0L else {
+        val bg = toks.sliding(2).map(_.mkString(" ")).toSeq
+        1000L * (bg.length - bg.distinct.length) / bg.length
+      }
+      (x1, x2, x3, x4)
+    }
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val (x1, x2, x3, x4) = feats(t); (id, x1, x2, x3, x4) }
+    val train = docs.filter(_._1 % 5 != 0)
+    val hold = docs.filter(_._1 % 5 == 0)
+    assert(train.nonEmpty && hold.nonEmpty)
+    def fv(feat: Int)(d: (Long, Long, Long, Long, Long)): Long =
+      feat match { case 1 => d._2; case 2 => d._3; case _ => d._4 }
+    var rTr = train.map(_._5 * S)
+    var rHo = hold.map(_._5 * S)
+    def mse(rs: Array[Long]): Long =
+      (rs.map(r => BigInt(r) * r).sum / rs.length).toLong
+    val mse0 = mse(rTr)
+    var rules = Vector.empty[(Int, Long, Long, Long)]
+    var mseT = Vector.empty[Long]
+    var mseH = Vector.empty[Long]
+    for (_ <- 1 to 3) {
+      var best: Option[(BigInt, Int, Long, Long, Long)] = None
+      for (feat <- 1 to 3) {
+        val groups = train.zip(rTr).groupBy { case (d, _) => fv(feat)(d) }
+        val ct = train.length.toLong
+        val srt = rTr.sum
+        var cl = 0L; var srl = 0L
+        for (v <- groups.keys.toSeq.sorted) {
+          val g = groups(v)
+          cl += g.length; srl += g.map(_._2).sum
+          if (ct > cl) {
+            val muL = Math.floorDiv(srl, cl)
+            val muR = Math.floorDiv(srt - srl, ct - cl)
+            val red = BigInt(2) * muL * srl - BigInt(cl) * muL * muL +
+              BigInt(2) * muR * (srt - srl) - BigInt(ct - cl) * muR * muR
+            val c = (red, feat, v, muL, muR)
+            best = Some(best.fold(c)(b =>
+              if (c._1 > b._1 || (c._1 == b._1 &&
+                (c._2 < b._2 || (c._2 == b._2 && c._3 < b._3)))) c else b))
+          }
+        }
+      }
+      val b = best.get
+      rules :+= ((b._2, b._3, b._4, b._5))
+      val cL = Math.floorDiv(b._4, 2); val cR = Math.floorDiv(b._5, 2)
+      def upd(d: (Long, Long, Long, Long, Long), r: Long): Long =
+        r - (if (fv(b._2)(d) <= b._3) cL else cR)
+      rTr = train.zip(rTr).map { case (d, r) => upd(d, r) }
+      rHo = hold.zip(rHo).map { case (d, r) => upd(d, r) }
+      mseT :+= mse(rTr); mseH :+= mse(rHo)
+    }
+    val got = SparkEntry.queries("ml_gbt_stumps")(spark, sfTiny)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.length === 3)
+    got.foreach { case (round, feat, v, muL, muR, tm, hm) =>
+      val k = round.toInt - 1
+      assert(feat === rules(k)._1.toLong, s"round $round feature diverged")
+      assert(v === rules(k)._2, s"round $round threshold diverged")
+      assert(muL === rules(k)._3, s"round $round mu_left diverged")
+      assert(muR === rules(k)._4, s"round $round mu_right diverged")
+      assert(tm === mseT(k), s"round $round train MSE diverged")
+      assert(hm === mseH(k), s"round $round holdout MSE diverged")
+    }
+    assert(mseT(0) < mse0, "round 1 does not beat the zero model")
+    assert(mseT(1) < mseT(0) && mseT(2) < mseT(1),
+      "staged train MSE must strictly decrease on this corpus")
+  }
 }
