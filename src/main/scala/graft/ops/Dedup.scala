@@ -90,69 +90,125 @@ object Dedup extends QueryModule {
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
   }
 
-  /** EXACT Jaccard >= 0.8 pairs via AllPairs/PPJoin prefix filtering
-    * (Bayardo et al., WWW'07; Xiao et al., WWW'08) — same output as the
-    * naive Σ df² posting self-join, at a fraction of its pair mass.
+  /** EXACT Jaccard >= 0.8 pairs — a COST-DISPATCHED physical choice
+    * between two plans with identical output, because the cheaper plan
+    * flips with corpus density (both measured, sf0.1 + the 250× rung):
     *
-    * Prefix-filtering principle: fix ONE global total order on shingles
-    * (here: document frequency asc, shingle asc — rarest first, the
-    * order that minimizes prefix df). For J(A,B) >= t the overlap obeys
-    * c >= ceil(t·max(|A|,|B|)), and the smallest common shingle e (in
-    * the global order) has at most c−1 common shingles after it, so e
-    * sits within the first n − c + 1 <= n − ceil(t·n) + 1 elements of
-    * EACH side. Joining only those prefixes therefore loses no
-    * qualifying pair; with t = 4/5 the prefix is ~n/5 + 1 — and because
-    * the prefix keeps each doc's RAREST shingles, the join's per-key df
-    * collapses much further than the 1/25 row-count bound suggests
-    * (sf0.1, measured: Σ C(df,2) 36.5 M → 6.0 M join mass, 10.3 M → 1.5 M
-    * distinct candidates with the length filter, 0 true pairs missed).
-    * The length filter is the union bound: J <= min/max, so J >= 4/5
-    * needs 5·min >= 4·max.
+    * (1) Prefix-filtered AllPairs (Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): fix ONE global total order on shingles (document
+    * frequency asc, shingle asc — rarest first). For J(A,B) >= t the
+    * overlap obeys c >= ceil(t·max(|A|,|B|)), and the smallest common
+    * shingle (in the global order) has at most c−1 common shingles
+    * after it, so it sits within the first n − c + 1 <=
+    * n − ceil(t·n) + 1 elements of EACH side — joining only those
+    * prefixes loses no qualifying pair, and the length filter
+    * (J <= min/max, so 5·min >= 4·max) prunes further. Measured at
+    * sf0.1: Σ C(df,2) 36.5 M → 6.0 M join mass, 10.3 M → 1.5 M distinct
+    * candidates, 0 true pairs missed, wall 12.0 → 8.7 s. Candidates
+    * verify against full per-doc shingle arrays via the exactJaccard
+    * array-intersect join — which is only cheap while the doc-array
+    * frame BROADCASTS: past the broadcast threshold every candidate row
+    * drags two ~|doc|-sized arrays through sort-merge exchanges, and on
+    * a near-dup-dense corpus that verify mass (Σ_cand (na+nb) element
+    * moves — 375 M candidates at the 250× rung ≈ 38 G) dwarfs the
+    * naive plan's Σ C(df,2) = 9.1 G and spilled the rung probe out of
+    * 70 GB of disk.
     *
-    * Verification never re-streams the posting join: candidates join
-    * each side's full shingle ARRAY (one row per doc) and score
-    * size(array_intersect) in a codegen'd projection — exact distinct
-    * intersection counts, |cand|-proportional work. Those two verify
-    * joins stay hint-free (the doc-array frame is O(corpus) at 100 TB,
-    * so a forced broadcast is the audit-forbidden OOM; AQE may still
-    * auto-broadcast when a side measures genuinely small, which is the
-    * plan this takes at test SFs), and their output is <= their input —
-    * linear, so AQE's byte-measured coalescing sizes them safely. The
-    * one superlinear exchange — prefix-candidate construction — pins a
-    * width sized to the EXACT prefix pair mass Σ C(df_pre, 2), the same
-    * §18c seam as the naive arm it replaces.
+    * (2) The sized posting-join aggregate (the §18c seam): stream the
+    * Σ C(df,2) pair mass through ONE exchange whose width is pinned to
+    * the exact mass, aggregate once, join sizes at the sized width —
+    * the plan §19 holds at the 250× rung (zero spill, one documented
+    * bounded-sort stage).
+    *
+    * Dispatch: plan (1) iff the doc-array frame's EXACT byte mass
+    * (Σ shingle lengths + per-entry overhead, one aggregate over the
+    * staged posting frame) fits the session's own broadcast threshold —
+    * the same statistic AQE's join planning would consult. Driver-side,
+    * deterministic in the data, no tuned constant.
     */
   private def prefixJaccardPairs(s: SparkSession, sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-    // prefix length n − ceil(4n/5) + 1, all-integer: ceil(4n/5) = (4n+4) div 5
-    val pre = Materialize.stage(
-      ranked.filter(expr("rk <= n - ((4*n + 4) div 5) + 1"))
-        .select(col("doc_id"), col("shingle"), col("n")))
-    val pairMass = Option(
-      pre.groupBy(col("shingle")).agg(count(lit(1)).as("dfp"))
-        .agg(sum(expr("dfp * (dfp - 1) div 2")).as("pm"))
-        .first().getAs[java.lang.Long]("pm"))
-      .map(_.longValue).getOrElse(0L)
-    val nPair = Sizing.partitionsForRows(s, pairMass, 48)
-    val pa = pre.select(col("doc_id").as("doc_a"), col("shingle"),
-      col("n").as("na0"))
-    val pb = pre.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"),
-      col("n").as("nb0"))
-    val cand = pa.repartition(nPair, col("shingle"))
-      .join(pb.repartition(nPair, col("sh2")),
-        col("shingle") === col("sh2") && col("doc_a") < col("doc_b") &&
-          col("na0") * 5 >= col("nb0") * 4 && col("nb0") * 5 >= col("na0") * 4)
-      .select(col("doc_a"), col("doc_b"))
-      // (doc_a, doc_b) hash partitioning satisfies the distinct's
-      // requirement — one sized exchange, no second one for the agg
-      .repartition(nPair, col("doc_a"), col("doc_b"))
-      .distinct()
-    exactJaccard(cand, sh).filter(col("jaccard") >= 0.8)
+    val st = sh.agg(count(lit(1)).as("p"),
+      sum(length(col("shingle"))).as("b")).first()
+    val postings = st.getAs[Long]("p")
+    val arrBytes =
+      if (postings == 0L) 0L
+      else Sizing.satAdd(st.getAs[Long]("b"), Sizing.satMul(postings, 20L))
+    val bcast = s.sessionState.conf.autoBroadcastJoinThreshold
+    if (bcast > 0 && arrBytes <= bcast) {
+      // prefix length n − ceil(4n/5) + 1, all-integer:
+      // ceil(4n/5) = (4n+4) div 5
+      val ranked = sh
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      val pre = Materialize.stage(
+        ranked.filter(expr("rk <= n - ((4*n + 4) div 5) + 1"))
+          .select(col("doc_id"), col("shingle"), col("n")))
+      val pairMass = Option(
+        pre.groupBy(col("shingle")).agg(count(lit(1)).as("dfp"))
+          .agg(sum(expr("dfp * (dfp - 1) div 2")).as("pm"))
+          .first().getAs[java.lang.Long]("pm"))
+        .map(_.longValue).getOrElse(0L)
+      val nPair = Sizing.partitionsForRows(s, pairMass, 48)
+      val pa = pre.select(col("doc_id").as("doc_a"), col("shingle"),
+        col("n").as("na0"))
+      val pb = pre.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"),
+        col("n").as("nb0"))
+      val cand = pa.repartition(nPair, col("shingle"))
+        .join(pb.repartition(nPair, col("sh2")),
+          col("shingle") === col("sh2") && col("doc_a") < col("doc_b") &&
+            col("na0") * 5 >= col("nb0") * 4 && col("nb0") * 5 >= col("na0") * 4)
+        .select(col("doc_a"), col("doc_b"))
+        // (doc_a, doc_b) hash partitioning satisfies the distinct's
+        // requirement — one sized exchange, no second one for the agg
+        .repartition(nPair, col("doc_a"), col("doc_b"))
+        .distinct()
+      exactJaccard(cand, sh).filter(col("jaccard") >= 0.8)
+    } else {
+      // sized direct aggregate: the join emits exactly Σ C(df, 2) pairs;
+      // on a df-dense corpus the default partial+final aggregation
+      // sort-falls-back on both sides of the exchange (measured 134 +
+      // 108 GB of spill at the 40× rung), so the raw pair stream
+      // shuffles ONCE at a width sized to the exact mass and aggregates
+      // exactly once. Size joins stay hint-free (sz is corpus-sized at
+      // 100 TB — a forced broadcast is the audit-forbidden OOM) with
+      // the cn frame's re-key exchanges pinned to the sized width.
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("sh2"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfm = Materialize.stage(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+      val pairMass = Option(
+        dfm.agg(sum(expr("df * (df - 1) div 2")).as("pm"))
+          .first().getAs[java.lang.Long]("pm"))
+        .map(_.longValue).getOrElse(0L)
+      val nPair = Sizing.partitionsForRows(s, pairMass, 48)
+      a.repartition(nPair, col("shingle"))
+        .join(b.repartition(nPair, col("sh2")),
+          col("shingle") === col("sh2") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .repartition(nPair, col("doc_a"), col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("c"))
+        .repartition(nPair, col("doc_a"))
+        .join(sz.select(col("doc_id"), col("n").as("na"))
+            .repartition(nPair, col("doc_id")),
+          col("doc_a") === col("doc_id"))
+        .drop("doc_id")
+        .repartition(nPair, col("doc_b"))
+        .join(sz.select(col("doc_id"), col("n").as("nb"))
+            .repartition(nPair, col("doc_id")),
+          col("doc_b") === col("doc_id"))
+        .drop("doc_id")
+        .select(col("doc_a"), col("doc_b"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }
   }
 
   /** MinHash-LSH verified near-dup pairs (doc_a, doc_b, jaccard) — the
@@ -379,21 +435,17 @@ object Dedup extends QueryModule {
         ORDER BY doc_id
       """)),
 
-    // ───── exact n-gram Jaccard near-dup pairs (prefix-filtered) ─────
-    // EXACT baseline at threshold 0.8, computed the way production
-    // similarity joins are: AllPairs/PPJoin prefix + length filtering
-    // (prefixJaccardPairs) generates candidates from each doc's ~n/5
-    // RAREST shingles only — provably lossless at J >= 0.8 — and
-    // verifies them against full shingle arrays. Candidate-generation
-    // mass drops from Σ df² to Σ C(df_prefix, 2) (~6× fewer join rows,
-    // ~7× fewer candidates at sf0.1, and growing with corpus df
-    // density); the subquadratic probabilistic scale path remains
-    // dedup_minhash below. Hot-shingle skew: the prefix order (df asc)
-    // structurally EXCLUDES hot shingles from candidate generation
-    // unless a doc consists of almost nothing else, and
-    // `spark.graft.shingle.dfCutoff` can still bound them outright
-    // (candidate generation only — the verify join always scores full
-    // shingle sets, so reported jaccards stay exact).
+    // ───── exact n-gram Jaccard near-dup pairs (cost-dispatched) ─────
+    // EXACT baseline at threshold 0.8 via prefixJaccardPairs, which
+    // picks between AllPairs/PPJoin prefix+length filtering (broadcast
+    // regime — 12.0 → 8.7 s at sf0.1) and the sized posting-join
+    // aggregate (dense regime — the plan §19 holds at the 250× rung)
+    // on exact driver-side stats; see the helper's scaladoc for the
+    // lemma, the measured masses, and the dispatch rule. The
+    // subquadratic probabilistic scale path remains dedup_minhash
+    // below, and `spark.graft.shingle.dfCutoff` can bound hot shingles
+    // outright (candidate generation only — the verify join always
+    // scores full shingle sets, so reported jaccards stay exact).
     GraftQuery(
       "dedup_ngram_jaccard",
       (s, d) => {
@@ -604,14 +656,12 @@ object Dedup extends QueryModule {
           if (m <= 1L) sh0
           else sh0.filter(EvalSampling.inSlice(col("doc_id"), m))
         }
-        // truth arm = the prefix-filtered exact baseline
-        // (prefixJaccardPairs): identical pair set to the naive
-        // Σ df² posting self-join this arm carried through round 10
-        // (the oracle still pins the naive quadratic spelling), at ~6×
-        // less join mass — the arm that DEFINED the registry's top wall
-        // (456 s CPU at sf0.1; 419.5 s wall at the 250× rung, §19).
-        // Sizing story lives in the helper: the one superlinear
-        // exchange pins the exact Σ C(df_prefix, 2) width.
+        // truth arm = the cost-dispatched exact baseline
+        // (prefixJaccardPairs): prefix-filtered AllPairs in the
+        // broadcast regime (41.0 → 17.6 s wall at sf0.1 — this arm
+        // DEFINED the registry's top wall, 456 s CPU), the sized
+        // Σ df² aggregate in the dense regime (the 250× plan, §19).
+        // The oracle pins the naive quadratic spelling either way.
         val truth = Materialize.stage(
           prefixJaccardPairs(s, sh).select(col("doc_a"), col("doc_b")))
         val docsIn = {

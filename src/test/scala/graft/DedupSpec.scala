@@ -507,4 +507,23 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect()
     assert(r.toSeq === Seq((7L, 2L, 2L, s"$lineA $lineA")))
   }
+
+  test("exact-Jaccard cost dispatch: both physical plans emit identical pairs") {
+    // prefixJaccardPairs picks prefix-filtered AllPairs in the broadcast
+    // regime and the sized posting-join aggregate past it; forcing the
+    // dense branch by disabling auto-broadcast must not change one pair
+    // or one jaccard bit (the dispatch is physical, never semantic).
+    def run(): Seq[(Long, Long, Double)] =
+      SparkEntry.queries("dedup_ngram_jaccard")(spark, sfTiny)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val viaPrefix = run()
+    val viaDense =
+      try { spark.conf.set(key, "-1"); run() }
+      finally spark.conf.set(key, saved)
+    assert(viaPrefix.nonEmpty, "planted corpus must yield near-dup pairs")
+    assert(viaPrefix === viaDense,
+      "physical dispatch changed the exact-Jaccard answer")
+  }
 }
