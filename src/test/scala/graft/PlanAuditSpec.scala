@@ -83,7 +83,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast corpus-total under the metadata-sized class frame
     "curate_k_anonymity",
     // same shape: totals/cluster-stats/removed-chars 1-row frames
-    "dedup_savings")
+    "dedup_savings",
+    // T-row driver-built rule frame × 1-row MSE-metrics scalar (the
+    // ml_logreg weight-frame shape)
+    "ml_gbt_stumps")
 
   for (q <- SparkEntry.all) {
     test(s"${q.name}: no cartesian product${if (allowNestedLoop(q.name)) "" else ", no nested-loop join"}") {
