@@ -160,3 +160,146 @@ object MinhashSignatures {
   private val digest: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
+
+/** Static helpers for the packed-set expressions below. A "packed set" is
+  * one flat binary blob holding a doc's DISTINCT shingles in ascending
+  * UTF8-binary order, each as a 4-byte big-endian length prefix + UTF8
+  * bytes. One blob column instead of an array<string> column matters in
+  * the verify joins: a non-codegen join materializing an output row
+  * serializes an array<string> element by element (measured ~120 µs/row
+  * across the two candidate-attach joins of `Dedup.exactJaccard` at
+  * sf0.1 — 171 CPU-s for 1.5 M candidates), while a binary column is one
+  * memcpy (~8× less CPU on the identical join shape, TmpMicro probe,
+  * OPTIMIZATION_r11.md).
+  */
+object PackedSetUtil {
+  /** Pack a SORTED array of distinct non-null strings. */
+  def pack(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    var bytes = 0
+    var i = 0
+    while (i < n) { bytes += 4 + arr.getUTF8String(i).numBytes(); i += 1 }
+    val out = new Array[Byte](bytes)
+    var pos = 0
+    i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val len = s.numBytes()
+      out(pos) = (len >>> 24).toByte
+      out(pos + 1) = (len >>> 16).toByte
+      out(pos + 2) = (len >>> 8).toByte
+      out(pos + 3) = len.toByte
+      s.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos + 4)
+      pos += 4 + len
+      i += 1
+    }
+    out
+  }
+
+  private def tokenLen(a: Array[Byte], pos: Int): Int =
+    ((a(pos) & 0xff) << 24) | ((a(pos + 1) & 0xff) << 16) |
+      ((a(pos + 2) & 0xff) << 8) | (a(pos + 3) & 0xff)
+
+  /** Unsigned-byte lexicographic compare of two length-prefixed tokens —
+    * exactly UTF8String's binary order (what `sort_array` sorted by).
+    */
+  private def cmpTok(a: Array[Byte], pa: Int, la: Int,
+                     b: Array[Byte], pb: Int, lb: Int): Int = {
+    val n = if (la < lb) la else lb
+    var i = 0
+    while (i < n) {
+      val d = (a(pa + i) & 0xff) - (b(pb + i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    la - lb
+  }
+
+  /** |A ∩ B| by two-pointer merge over two packed sets. O(|a|+|b|) byte
+    * compares, zero allocation.
+    */
+  def intersectCount(a: Array[Byte], b: Array[Byte]): Int = {
+    var pa = 0
+    var pb = 0
+    var c = 0
+    while (pa < a.length && pb < b.length) {
+      val la = tokenLen(a, pa)
+      val lb = tokenLen(b, pb)
+      val d = cmpTok(a, pa + 4, la, b, pb + 4, lb)
+      if (d == 0) { c += 1; pa += 4 + la; pb += 4 + lb }
+      else if (d < 0) pa += 4 + la
+      else pb += 4 + lb
+    }
+    c
+  }
+}
+
+/** `pack_sorted_strings(array<string>) -> binary`: the packed-set builder
+  * (see [[PackedSetUtil]]). Runs once per DOC in the doc-array build, so
+  * its cost is amortized over every candidate pair the doc appears in.
+  * PRECONDITION (caller: `Dedup.exactJaccard`): elements ascending in
+  * UTF8 binary order, distinct, non-null — what
+  * `sort_array(collect_list(...))` over a deduped posting frame yields.
+  */
+case class PackSortedStrings(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, BinaryType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pack_sorted_strings expects array<string>, got ${dt.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pack_sorted_strings"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PackedSetUtil.pack(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PackedSetUtil.pack($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): PackSortedStrings =
+    copy(child = newChild)
+}
+
+/** `packed_intersect_count(binary, binary) -> int`: |A ∩ B| over two
+  * packed sets — the exact-Jaccard verify kernel.
+  *
+  * `size(array_intersect(a, b))` computes the same count, but
+  * `ArrayIntersect` on string elements runs the interpreted set path (a
+  * fresh hash set per ROW, every element boxed, the intersection array
+  * materialized only to be counted) — measured 372 CPU-seconds for the
+  * 1.5 M-candidate verify stage of `dedup_minhash_eval` at sf0.1
+  * (~250 µs/row), and even with a cheap merge kernel the array<string>
+  * payload itself costs ~120 µs/row in join-output serialization. Packed
+  * blobs + this merge count cut the verify stage to single-digit CPU-s
+  * (guide §1.2 step 2 / §4: replace the non-codegen hot path; §2.3:
+  * narrow the payload).
+  */
+case class PackedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{BinaryType, IntegerType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"packed_intersect_count expects two binary arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "packed_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PackedSetUtil.intersectCount(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PackedSetUtil.intersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -105,6 +105,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSignatures(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("pack_sorted_strings"),
+      new ExpressionInfo(classOf[PackSortedStrings].getName,
+        "pack_sorted_strings"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"pack_sorted_strings requires exactly 1 argument, got ${children.size}")
+        PackSortedStrings(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("packed_intersect_count"),
+      new ExpressionInfo(classOf[PackedIntersectCount].getName,
+        "packed_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"packed_intersect_count requires exactly 2 arguments, got ${children.size}")
+        PackedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomFilterBuildAgg].getName, "bloom_build"),
       (children: Seq[Expression]) => children match {

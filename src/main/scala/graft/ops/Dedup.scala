@@ -73,19 +73,37 @@ object Dedup extends QueryModule {
     * input rows, so AQE's byte-measured coalescing sizes them safely.
     */
   private def exactJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val docsArr = Materialize.stage(
+    // Each doc's DISTINCT shingles (shingles() dedups) sort once per DOC
+    // and pack into ONE flat binary blob; the per-candidate verify is a
+    // two-pointer merge over the blobs (packed_intersect_count). Two
+    // lessons measured at sf0.1 on the 1.5 M-candidate verify of
+    // dedup_minhash_eval (OPTIMIZATION_r11.md): size(array_intersect)'s
+    // interpreted per-row hash set cost 372 CPU-s, and even with a cheap
+    // merge kernel an array<string> payload costs ~120 µs/row in join
+    // output serialization — one binary column is a single memcpy, ~8×
+    // less CPU on the identical join shape.
+    // EAGER: both attach joins consume this frame as separate broadcast
+    // builds launched concurrently — under a lazy persist the two builds
+    // race to compute the same cache partitions and serialize on block
+    // locks (measured as 2× run-to-run wall variance on
+    // dedup_ngram_jaccard; one broadcast build sat 13 s blocked)
+    val docsArr = Materialize.stageEager(
       sh.groupBy(col("doc_id"))
-        .agg(collect_list(col("shingle")).as("arr"), count(lit(1)).as("nsz")))
-    val aSide = docsArr.select(col("doc_id").as("da"), col("arr").as("arr_a"),
+        .agg(sort_array(collect_list(col("shingle"))).as("arr"),
+          count(lit(1)).as("nsz"))
+        .select(col("doc_id"), expr("pack_sorted_strings(arr)").as("pk"),
+          col("nsz")))
+    val aSide = docsArr.select(col("doc_id").as("da"), col("pk").as("pk_a"),
       col("nsz").as("na"))
-    val bSide = docsArr.select(col("doc_id").as("db"), col("arr").as("arr_b"),
+    val bSide = docsArr.select(col("doc_id").as("db"), col("pk").as("pk_b"),
       col("nsz").as("nb"))
     cand
       .join(aSide, col("doc_a") === col("da"))
       .join(bSide, col("doc_b") === col("db"))
-      // arr holds each doc's DISTINCT shingles (shingles() dedups), so
-      // size(array_intersect) IS the exact overlap — order-free
-      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
+      // the blobs hold ascending distinct shingles, so the merge count
+      // IS the exact overlap — order-free, value-identical to the
+      // array_intersect spelling the oracle gate re-proves every round
+      .withColumn("c", expr("packed_intersect_count(pk_a, pk_b)"))
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
   }
@@ -662,28 +680,40 @@ object Dedup extends QueryModule {
         // DEFINED the registry's top wall, 456 s CPU), the sized
         // Σ df² aggregate in the dense regime (the 250× plan, §19).
         // The oracle pins the naive quadratic spelling either way.
-        val truth = Materialize.stage(
-          prefixJaccardPairs(s, sh).select(col("doc_a"), col("doc_b")))
+        // single consumer below (the flag-counting outer join) — no stage
+        val truth = prefixJaccardPairs(s, sh).select(col("doc_a"), col("doc_b"))
         val docsIn = {
           val d0 = Tables.documents(s, d)
           if (m <= 1L) d0
           else d0.filter(EvalSampling.inSlice(col("doc_id"), m))
         }
-        val mh = bandSignatures(docsIn,
-          Some(s.sparkContext.defaultParallelism))
-        val cand = Materialize.stage(
-          mh.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
-            .join(mh.select(col("doc_id").as("doc_b"),
-                col("band").as("band2"), col("band_sig").as("band_sig2")),
-              col("band") === col("band2") &&
-                col("band_sig") === col("band_sig2") &&
-                col("doc_a") < col("doc_b"))
-            .select(col("doc_a"), col("doc_b")).distinct())
-        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-        val nCand = cand.agg(count(lit(1)).as("n_cand"))
-        val nFound = truth.join(cand, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_found"))
-        nTruth.join(broadcast(nCand)).join(broadcast(nFound))
+        // both band-join sides read the signature frame — materialize
+        // once (the unstaged spelling hashed every doc twice)
+        val mh = Materialize.stageEager(bandSignatures(docsIn,
+          Some(s.sparkContext.defaultParallelism)))
+        val cand = mh
+          .select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+          .join(mh.select(col("doc_id").as("doc_b"),
+              col("band").as("band2"), col("band_sig").as("band_sig2")),
+            col("band") === col("band2") &&
+              col("band_sig") === col("band_sig2") &&
+              col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        // ONE pass over truth ∪ cand: the membership flags of a pair-keyed
+        // FULL OUTER join feed a single global aggregate. The previous
+        // spelling ran three counting branches (truth count, cand count,
+        // truth⋈cand count) that met in broadcast crosses — the two
+        // broadcast subtrees raced the main stage for the lazily-persisted
+        // truth/cand caches (a single-task broadcast build sat 13 s
+        // blocked on the cache lock at sf0.1), and truth/cand were each
+        // computed through two consumers. Flag counting reads each side
+        // exactly once, so the stage barriers (and the races) vanish.
+        truth.withColumn("t", lit(1))
+          .join(cand.withColumn("cc", lit(1)), Seq("doc_a", "doc_b"),
+            "full_outer")
+          .agg(count(col("t")).as("n_truth"), count(col("cc")).as("n_cand"),
+            count(when(col("t").isNotNull && col("cc").isNotNull, lit(1)))
+              .as("n_found"))
           .select(col("n_truth"), col("n_cand"), col("n_found"),
             expr("if(n_truth = 0, null, n_found * 1000000L div n_truth)")
               .as("recall_ppm"),

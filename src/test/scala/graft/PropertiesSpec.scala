@@ -433,4 +433,27 @@ class PropertiesSpec extends SparkSpec {
     // the interval is a genuine error bar: positive width containing theta
     assert(se > 0.0 && lo < theta.toDouble && theta.toDouble < hi)
   }
+
+  test("packed_intersect_count ≡ size(array_intersect) on random distinct sets") {
+    // the exact-Jaccard verify kernel (pack_sorted_strings +
+    // packed_intersect_count) must count exactly what array_intersect
+    // counts over DISTINCT string sets — including empty sets, disjoint
+    // sets, multi-byte UTF-8, and strings that are prefixes of each other
+    // (the length tie-break of the binary order)
+    val tokGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("a", "ab", "abc", "café", "caf", "é", "世界", ""),
+      Gen.chooseNum(0, 99).map(i => s"tok $i"))
+    val setGen = Gen.listOfN(40, tokGen).map(_.distinct)
+    forSamples(Gen.zip(setGen, setGen), n = 12) { case (xs, ys) =>
+      val df = Seq((xs, ys)).toDF("xs", "ys")
+        .select(
+          expr("packed_intersect_count(pack_sorted_strings(sort_array(xs))," +
+            " pack_sorted_strings(sort_array(ys)))").as("merged"),
+          size(array_intersect(col("xs"), col("ys"))).as("ref"))
+        .head()
+      assert(df.getInt(0) === df.getInt(1),
+        s"xs=$xs ys=$ys: merge=${df.getInt(0)} ref=${df.getInt(1)}")
+    }
+  }
 }
