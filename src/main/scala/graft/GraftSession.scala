@@ -36,6 +36,23 @@ object GraftSession {
       // lazily at execution, after any try/finally restore)
       .config("spark.sql.cteRecursionRowLimit", "2000000000")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Static conf, default 100 entries: a multi-query driver program
+      // (Verify/Bench run 219 registered queries in one JVM) thrashes
+      // the generated-class cache, re-compiling and re-Class.forName-ing
+      // identical WholeStageCodegen sources — thread-sampling the bench
+      // showed Class.forName as a top executor frame. Scale-neutral:
+      // sized to the registry, not to the host.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // Below the threshold the bypass shuffle writer creates R temp
+      // files per map task; with the engine's sized small-R exchanges
+      // that is O(tasks·R) file creations per stage (top sampled frames:
+      // FileOutputStream.open / writeMetadataFileAndCommit). The sort
+      // writer buffers and writes ONE file per task. At cluster scale
+      // sized exchanges exceed any such threshold, so the knob only
+      // affects small-R stages — parameterised with a local default.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 
