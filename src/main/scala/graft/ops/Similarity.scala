@@ -1077,28 +1077,62 @@ object Similarity extends QueryModule {
           col("nrm").as("na"))
         val b = cand.select(col("vec_id").as("vb"), col("embedding").as("eb"),
           col("nrm").as("nb"))
-        val pair = Materialize.stage(
-          a.join(b, col("va") =!= col("vb"))
-            .select(col("va"), col("vb"),
-              (expr("vec_dot(ea, eb)") / (col("na") * col("nb"))).as("sim")))
-        val slim = cand.select(col("vec_id"), col("rel"))
-        var sel = Materialize.stage(
-          slim.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
-            .select(col("vec_id"), col("rel"), lit(1).as("pos")))
+        // The greedy MMR selection is inherently sequential over a
+        // ≤20-row candidate set (cand is LIMIT 20 by construction): the
+        // round-10 plan ran it as 4 staged DataFrame rounds — ~15
+        // sequential jobs, 3.8 s wall on 0.5 CPU-s at sf0.1, pure
+        // fixed job overhead (guide §1.2: fix the algorithm's shape
+        // first). Both frames collected here are bounded (≤20 and
+        // ≤20·19 rows — metadata-class, the ml_kmeans K-rows-per-round
+        // precedent), and every float (rel, pairwise sim) is computed
+        // by the SAME Spark expressions as before, so no arithmetic is
+        // recomputed driver-side: the loop only compares and selects.
+        // At 100 TB the expensive parts — scoring the corpus against
+        // the query and the top-20 heap — stay distributed; the greedy
+        // over K=20 scalars is driver arithmetic by design.
+        val pairRows = a.join(b, col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            (expr("vec_dot(ea, eb)") / (col("na") * col("nb"))).as("sim"))
+          .collect()
+        val sim = pairRows.map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+        val slimDf = cand.select(col("vec_id"), col("label"), col("rel"))
+          .orderBy(col("rel").desc, col("vec_id").asc)
+        val candRows = slimDf.collect()
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(org.apache.spark.sql.Row, Int)]
+        // round 1: best rel (ties to lowest vec_id) = head of the
+        // already-sorted collect — exactly the old ORDER BY ... LIMIT 1
+        candRows.headOption.foreach(c => sel += ((c, 1)))
         for (r <- 2 to 5) {
-          val scored = slim
-            .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
-            .join(pair, col("vec_id") === col("va"))
-            .join(sel.select(col("vec_id").as("vb")), Seq("vb"))
-            .groupBy(col("vec_id"), col("rel"))
-            .agg(max(col("sim")).as("maxsim"))
-            .select(col("vec_id"), col("rel"),
-              (lit(0.5) * col("rel") - lit(0.5) * col("maxsim")).as("mmr"))
-          val pick = scored.orderBy(col("mmr").desc, col("vec_id").asc)
-            .limit(1).select(col("vec_id"), col("rel"), lit(r).as("pos"))
-          sel = Materialize.stage(sel.union(pick))
+          val chosen = sel.map(_._1.getLong(0)).toSet
+          val scored = candRows.iterator
+            .filterNot(c => chosen(c.getLong(0)))
+            .map { c =>
+              // max over doubles: order-free, identical to Spark's MAX
+              val maxsim = sel.iterator
+                .map(sc => sim((c.getLong(0), sc._1.getLong(0)))).max
+              (c, 0.5 * c.getDouble(2) - 0.5 * maxsim)
+            }.toVector
+          if (scored.nonEmpty) {
+            // (mmr DESC, vec_id ASC) with Spark's double sort semantics
+            // (java.lang.Double.compare: NaN greatest, -0.0 < 0.0)
+            val best = scored.reduceLeft { (x, y) =>
+              val cmp = java.lang.Double.compare(x._2, y._2)
+              if (cmp > 0 || (cmp == 0 && x._1.getLong(0) <= y._1.getLong(0)))
+                x else y
+            }
+            sel += ((best._1, r))
+          }
         }
-        sel.join(cand.select(col("vec_id"), col("label")), Seq("vec_id"))
+        val outSchema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.IntegerType, nullable = false) +:
+            slimDf.schema.fields.toSeq)
+        s.createDataFrame(
+          java.util.Arrays.asList(sel.toSeq.map { case (r, pos) =>
+            org.apache.spark.sql.Row.fromSeq(pos +: r.toSeq)
+          }: _*), outSchema)
           .select(col("pos"), col("vec_id"), col("label"), col("rel"))
           .orderBy(col("pos"))
       },
