@@ -108,10 +108,16 @@ object Graph extends QueryModule {
     // `width`: sized count for the staged edge exchange — every round's
     // contribution join sorts the edge mass in place (graph_hits's §19
     // pattern); None keeps the engine default for small ad-hoc graphs
-    val e = Materialize.stage(width
+    // stageEager, not stage: the first action materializes round 1's
+    // contribution join, whose BOTH sides (edge scan and the rank side,
+    // which derives from nodes -> e) race to build this lazy cache and
+    // serialize on block locks holding task slots — the documented
+    // banded-self-join pathology, measured as multi-x run-to-run
+    // variance across the graph family (OPTIMIZATION_r11.md).
+    val e = Materialize.stageEager(width
       .fold(edges.toDF("u", "v").repartition(col("u")))(n =>
         edges.toDF("u", "v").repartition(n, col("u"))))
-    val nodes = Materialize.stage(
+    val nodes = Materialize.stageEager(
       e.select(col("u").as("node")).union(e.select(col("v").as("node")))
         .distinct())
     val outdeg = Materialize.stage(
@@ -201,8 +207,10 @@ object Graph extends QueryModule {
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    // staged once: read twice (wedge sides) + once more to close
-    val oriented = Materialize.stage(withDeg.select(
+    // staged EAGERLY once: the wedge self-join's two sides are
+    // concurrent first consumers — a lazy cache makes them race to
+    // build the same partitions (multi-x variance); eager builds once
+    val oriented = Materialize.stageEager(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("ddeg")))
@@ -864,7 +872,7 @@ object Graph extends QueryModule {
         // estimate-driven planner was instead exchanging the whole edge
         // mass on w at the conf width (9.9 GB of 32-task SMJ sort spill
         // at the 250× rung, §19)
-        val wed = Materialize.stage(
+        val wed = Materialize.stageEager(
           sym.select(col("u").as("w"), col("v").as("x"))
             .join(broadcast(capped.select(col("u").as("w"))), Seq("w"))
             .repartition(n, col("w")))
@@ -968,9 +976,14 @@ object Graph extends QueryModule {
         // each half-round's score join sorts the edge mass in place, and
         // the 250× probe measured ~5 GB of spill spread across the
         // 32-task round stages before the pin (SCALE.md §19)
-        val adj = Materialize.stage(
+        // stageEager: round 1's score join reads adj on BOTH sides
+        // (edge scan + hub side via nodes -> adj), so a lazy cache made
+        // the concurrent stages race to build the same partitions — the
+        // 9-38 s run-to-run variance measured this round collapses once
+        // the cache is built by one upfront pass
+        val adj = Materialize.stageEager(
           coLineAdj(s, d).repartition(edgeWidth(s, d), col("u")))
-        val nodes = Materialize.stage(
+        val nodes = Materialize.stageEager(
           adj.select(col("u").as("node"))
             .union(adj.select(col("v").as("node"))).distinct())
         // max-normalize a raw (key, raw) frame onto the node set
@@ -1149,7 +1162,7 @@ object Graph extends QueryModule {
     GraftQuery(
       "graph_degree_histogram",
       (s, d) => {
-        val adj = Materialize.stage(coLineAdj(s, d))
+        val adj = Materialize.stageEager(coLineAdj(s, d))
         def hist(keyCol: String, side: String) = adj
           .groupBy(col(keyCol).as("node")).agg(count(lit(1)).as("deg"))
           .select(lit(side).as("side"),
@@ -1334,7 +1347,9 @@ object Graph extends QueryModule {
     // instead of once per round.
     val symRaw = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
-    val sym = Materialize.stage(
+    // eager: round 1's join reads sym on both sides (lab derives from
+    // sym), so the lazy cache raced against itself (see pagerank note)
+    val sym = Materialize.stageEager(
       width.fold(symRaw.repartition(col("v")))(w =>
         symRaw.repartition(w, col("v"))))
     var lab = Materialize.stage(
